@@ -1,0 +1,1189 @@
+"""Spatial scalar function surface (ST_*) as vectorized pandas UDFs.
+
+Mirrors the reference's function registry
+(`rust/sedona-functions/src/register.rs:23-103`): every SQL name from the
+reference registers here and is callable both as a Column function
+(``st.ST_Area(col)``) and from ``spark.sql`` after ``register_all(spark)``.
+
+Execution model: the reference iterates Arrow arrays through its
+``WkbExecutor`` (`rust/sedona-functions/src/executor.rs:30-90`); our
+equivalent is a pandas UDF receiving an Arrow batch as a pandas Series.
+Point-heavy kernels (constructors, coordinate accessors) use the fully
+vectorized numpy WKB fast path from ``geometry.wkb``; generic geometry
+kernels parse per-element but do all vertex math in numpy, which is the
+same per-geometry granularity the reference's kernels have.
+
+UDFs are the slow path in Spark — so the *join* operators never call these
+per-row predicates; they use the batched kernels in ``operators/`` directly.
+These scalar UDFs exist for expression-level parity and SQL ergonomics.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..geometry import algos, wkb
+
+# ---------------------------------------------------------------------------
+# kernel helpers
+# ---------------------------------------------------------------------------
+
+
+def _parse_series(s: pd.Series):
+    return [wkb.parse(v) if v is not None else None for v in s]
+
+
+def _unary(fn, null=None):
+    def kern(s: pd.Series) -> list:
+        return [null if v is None else fn(wkb.parse(v)) for v in s]
+
+    return kern
+
+
+def _unary_geom(fn):
+    def kern(s: pd.Series) -> list:
+        out = []
+        for v in s:
+            if v is None:
+                out.append(None)
+            else:
+                g = fn(wkb.parse(v))
+                out.append(wkb.encode(g) if g is not None else None)
+        return out
+
+    return kern
+
+
+def _binary(fn, null=None):
+    def kern(a: pd.Series, b: pd.Series) -> list:
+        return [
+            null if (x is None or y is None) else fn(wkb.parse(x), wkb.parse(y))
+            for x, y in zip(a, b)
+        ]
+
+    return kern
+
+
+# ---------------------------------------------------------------------------
+# constructors / IO   (reference: rust/sedona-functions/src/st_point.rs,
+# st_geomfromwkt.rs, st_geomfromwkb.rs, st_astext.rs, st_asbinary.rs, ...)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(BinaryType())
+def _st_point(x: pd.Series, y: pd.Series) -> pd.Series:
+    xa = x.to_numpy(dtype=np.float64, na_value=np.nan)
+    ya = y.to_numpy(dtype=np.float64, na_value=np.nan)
+    bufs = wkb.encode_points_xy(xa, ya)
+    mask = np.isnan(xa) | np.isnan(ya)
+    out = pd.Series(list(bufs), dtype=object)
+    out[mask] = None
+    return out
+
+
+@pandas_udf(BinaryType())
+def _st_pointz(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None
+            if (xi is None or yi is None or zi is None)
+            else wkb.encode(wkb.point(float(xi), float(yi), float(zi)))
+            for xi, yi, zi in zip(x, y, z)
+        ],
+        dtype=object,
+    )
+
+
+@pandas_udf(BinaryType())
+def _st_pointm(x: pd.Series, y: pd.Series, m: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None
+            if (xi is None or yi is None or mi is None)
+            else wkb.encode(wkb.point(float(xi), float(yi), m=float(mi)))
+            for xi, yi, mi in zip(x, y, m)
+        ],
+        dtype=object,
+    )
+
+
+@pandas_udf(BinaryType())
+def _st_pointzm(x: pd.Series, y: pd.Series, z: pd.Series, m: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None
+            if any(v is None for v in (xi, yi, zi, mi))
+            else wkb.encode(wkb.point(float(xi), float(yi), float(zi), float(mi)))
+            for xi, yi, zi, mi in zip(x, y, z, m)
+        ],
+        dtype=object,
+    )
+
+
+@pandas_udf(BinaryType())
+def _st_geomfromwkt(s: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if v is None else wkb.encode(wkb.from_wkt(v)) for v in s], dtype=object
+    )
+
+
+@pandas_udf(BinaryType())
+def _st_geomfromwkb(s: pd.Series) -> pd.Series:
+    # validate by parsing; normalize to ISO little-endian WKB
+    return pd.Series(
+        [None if v is None else wkb.encode(wkb.parse(v)) for v in s], dtype=object
+    )
+
+
+@pandas_udf(StringType())
+def _st_astext(s: pd.Series) -> pd.Series:
+    return pd.Series([None if v is None else wkb.to_wkt(wkb.parse(v)) for v in s], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_makeline(a: pd.Series, b: pd.Series) -> pd.Series:
+    def mk(x, y):
+        if x is None or y is None:
+            return None
+        ga, gb = wkb.parse(x), wkb.parse(y)
+        pts = np.vstack([ga.all_coords()[:, :2], gb.all_coords()[:, :2]])
+        return wkb.encode(wkb.Geometry(wkb.LINESTRING, pts))
+
+    return pd.Series([mk(x, y) for x, y in zip(a, b)], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_makeenvelope(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None
+            if any(v is None for v in (a, b, c, d))
+            else wkb.encode(wkb.box(float(a), float(b), float(c), float(d)))
+            for a, b, c, d in zip(xmin, ymin, xmax, ymax)
+        ],
+        dtype=object,
+    )
+
+
+@pandas_udf(StringType())
+def _sd_format(s: pd.Series) -> pd.Series:
+    # display formatter used by .show() (reference: sd_format.rs)
+    def fmt(v):
+        if v is None:
+            return None
+        w = wkb.to_wkt(wkb.parse(v))
+        return w if len(w) <= 60 else w[:57] + "..."
+
+    return pd.Series([fmt(v) for v in s], dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# measures / accessors
+# ---------------------------------------------------------------------------
+
+
+def _coord_accessor(idx: int):
+    """Vectorized ST_X / ST_Y over the point fast path."""
+
+    def kern(s: pd.Series) -> pd.Series:
+        x, y, valid = wkb.decode_points_xy(list(s))
+        arr = (x, y)[idx]
+        out = pd.Series(arr)
+        out[~valid] = None
+        return out
+
+    return kern
+
+
+@pandas_udf(DoubleType())
+def _st_x(s: pd.Series) -> pd.Series:
+    return _coord_accessor(0)(s)
+
+
+@pandas_udf(DoubleType())
+def _st_y(s: pd.Series) -> pd.Series:
+    return _coord_accessor(1)(s)
+
+
+def _zm_accessor(which: str):
+    def get(g):
+        if g is None or g.type_id != wkb.POINT or not len(g.coords):
+            return None
+        if which == "z":
+            return float(g.coords[0, 2]) if g.has_z else None
+        if not g.has_m:
+            return None
+        return float(g.coords[0, 2 + int(g.has_z)])
+
+    return get
+
+
+@pandas_udf(DoubleType())
+def _st_z(s: pd.Series) -> pd.Series:
+    return pd.Series([_zm_accessor("z")(wkb.parse(v)) if v is not None else None for v in s], dtype="float64")
+
+
+@pandas_udf(DoubleType())
+def _st_m(s: pd.Series) -> pd.Series:
+    return pd.Series([_zm_accessor("m")(wkb.parse(v)) if v is not None else None for v in s], dtype="float64")
+
+
+def _minmax_kernel(coord: int, is_max: bool):
+    def get(g):
+        if g is None:
+            return None
+        c = g.all_coords()
+        if not len(c):
+            return None
+        col = c[:, coord] if c.shape[1] > coord else None
+        if col is None:
+            return None
+        return float(np.max(col) if is_max else np.min(col))
+
+    return get
+
+
+def _make_minmax_udf(coord: int, is_max: bool):
+    k = _minmax_kernel(coord, is_max)
+
+    @pandas_udf(DoubleType())
+    def f(s: pd.Series) -> pd.Series:
+        return pd.Series([k(wkb.parse(v)) if v is not None else None for v in s], dtype="float64")
+
+    return f
+
+
+_st_xmin = _make_minmax_udf(0, False)
+_st_xmax = _make_minmax_udf(0, True)
+_st_ymin = _make_minmax_udf(1, False)
+_st_ymax = _make_minmax_udf(1, True)
+
+
+def _z_minmax(is_max: bool):
+    def get(g):
+        if g is None or not g.has_z:
+            return None
+        c = g.all_coords()
+        if not len(c):
+            return None
+        return float(np.max(c[:, 2]) if is_max else np.min(c[:, 2]))
+
+    @pandas_udf(DoubleType())
+    def f(s: pd.Series) -> pd.Series:
+        return pd.Series([get(wkb.parse(v)) if v is not None else None for v in s], dtype="float64")
+
+    return f
+
+
+_st_zmin = _z_minmax(False)
+_st_zmax = _z_minmax(True)
+
+
+def _m_minmax(is_max: bool):
+    def get(g):
+        if g is None or not g.has_m:
+            return None
+        c = g.all_coords()
+        col = 2 + int(g.has_z)
+        if not len(c):
+            return None
+        return float(np.max(c[:, col]) if is_max else np.min(c[:, col]))
+
+    @pandas_udf(DoubleType())
+    def f(s: pd.Series) -> pd.Series:
+        return pd.Series([get(wkb.parse(v)) if v is not None else None for v in s], dtype="float64")
+
+    return f
+
+
+_st_mmin = _m_minmax(False)
+_st_mmax = _m_minmax(True)
+
+
+def _make_double_udf(fn):
+    @pandas_udf(DoubleType())
+    def f(s: pd.Series) -> pd.Series:
+        vals = [fn(wkb.parse(v)) if v is not None else None for v in s]
+        return pd.Series([None if (v is not None and isinstance(v, float) and math.isnan(v)) else v for v in vals], dtype="float64")
+
+    return f
+
+
+_st_area = _make_double_udf(algos.area)
+_st_length = _make_double_udf(algos.length)
+_st_perimeter = _make_double_udf(algos.perimeter)
+
+
+def _make_geom_udf(fn):
+    @pandas_udf(BinaryType())
+    def f(s: pd.Series) -> pd.Series:
+        return pd.Series(_unary_geom(fn)(s), dtype=object)
+
+    return f
+
+
+_st_centroid = _make_geom_udf(algos.centroid)
+_st_envelope = _make_geom_udf(algos.envelope)
+_st_convexhull = _make_geom_udf(algos.convex_hull)
+_st_flipcoordinates = _make_geom_udf(algos.flip_coordinates)
+_st_boundary = None  # not in reference's registered set
+
+
+@pandas_udf(IntegerType())
+def _st_dimension(s: pd.Series) -> pd.Series:
+    return pd.Series(
+        [algos.dimension(wkb.parse(v)) if v is not None else None for v in s], dtype="Int32"
+    )
+
+
+@pandas_udf(StringType())
+def _st_geometrytype(s: pd.Series) -> pd.Series:
+    def t(v):
+        if v is None:
+            return None
+        return wkb.TYPE_NAMES[wkb.parse(v).type_id]
+
+    return pd.Series([t(v) for v in s], dtype=object)
+
+
+@pandas_udf(IntegerType())
+def _st_npoints(s: pd.Series) -> pd.Series:
+    return pd.Series(
+        [algos.num_points(wkb.parse(v)) if v is not None else None for v in s], dtype="Int32"
+    )
+
+
+@pandas_udf(IntegerType())
+def _st_numgeometries(s: pd.Series) -> pd.Series:
+    def n(v):
+        if v is None:
+            return None
+        g = wkb.parse(v)
+        if g.type_id in (wkb.MULTIPOINT, wkb.MULTILINESTRING, wkb.MULTIPOLYGON, wkb.GEOMETRYCOLLECTION):
+            return len(g.coords)
+        return 0 if g.is_empty else 1
+
+    return pd.Series([n(v) for v in s], dtype="Int32")
+
+
+@pandas_udf(BinaryType())
+def _st_points(s: pd.Series) -> pd.Series:
+    def pts(v):
+        if v is None:
+            return None
+        g = wkb.parse(v)
+        c = g.all_coords()
+        subs = [wkb.Geometry(wkb.POINT, c[i : i + 1]) for i in range(len(c))]
+        return wkb.encode(wkb.Geometry(wkb.MULTIPOINT, subs, g.has_z, g.has_m))
+
+    return pd.Series([pts(v) for v in s], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_pointn(s: pd.Series, n: pd.Series) -> pd.Series:
+    def pn(v, k):
+        if v is None or k is None:
+            return None
+        g = wkb.parse(v)
+        if g.type_id != wkb.LINESTRING:
+            return None
+        k = int(k)
+        npts = len(g.coords)
+        if k < 0:
+            k = npts + k + 1
+        if not (1 <= k <= npts):
+            return None
+        return wkb.encode(wkb.Geometry(wkb.POINT, g.coords[k - 1 : k], g.has_z, g.has_m))
+
+    return pd.Series([pn(v, k) for v, k in zip(s, n)], dtype=object)
+
+
+def _endpoint_udf(last: bool):
+    @pandas_udf(BinaryType())
+    def f(s: pd.Series) -> pd.Series:
+        def ep(v):
+            if v is None:
+                return None
+            g = wkb.parse(v)
+            if g.type_id != wkb.LINESTRING or len(g.coords) == 0:
+                return None
+            idx = -1 if last else 0
+            return wkb.encode(wkb.Geometry(wkb.POINT, g.coords[idx : idx + 1] if not last else g.coords[-1:], g.has_z, g.has_m))
+
+        return pd.Series([ep(v) for v in s], dtype=object)
+
+    return f
+
+
+_st_startpoint = _endpoint_udf(False)
+_st_endpoint = _endpoint_udf(True)
+
+
+def _make_bool_udf(fn):
+    @pandas_udf(BooleanType())
+    def f(s: pd.Series) -> pd.Series:
+        return pd.Series([fn(wkb.parse(v)) if v is not None else None for v in s], dtype=object)
+
+    return f
+
+
+def _is_closed(g):
+    lines = g.lines()
+    if not lines:
+        return g.type_id in (wkb.POINT, wkb.MULTIPOINT) and not g.is_empty
+    return all(
+        len(l.coords) >= 2
+        and l.coords[0, 0] == l.coords[-1, 0]
+        and l.coords[0, 1] == l.coords[-1, 1]
+        for l in lines
+    )
+
+
+_st_isclosed = _make_bool_udf(_is_closed)
+_st_iscollection = _make_bool_udf(
+    lambda g: g.type_id in (wkb.MULTIPOINT, wkb.MULTILINESTRING, wkb.MULTIPOLYGON, wkb.GEOMETRYCOLLECTION)
+)
+_st_isempty = _make_bool_udf(lambda g: g.is_empty)
+_st_hasz = _make_bool_udf(lambda g: g.has_z)
+_st_hasm = _make_bool_udf(lambda g: g.has_m)
+
+
+@pandas_udf(IntegerType())
+def _st_zmflag(s: pd.Series) -> pd.Series:
+    # 0 = 2D, 1 = M, 2 = Z, 3 = ZM (reference st_zmflag.rs follows PostGIS)
+    def fl(v):
+        if v is None:
+            return None
+        g = wkb.parse(v)
+        return (2 if g.has_z else 0) + (1 if g.has_m else 0)
+
+    return pd.Series([fl(v) for v in s], dtype="Int32")
+
+
+def _ring_is_valid(ring: np.ndarray) -> bool:
+    if len(ring) == 0:
+        return True
+    if len(ring) < 4:
+        return False
+    if ring[0, 0] != ring[-1, 0] or ring[0, 1] != ring[-1, 1]:
+        return False
+    return True
+
+
+def _is_valid(g) -> bool:
+    # from-scratch validity: closed rings with >=4 points, no NaN coords,
+    # shell self-intersection check for small rings
+    c = g.all_coords()
+    if len(c) and not np.isfinite(c[:, :2]).all():
+        return False
+    for poly in g.polygons():
+        for ring in poly.coords:
+            if not _ring_is_valid(ring):
+                return False
+            segs = np.hstack([ring[:-1, :2], ring[1:, :2]])
+            n = len(segs)
+            if n <= 64:  # O(n^2) self-intersection check on small rings
+                for i in range(n):
+                    for j in range(i + 2, n):
+                        if i == 0 and j == n - 1:
+                            continue
+                        if algos.segments_intersect_any(segs[i : i + 1], segs[j : j + 1]):
+                            return False
+    return True
+
+
+_st_isvalid = _make_bool_udf(_is_valid)
+
+
+@pandas_udf(StringType())
+def _st_isvalidreason(s: pd.Series) -> pd.Series:
+    def reason(v):
+        if v is None:
+            return None
+        return "Valid Geometry" if _is_valid(wkb.parse(v)) else "Self-intersection or unclosed ring"
+
+    return pd.Series([reason(v) for v in s], dtype=object)
+
+
+def _is_simple(g) -> bool:
+    for line in g.lines():
+        arr = line.coords[:, :2]
+        segs = np.hstack([arr[:-1], arr[1:]])
+        n = len(segs)
+        closed = len(arr) >= 2 and (arr[0] == arr[-1]).all()
+        for i in range(n):
+            for j in range(i + 2, n):
+                if closed and i == 0 and j == n - 1:
+                    continue
+                if algos.segments_intersect_any(segs[i : i + 1], segs[j : j + 1]):
+                    return False
+    return True
+
+
+_st_issimple = _make_bool_udf(_is_simple)
+_st_isring = _make_bool_udf(
+    lambda g: g.type_id == wkb.LINESTRING and len(g.coords) >= 4
+    and (g.coords[0, :2] == g.coords[-1, :2]).all() and _is_simple(g)
+)
+
+
+# ---------------------------------------------------------------------------
+# predicates / distances
+# ---------------------------------------------------------------------------
+
+
+def _make_pred_udf(fn):
+    @pandas_udf(BooleanType())
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if (x is None or y is None) else bool(fn(wkb.parse(x), wkb.parse(y)))
+                for x, y in zip(a, b)
+            ],
+            dtype=object,
+        )
+
+    return f
+
+
+_st_intersects = _make_pred_udf(algos.intersects)
+_st_disjoint = _make_pred_udf(algos.disjoint)
+_st_contains = _make_pred_udf(algos.contains)
+_st_within = _make_pred_udf(algos.within)
+_st_covers = _make_pred_udf(algos.covers)
+_st_coveredby = _make_pred_udf(algos.covered_by)
+_st_touches = _make_pred_udf(algos.touches)
+_st_crosses = _make_pred_udf(algos.crosses)
+_st_overlaps = _make_pred_udf(algos.overlaps)
+_st_equals = _make_pred_udf(algos.equals)
+
+
+@pandas_udf(BooleanType())
+def _st_dwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None
+            if (x is None or y is None or dd is None)
+            else bool(algos.dwithin(wkb.parse(x), wkb.parse(y), float(dd)))
+            for x, y, dd in zip(a, b, d)
+        ],
+        dtype=object,
+    )
+
+
+def _make_dist_udf(fn):
+    @pandas_udf(DoubleType())
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        vals = [
+            None if (x is None or y is None) else fn(wkb.parse(x), wkb.parse(y))
+            for x, y in zip(a, b)
+        ]
+        return pd.Series(
+            [None if (v is not None and math.isnan(v)) else v for v in vals], dtype="float64"
+        )
+
+    return f
+
+
+_st_distance = _make_dist_udf(algos.distance)
+_st_maxdistance = _make_dist_udf(algos.max_distance)
+_st_hausdorffdistance = _make_dist_udf(algos.hausdorff)
+
+
+def _frechet(a, b) -> float:
+    """Discrete Fréchet distance over vertices (dynamic programming)."""
+    P, Q = a.all_coords()[:, :2], b.all_coords()[:, :2]
+    n, m = len(P), len(Q)
+    if n == 0 or m == 0:
+        return float("nan")
+    d = np.hypot(P[:, None, 0] - Q[None, :, 0], P[:, None, 1] - Q[None, :, 1])
+    ca = np.full((n, m), np.inf)
+    ca[0, 0] = d[0, 0]
+    for i in range(1, n):
+        ca[i, 0] = max(ca[i - 1, 0], d[i, 0])
+    for j in range(1, m):
+        ca[0, j] = max(ca[0, j - 1], d[0, j])
+    for i in range(1, n):
+        for j in range(1, m):
+            ca[i, j] = max(min(ca[i - 1, j], ca[i - 1, j - 1], ca[i, j - 1]), d[i, j])
+    return float(ca[n - 1, m - 1])
+
+
+_st_frechetdistance = _make_dist_udf(_frechet)
+
+
+@pandas_udf(DoubleType())
+def _st_distancesphere(a: pd.Series, b: pd.Series) -> pd.Series:
+    ax, ay, av = wkb.decode_points_xy(list(a))
+    bx, by, bv = wkb.decode_points_xy(list(b))
+    d = algos.haversine_m(ax, ay, bx, by)
+    out = pd.Series(d)
+    out[~(av & bv)] = None
+    return out
+
+
+@pandas_udf(DoubleType())
+def _st_distancespheroid(a: pd.Series, b: pd.Series) -> pd.Series:
+    # geodesic on WGS84 approximated by haversine on the mean radius; the
+    # reference's s2 kernel is spherical too (not full Karney geodesics)
+    ax, ay, av = wkb.decode_points_xy(list(a))
+    bx, by, bv = wkb.decode_points_xy(list(b))
+    d = algos.haversine_m(ax, ay, bx, by, radius=6371008.7714)
+    out = pd.Series(d)
+    out[~(av & bv)] = None
+    return out
+
+
+def _closest_point(a, b):
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return None
+    ca = a.all_coords()[:, :2]
+    sb = algos._segments(b)
+    best, bx, by = np.inf, None, None
+    for x, y in ca:
+        if len(sb):
+            d = algos._pt_seg_dist(x, y, sb)
+            dm = float(np.min(d))
+        else:
+            cb = b.all_coords()[:, :2]
+            dm = float(np.min(np.hypot(cb[:, 0] - x, cb[:, 1] - y)))
+        if dm < best:
+            best, bx, by = dm, x, y
+    return wkb.point(float(bx), float(by))
+
+
+@pandas_udf(BinaryType())
+def _st_closestpoint(a: pd.Series, b: pd.Series) -> pd.Series:
+    def cp(x, y):
+        if x is None or y is None:
+            return None
+        g = _closest_point(wkb.parse(x), wkb.parse(y))
+        return wkb.encode(g) if g is not None else None
+
+    return pd.Series([cp(x, y) for x, y in zip(a, b)], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_shortestline(a: pd.Series, b: pd.Series) -> pd.Series:
+    def sl(x, y):
+        if x is None or y is None:
+            return None
+        ga, gb = wkb.parse(x), wkb.parse(y)
+        p1 = _closest_point(ga, gb)
+        p2 = _closest_point(gb, ga)
+        if p1 is None or p2 is None:
+            return None
+        pts = np.vstack([p1.coords[:, :2], p2.coords[:, :2]])
+        return wkb.encode(wkb.Geometry(wkb.LINESTRING, pts))
+
+    return pd.Series([sl(x, y) for x, y in zip(a, b)], dtype=object)
+
+
+@pandas_udf(DoubleType())
+def _st_azimuth(a: pd.Series, b: pd.Series) -> pd.Series:
+    ax, ay, av = wkb.decode_points_xy(list(a))
+    bx, by, bv = wkb.decode_points_xy(list(b))
+    az = algos.azimuth(ax, ay, bx, by)
+    out = pd.Series(az)
+    out[~(av & bv) | ((ax == bx) & (ay == by))] = None
+    return out
+
+
+# ---------------------------------------------------------------------------
+# overlay / processing
+# ---------------------------------------------------------------------------
+
+
+def _clip_convex(subject: "wkb.Geometry", clip_ring: np.ndarray):
+    """Sutherland-Hodgman: clip polygon `subject` by one CONVEX ring."""
+    import itertools
+
+    def clip_poly_ring(ring: np.ndarray) -> np.ndarray:
+        out = ring[:-1, :2].tolist()
+        m = len(clip_ring) - 1
+        # ensure CCW clip ring
+        cr = clip_ring[:-1, :2]
+        if algos._ring_area(clip_ring) < 0:
+            cr = cr[::-1]
+        for i in range(len(cr)):
+            a = cr[i]
+            b = cr[(i + 1) % len(cr)]
+            inp, out = out, []
+            if not inp:
+                break
+            for j in range(len(inp)):
+                p = np.asarray(inp[j])
+                q = np.asarray(inp[(j + 1) % len(inp)])
+                sp = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+                sq = (b[0] - a[0]) * (q[1] - a[1]) - (b[1] - a[1]) * (q[0] - a[0])
+                if sp >= 0:
+                    out.append(p.tolist())
+                if (sp > 0 and sq < 0) or (sp < 0 and sq > 0):
+                    t = sp / (sp - sq)
+                    out.append((p + t * (q - p)).tolist())
+        if len(out) < 3:
+            return np.empty((0, 2))
+        arr = np.array(out + [out[0]])
+        return arr
+
+    rings = []
+    for poly in subject.polygons():
+        if not poly.coords:
+            continue
+        shell = clip_poly_ring(poly.coords[0])
+        if len(shell):
+            rings.append(shell)
+    if not rings:
+        return wkb.Geometry(wkb.POLYGON, [])
+    if len(rings) == 1:
+        return wkb.Geometry(wkb.POLYGON, [rings[0]])
+    return wkb.Geometry(
+        wkb.MULTIPOLYGON, [wkb.Geometry(wkb.POLYGON, [r]) for r in rings]
+    )
+
+
+def _intersection(a, b):
+    """Geometry intersection for the shapes our engine targets:
+    point×any, any×point, polygon×convex-polygon (Sutherland-Hodgman).
+    The reference delegates to GEOS (`c/sedona-geos/src/overlay.rs`)."""
+    if a is None or b is None:
+        return None
+    if a.is_empty or b.is_empty or not algos.intersects(a, b):
+        return wkb.Geometry(wkb.GEOMETRYCOLLECTION, [])
+    for pts, other in ((a, b), (b, a)):
+        if pts.points() and not pts.lines() and not pts.polygons():
+            keep = [
+                p
+                for p in pts.points()
+                if algos.intersects(p, other)
+            ]
+            if len(keep) == 1:
+                return keep[0]
+            return wkb.Geometry(wkb.MULTIPOINT, keep)
+    if a.polygons() and b.polygons():
+        bp = b.polygons()
+        if len(bp) == 1 and len(bp[0].coords) == 1 and _ring_convex(bp[0].coords[0]):
+            return _clip_convex(a, bp[0].coords[0])
+        ap = a.polygons()
+        if len(ap) == 1 and len(ap[0].coords) == 1 and _ring_convex(ap[0].coords[0]):
+            return _clip_convex(b, ap[0].coords[0])
+    raise NotImplementedError(
+        "general (non-convex) polygon overlay requires a clipping library; "
+        "supported: point×any, polygon×convex-polygon"
+    )
+
+
+def _ring_convex(ring: np.ndarray) -> bool:
+    if len(ring) < 4:
+        return False
+    p = ring[:-1, :2]
+    q = np.roll(p, -1, axis=0)
+    r = np.roll(p, -2, axis=0)
+    cross = (q[:, 0] - p[:, 0]) * (r[:, 1] - q[:, 1]) - (q[:, 1] - p[:, 1]) * (r[:, 0] - q[:, 0])
+    return bool(np.all(cross >= 0) or np.all(cross <= 0))
+
+
+def _make_overlay_udf(fn):
+    @pandas_udf(BinaryType())
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        def run(x, y):
+            if x is None or y is None:
+                return None
+            g = fn(wkb.parse(x), wkb.parse(y))
+            return wkb.encode(g) if g is not None else None
+
+        return pd.Series([run(x, y) for x, y in zip(a, b)], dtype=object)
+
+    return f
+
+
+_st_intersection = _make_overlay_udf(_intersection)
+
+
+def _union(a, b):
+    """Union as a collection merge (no dissolve — documented deviation;
+    the dissolving union lives in ST_Union_Aggr for envelopes/disjoint sets)."""
+    if a is None or b is None:
+        return None
+    parts = []
+    for g in (a, b):
+        if g.is_empty:
+            continue
+        if g.type_id in (wkb.MULTIPOINT, wkb.MULTILINESTRING, wkb.MULTIPOLYGON, wkb.GEOMETRYCOLLECTION):
+            parts.extend(g.coords)
+        else:
+            parts.append(g)
+    types = {p.type_id for p in parts}
+    if types == {wkb.POINT}:
+        # dedupe coincident points like GEOS
+        seen, uniq = set(), []
+        for p in parts:
+            key = (p.coords[0, 0], p.coords[0, 1])
+            if key not in seen:
+                seen.add(key)
+                uniq.append(p)
+        return uniq[0] if len(uniq) == 1 else wkb.Geometry(wkb.MULTIPOINT, uniq)
+    if types == {wkb.POLYGON}:
+        if len(parts) == 1:
+            return parts[0]
+        if not algos.intersects(a, b):
+            return wkb.Geometry(wkb.MULTIPOLYGON, parts)
+    if types == {wkb.LINESTRING}:
+        return parts[0] if len(parts) == 1 else wkb.Geometry(wkb.MULTILINESTRING, parts)
+    if len(parts) == 1:
+        return parts[0]
+    return wkb.Geometry(wkb.GEOMETRYCOLLECTION, parts)
+
+
+_st_union = _make_overlay_udf(_union)
+
+
+def _difference(a, b):
+    if a is None or b is None:
+        return None
+    if a.points() and not a.lines() and not a.polygons():
+        keep = [p for p in a.points() if not algos.intersects(p, b)]
+        if not keep:
+            return wkb.Geometry(wkb.GEOMETRYCOLLECTION, [])
+        return keep[0] if len(keep) == 1 else wkb.Geometry(wkb.MULTIPOINT, keep)
+    if not algos.intersects(a, b):
+        return a
+    raise NotImplementedError("general polygon difference unsupported (no GEOS in env)")
+
+
+_st_difference = _make_overlay_udf(_difference)
+
+
+def _symdifference(a, b):
+    if a is None or b is None:
+        return None
+    if (a.points() and not a.lines() and not a.polygons()) and (
+        b.points() and not b.lines() and not b.polygons()
+    ):
+        sa = {(p.coords[0, 0], p.coords[0, 1]) for p in a.points()}
+        sb = {(p.coords[0, 0], p.coords[0, 1]) for p in b.points()}
+        sym = sorted(sa ^ sb)
+        pts = [wkb.point(x, y) for x, y in sym]
+        if not pts:
+            return wkb.Geometry(wkb.GEOMETRYCOLLECTION, [])
+        return pts[0] if len(pts) == 1 else wkb.Geometry(wkb.MULTIPOINT, pts)
+    if not algos.intersects(a, b):
+        return _union(a, b)
+    raise NotImplementedError("general polygon symdifference unsupported")
+
+
+_st_symdifference = _make_overlay_udf(_symdifference)
+
+
+@pandas_udf(BinaryType())
+def _st_unaryunion(s: pd.Series) -> pd.Series:
+    def uu(v):
+        if v is None:
+            return None
+        g = wkb.parse(v)
+        parts = g.geometries()
+        if len(parts) <= 1:
+            return wkb.encode(parts[0] if parts else g)
+        out = parts[0]
+        for p in parts[1:]:
+            out = _union(out, p)
+        return wkb.encode(out)
+
+    return pd.Series([uu(v) for v in s], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_buffer(s: pd.Series, d: pd.Series) -> pd.Series:
+    def buf(v, dd):
+        if v is None or dd is None:
+            return None
+        g = wkb.parse(v)
+        dd = float(dd)
+        pts = g.points()
+        if g.type_id == wkb.POINT and pts:
+            p = pts[0]
+            return wkb.encode(algos.buffer_point(float(p.coords[0, 0]), float(p.coords[0, 1]), dd))
+        if dd == 0:
+            return wkb.encode(g)
+        raise NotImplementedError("ST_Buffer supports points in this build (no GEOS)")
+
+    return pd.Series([buf(v, dd) for v, dd in zip(s, d)], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_simplifypreservetopology(s: pd.Series, tol: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if (v is None or t is None) else wkb.encode(algos.simplify_dp(wkb.parse(v), float(t)))
+            for v, t in zip(s, tol)
+        ],
+        dtype=object,
+    )
+
+
+@pandas_udf(BinaryType())
+def _st_translate(s: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None
+            if (v is None or a is None or b is None)
+            else wkb.encode(algos.translate(wkb.parse(v), float(a), float(b)))
+            for v, a, b in zip(s, dx, dy)
+        ],
+        dtype=object,
+    )
+
+
+_DUMP_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("path", ArrayType(IntegerType())),
+            StructField("geom", BinaryType()),
+        ]
+    )
+)
+
+
+@pandas_udf(_DUMP_TYPE)
+def _st_dump(s: pd.Series) -> pd.Series:
+    # reference: rust/sedona-functions/src/st_dump.rs:272-283 (recursive dump)
+    def dump(v):
+        if v is None:
+            return None
+        g = wkb.parse(v)
+        out = []
+
+        def rec(geom, path):
+            if geom.type_id in (wkb.MULTIPOINT, wkb.MULTILINESTRING, wkb.MULTIPOLYGON, wkb.GEOMETRYCOLLECTION):
+                for i, sub in enumerate(geom.coords):
+                    rec(sub, path + [i + 1])
+            else:
+                out.append({"path": path, "geom": wkb.encode(geom)})
+
+        rec(g, [])
+        return out
+
+    return pd.Series([dump(v) for v in s], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_lineinterpolatepoint(s: pd.Series, frac: pd.Series) -> pd.Series:
+    def lip(v, f):
+        if v is None or f is None:
+            return None
+        g = wkb.parse(v)
+        if g.type_id != wkb.LINESTRING or len(g.coords) < 2:
+            return None
+        arr = g.coords[:, :2]
+        seg = np.diff(arr, axis=0)
+        seglen = np.hypot(seg[:, 0], seg[:, 1])
+        total = seglen.sum()
+        target = float(f) * total
+        cum = np.concatenate([[0.0], np.cumsum(seglen)])
+        i = int(np.searchsorted(cum, target, side="right") - 1)
+        i = min(i, len(seglen) - 1)
+        rem = target - cum[i]
+        t = rem / seglen[i] if seglen[i] > 0 else 0.0
+        p = arr[i] + t * seg[i]
+        return wkb.encode(wkb.point(float(p[0]), float(p[1])))
+
+    return pd.Series([lip(v, f) for v, f in zip(s, frac)], dtype=object)
+
+
+@pandas_udf(DoubleType())
+def _st_linelocatepoint(s: pd.Series, p: pd.Series) -> pd.Series:
+    def llp(v, pv):
+        if v is None or pv is None:
+            return None
+        g = wkb.parse(v)
+        pt = wkb.parse(pv)
+        if g.type_id != wkb.LINESTRING or len(g.coords) < 2 or not len(pt.coords):
+            return None
+        arr = g.coords[:, :2]
+        x, y = float(pt.coords[0, 0]), float(pt.coords[0, 1])
+        seg = np.diff(arr, axis=0)
+        seglen = np.hypot(seg[:, 0], seg[:, 1])
+        segs = np.hstack([arr[:-1], arr[1:]])
+        d = algos._pt_seg_dist(x, y, segs)
+        i = int(np.argmin(d))
+        ll = seglen[i] ** 2
+        t = 0.0 if ll == 0 else float(
+            np.clip(((x - arr[i, 0]) * seg[i, 0] + (y - arr[i, 1]) * seg[i, 1]) / ll, 0, 1)
+        )
+        cum = np.concatenate([[0.0], np.cumsum(seglen)])
+        total = cum[-1]
+        return float((cum[i] + t * seglen[i]) / total) if total > 0 else 0.0
+
+    return pd.Series([llp(v, pv) for v, pv in zip(s, p)], dtype="float64")
+
+
+# ---------------------------------------------------------------------------
+# CRS (ST_Transform built from scratch: CRS84/EPSG:4326 <-> EPSG:3857)
+# ---------------------------------------------------------------------------
+
+_R_MERC = 6378137.0
+
+
+def _lonlat_to_webmercator(arr: np.ndarray) -> np.ndarray:
+    out = arr.copy()
+    out[:, 0] = np.radians(arr[:, 0]) * _R_MERC
+    out[:, 1] = np.log(np.tan(np.pi / 4 + np.radians(arr[:, 1]) / 2)) * _R_MERC
+    return out
+
+
+def _webmercator_to_lonlat(arr: np.ndarray) -> np.ndarray:
+    out = arr.copy()
+    out[:, 0] = np.degrees(arr[:, 0] / _R_MERC)
+    out[:, 1] = np.degrees(2 * np.arctan(np.exp(arr[:, 1] / _R_MERC)) - np.pi / 2)
+    return out
+
+
+_CRS_ALIASES = {"EPSG:4326": "LL", "OGC:CRS84": "LL", "CRS84": "LL", "EPSG:3857": "WM"}
+
+
+@pandas_udf(BinaryType())
+def _st_transform(s: pd.Series, from_crs: pd.Series, to_crs: pd.Series) -> pd.Series:
+    def tf(v, f, t):
+        if v is None or f is None or t is None:
+            return None
+        fa = _CRS_ALIASES.get(str(f).upper())
+        ta = _CRS_ALIASES.get(str(t).upper())
+        if fa is None or ta is None:
+            raise NotImplementedError(
+                f"ST_Transform supports EPSG:4326/OGC:CRS84 <-> EPSG:3857 in this "
+                f"build (no PROJ in env); got {f!r} -> {t!r}"
+            )
+        g = wkb.parse(v)
+        if fa == ta:
+            return wkb.encode(g)
+        fn = _lonlat_to_webmercator if (fa, ta) == ("LL", "WM") else _webmercator_to_lonlat
+        return wkb.encode(algos._map_coords(g, fn))
+
+    return pd.Series([tf(v, f, t) for v, f, t in zip(s, from_crs, to_crs)], dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_UDFS: Dict[str, object] = {
+    "ST_Point": _st_point,
+    "ST_GeogPoint": _st_point,  # spherical tag handled at the metadata layer
+    "ST_PointZ": _st_pointz,
+    "ST_PointM": _st_pointm,
+    "ST_PointZM": _st_pointzm,
+    "ST_GeomFromWKT": _st_geomfromwkt,
+    "ST_GeogFromWKT": _st_geomfromwkt,
+    "ST_GeomFromText": _st_geomfromwkt,
+    "ST_GeomFromWKB": _st_geomfromwkb,
+    "ST_GeogFromWKB": _st_geomfromwkb,
+    "ST_AsText": _st_astext,
+    "ST_MakeLine": _st_makeline,
+    "ST_MakeEnvelope": _st_makeenvelope,
+    "SD_Format": _sd_format,
+    "ST_Area": _st_area,
+    "ST_Length": _st_length,
+    "ST_Perimeter": _st_perimeter,
+    "ST_Centroid": _st_centroid,
+    "ST_Envelope": _st_envelope,
+    "ST_ConvexHull": _st_convexhull,
+    "ST_FlipCoordinates": _st_flipcoordinates,
+    "ST_Dimension": _st_dimension,
+    "ST_GeometryType": _st_geometrytype,
+    "ST_X": _st_x,
+    "ST_Y": _st_y,
+    "ST_Z": _st_z,
+    "ST_M": _st_m,
+    "ST_XMin": _st_xmin,
+    "ST_XMax": _st_xmax,
+    "ST_YMin": _st_ymin,
+    "ST_YMax": _st_ymax,
+    "ST_ZMin": _st_zmin,
+    "ST_ZMax": _st_zmax,
+    "ST_MMin": _st_mmin,
+    "ST_MMax": _st_mmax,
+    "ST_NPoints": _st_npoints,
+    "ST_Points": _st_points,
+    "ST_NumGeometries": _st_numgeometries,
+    "ST_PointN": _st_pointn,
+    "ST_StartPoint": _st_startpoint,
+    "ST_EndPoint": _st_endpoint,
+    "ST_IsClosed": _st_isclosed,
+    "ST_IsCollection": _st_iscollection,
+    "ST_IsEmpty": _st_isempty,
+    "ST_HasZ": _st_hasz,
+    "ST_HasM": _st_hasm,
+    "ST_ZMFlag": _st_zmflag,
+    "ST_IsValid": _st_isvalid,
+    "ST_IsValidReason": _st_isvalidreason,
+    "ST_IsSimple": _st_issimple,
+    "ST_IsRing": _st_isring,
+    "ST_Intersects": _st_intersects,
+    "ST_Disjoint": _st_disjoint,
+    "ST_Contains": _st_contains,
+    "ST_Within": _st_within,
+    "ST_Covers": _st_covers,
+    "ST_CoveredBy": _st_coveredby,
+    "ST_Touches": _st_touches,
+    "ST_Crosses": _st_crosses,
+    "ST_Overlaps": _st_overlaps,
+    "ST_Equals": _st_equals,
+    "ST_DWithin": _st_dwithin,
+    "ST_Distance": _st_distance,
+    "ST_MaxDistance": _st_maxdistance,
+    "ST_HausdorffDistance": _st_hausdorffdistance,
+    "ST_FrechetDistance": _st_frechetdistance,
+    "ST_DistanceSphere": _st_distancesphere,
+    "ST_DistanceSpheroid": _st_distancespheroid,
+    "ST_ClosestPoint": _st_closestpoint,
+    "ST_ShortestLine": _st_shortestline,
+    "ST_Azimuth": _st_azimuth,
+    "ST_Intersection": _st_intersection,
+    "ST_Union": _st_union,
+    "ST_Difference": _st_difference,
+    "ST_SymDifference": _st_symdifference,
+    "ST_UnaryUnion": _st_unaryunion,
+    "ST_Buffer": _st_buffer,
+    "ST_SimplifyPreserveTopology": _st_simplifypreservetopology,
+    "ST_Translate": _st_translate,
+    "ST_Dump": _st_dump,
+    "ST_LineInterpolatePoint": _st_lineinterpolatepoint,
+    "ST_LineLocatePoint": _st_linelocatepoint,
+    "ST_Transform": _st_transform,
+}
+
+
+def register_all(spark: SparkSession) -> None:
+    """Register every ST_* function for SQL use (idempotent)."""
+    for name, udf_obj in _UDFS.items():
+        spark.udf.register(name, udf_obj)
+
+
+def __getattr__(name: str):
+    """Column-API access: ``st.ST_Area(col)`` etc."""
+    if name in _UDFS:
+        return _UDFS[name]
+    raise AttributeError(name)
+
+
+def function_names():
+    return sorted(_UDFS)

@@ -1,0 +1,589 @@
+"""WKB codec built from scratch on numpy — no GEOS/shapely in this environment.
+
+The reference engine stores geometry as WKB bytes in Arrow Binary columns
+(`rust/sedona-schema/src/datatypes.rs:129-136` — storage is always Binary).
+We mirror that convention: a geometry column in Spark is a ``BinaryType``
+column holding standard ISO WKB, with CRS/edges carried in the StructField
+metadata (see `sedona_db_spark.types`).
+
+Parsing strategy (designed for the 100 TB hot path):
+
+* **Points have a fully vectorized fast path** — a column of XY points is a
+  fixed 21-byte record, so an entire Arrow batch decodes with one
+  ``np.frombuffer`` + stride tricks, no per-row Python.
+* Generic geometries (lines/polygons/multis/collections) parse through a
+  cursor-based reader. These appear on the *small* (broadcast) side of
+  spatial joins — admin polygon layers — so a per-geometry loop is
+  acceptable; all per-vertex math stays in numpy.
+
+Supports 2D/Z/M/ZM in both ISO (type + 1000/2000/3000) and EWKB
+(0x80000000 / 0x40000000 flag) encodings on read; writes ISO.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+# -- geometry type ids (ISO WKB) --------------------------------------------
+POINT = 1
+LINESTRING = 2
+POLYGON = 3
+MULTIPOINT = 4
+MULTILINESTRING = 5
+MULTIPOLYGON = 6
+GEOMETRYCOLLECTION = 7
+
+TYPE_NAMES = {
+    POINT: "ST_Point",
+    LINESTRING: "ST_LineString",
+    POLYGON: "ST_Polygon",
+    MULTIPOINT: "ST_MultiPoint",
+    MULTILINESTRING: "ST_MultiLineString",
+    MULTIPOLYGON: "ST_MultiPolygon",
+    GEOMETRYCOLLECTION: "ST_GeometryCollection",
+}
+
+WKT_NAMES = {
+    POINT: "POINT",
+    LINESTRING: "LINESTRING",
+    POLYGON: "POLYGON",
+    MULTIPOINT: "MULTIPOINT",
+    MULTILINESTRING: "MULTILINESTRING",
+    MULTIPOLYGON: "MULTIPOLYGON",
+    GEOMETRYCOLLECTION: "GEOMETRYCOLLECTION",
+}
+WKT_TO_TYPE = {v: k for k, v in WKT_NAMES.items()}
+
+_EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
+_EWKB_SRID = 0x20000000
+
+
+@dataclass
+class Geometry:
+    """Parsed geometry: ragged coordinate arrays, numpy inside.
+
+    ``coords`` layout by type:
+      POINT               -> (n, ndim) with n in {0, 1}
+      LINESTRING          -> (n, ndim)
+      POLYGON             -> list of ring arrays, each (n, ndim), first = shell
+      MULTIPOINT          -> list of point Geometry
+      MULTILINESTRING     -> list of linestring Geometry
+      MULTIPOLYGON        -> list of polygon Geometry
+      GEOMETRYCOLLECTION  -> list of Geometry
+    ``has_z``/``has_m`` describe the coordinate layout: columns are always
+    ordered x, y[, z][, m].
+    """
+
+    type_id: int
+    coords: Union[np.ndarray, List]
+    has_z: bool = False
+    has_m: bool = False
+
+    @property
+    def ndim(self) -> int:
+        return 2 + int(self.has_z) + int(self.has_m)
+
+    @property
+    def is_empty(self) -> bool:
+        if self.type_id in (POINT, LINESTRING):
+            return len(self.coords) == 0
+        return len(self.coords) == 0 or (
+            self.type_id == POLYGON and all(len(r) == 0 for r in self.coords)
+        )
+
+    # -- iteration helpers ---------------------------------------------------
+    def all_coords(self) -> np.ndarray:
+        """All vertices as one (n, ndim) array (collections flattened)."""
+        parts = list(self._coord_arrays())
+        if not parts:
+            return np.empty((0, self.ndim), dtype=np.float64)
+        return np.concatenate(parts, axis=0)
+
+    def _coord_arrays(self):
+        if self.type_id in (POINT, LINESTRING):
+            if len(self.coords):
+                yield self.coords
+        elif self.type_id == POLYGON:
+            for ring in self.coords:
+                if len(ring):
+                    yield ring
+        else:
+            for sub in self.coords:
+                yield from sub._coord_arrays()
+
+    def geometries(self):
+        """Immediate sub-geometries (parts) of a multi/collection."""
+        if self.type_id in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+            return list(self.coords)
+        return [self]
+
+    def polygons(self):
+        """All POLYGON parts reachable from this geometry."""
+        if self.type_id == POLYGON:
+            return [self]
+        if self.type_id in (MULTIPOLYGON, GEOMETRYCOLLECTION):
+            out = []
+            for sub in self.coords:
+                out.extend(sub.polygons())
+            return out
+        return []
+
+    def lines(self):
+        if self.type_id == LINESTRING:
+            return [self]
+        if self.type_id in (MULTILINESTRING, GEOMETRYCOLLECTION):
+            out = []
+            for sub in self.coords:
+                out.extend(sub.lines())
+            return out
+        return []
+
+    def points(self):
+        if self.type_id == POINT:
+            return [self] if len(self.coords) else []
+        if self.type_id in (MULTIPOINT, GEOMETRYCOLLECTION):
+            out = []
+            for sub in self.coords:
+                out.extend(sub.points())
+            return out
+        return []
+
+
+# ---------------------------------------------------------------------------
+# parsing
+# ---------------------------------------------------------------------------
+
+
+class _Cursor:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+
+def _read_header(cur: _Cursor):
+    buf, pos = cur.buf, cur.pos
+    byte_order = buf[pos]
+    endian = "<" if byte_order == 1 else ">"
+    (raw_type,) = struct.unpack_from(endian + "I", buf, pos + 1)
+    cur.pos = pos + 5
+    has_z = has_m = False
+    if raw_type & _EWKB_SRID:
+        cur.pos += 4  # skip SRID (we carry CRS in column metadata)
+        raw_type &= ~_EWKB_SRID
+    if raw_type & _EWKB_Z:
+        has_z = True
+        raw_type &= ~_EWKB_Z
+    if raw_type & _EWKB_M:
+        has_m = True
+        raw_type &= ~_EWKB_M
+    if raw_type >= 1000:
+        iso = raw_type // 1000
+        raw_type = raw_type % 1000
+        if iso == 1:
+            has_z = True
+        elif iso == 2:
+            has_m = True
+        elif iso == 3:
+            has_z = has_m = True
+    return endian, raw_type, has_z, has_m
+
+
+def _read_coords(cur: _Cursor, endian: str, n: int, ndim: int) -> np.ndarray:
+    nbytes = n * ndim * 8
+    arr = np.frombuffer(cur.buf, dtype=endian + "f8", count=n * ndim, offset=cur.pos)
+    cur.pos += nbytes
+    return arr.reshape(n, ndim)
+
+
+def _read_uint(cur: _Cursor, endian: str) -> int:
+    (v,) = struct.unpack_from(endian + "I", cur.buf, cur.pos)
+    cur.pos += 4
+    return v
+
+
+def _parse_body(cur: _Cursor) -> Geometry:
+    endian, type_id, has_z, has_m = _read_header(cur)
+    ndim = 2 + int(has_z) + int(has_m)
+    if type_id == POINT:
+        coords = _read_coords(cur, endian, 1, ndim)
+        if np.isnan(coords).all():  # POINT EMPTY convention: all-NaN coords
+            coords = np.empty((0, ndim), dtype=np.float64)
+        return Geometry(POINT, coords, has_z, has_m)
+    if type_id == LINESTRING:
+        n = _read_uint(cur, endian)
+        return Geometry(LINESTRING, _read_coords(cur, endian, n, ndim), has_z, has_m)
+    if type_id == POLYGON:
+        nrings = _read_uint(cur, endian)
+        rings = []
+        for _ in range(nrings):
+            npts = _read_uint(cur, endian)
+            rings.append(_read_coords(cur, endian, npts, ndim))
+        return Geometry(POLYGON, rings, has_z, has_m)
+    if type_id in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        n = _read_uint(cur, endian)
+        subs = [_parse_body(cur) for _ in range(n)]
+        hz = has_z or any(s.has_z for s in subs)
+        hm = has_m or any(s.has_m for s in subs)
+        return Geometry(type_id, subs, hz, hm)
+    raise ValueError(f"unsupported WKB geometry type {type_id}")
+
+
+def parse(buf: Optional[bytes]) -> Optional[Geometry]:
+    """Parse one WKB buffer -> Geometry (None passes through)."""
+    if buf is None:
+        return None
+    return _parse_body(_Cursor(bytes(buf)))
+
+
+# ---------------------------------------------------------------------------
+# encoding (ISO WKB, little-endian)
+# ---------------------------------------------------------------------------
+
+
+def _iso_type(type_id: int, has_z: bool, has_m: bool) -> int:
+    return type_id + 1000 * (int(has_z) + 2 * int(has_m))
+
+
+def _encode_body(g: Geometry, out: List[bytes]) -> None:
+    out.append(b"\x01")
+    out.append(struct.pack("<I", _iso_type(g.type_id, g.has_z, g.has_m)))
+    ndim = g.ndim
+    if g.type_id == POINT:
+        if len(g.coords) == 0:
+            out.append(struct.pack("<%dd" % ndim, *([float("nan")] * ndim)))
+        else:
+            out.append(np.ascontiguousarray(g.coords, dtype="<f8").tobytes())
+    elif g.type_id == LINESTRING:
+        out.append(struct.pack("<I", len(g.coords)))
+        out.append(np.ascontiguousarray(g.coords, dtype="<f8").tobytes())
+    elif g.type_id == POLYGON:
+        out.append(struct.pack("<I", len(g.coords)))
+        for ring in g.coords:
+            out.append(struct.pack("<I", len(ring)))
+            out.append(np.ascontiguousarray(ring, dtype="<f8").tobytes())
+    else:
+        out.append(struct.pack("<I", len(g.coords)))
+        for sub in g.coords:
+            _encode_body(sub, out)
+
+
+def encode(g: Optional[Geometry]) -> Optional[bytes]:
+    if g is None:
+        return None
+    out: List[bytes] = []
+    _encode_body(g, out)
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# vectorized point fast path
+# ---------------------------------------------------------------------------
+
+_POINT_XY_NBYTES = 21  # 1 endian + 4 type + 16 coords
+
+
+def encode_points_xy(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized: (x, y) float arrays -> object array of 21-byte WKB buffers.
+
+    This is the hot constructor for the web-pages table (ST_Point over
+    10^12 rows) — one numpy record assembly, no per-row struct packing.
+    """
+    n = len(x)
+    rec = np.empty((n, _POINT_XY_NBYTES), dtype=np.uint8)
+    rec[:, 0] = 1
+    rec[:, 1:5] = np.frombuffer(struct.pack("<I", POINT), dtype=np.uint8)
+    rec[:, 5:13] = np.asarray(x, dtype="<f8").reshape(n, 1).view(np.uint8)
+    rec[:, 13:21] = np.asarray(y, dtype="<f8").reshape(n, 1).view(np.uint8)
+    raw = rec.tobytes()
+    return np.array(
+        [raw[i * _POINT_XY_NBYTES : (i + 1) * _POINT_XY_NBYTES] for i in range(n)],
+        dtype=object,
+    )
+
+
+def decode_points_xy(bufs: Sequence[Optional[bytes]]):
+    """Vectorized decode of an XY-point WKB column.
+
+    Returns (x, y, valid_mask). Falls back to the generic parser for any
+    row that is not a plain little-endian XY point (mixed columns still
+    work, just slower for the odd rows).
+    """
+    n = len(bufs)
+    x = np.full(n, np.nan)
+    y = np.full(n, np.nan)
+    valid = np.zeros(n, dtype=bool)
+    fast_idx = []
+    fast_bufs = []
+    slow_idx = []
+    for i, b in enumerate(bufs):
+        if b is None:
+            continue
+        b = bytes(b)
+        if len(b) == _POINT_XY_NBYTES and b[0] == 1 and b[1] == POINT and b[2:5] == b"\x00\x00\x00":
+            fast_idx.append(i)
+            fast_bufs.append(b)
+        else:
+            slow_idx.append(i)
+    if fast_bufs:
+        raw = np.frombuffer(b"".join(fast_bufs), dtype=np.uint8).reshape(-1, _POINT_XY_NBYTES)
+        fi = np.array(fast_idx)
+        x[fi] = raw[:, 5:13].copy().view("<f8").ravel()
+        y[fi] = raw[:, 13:21].copy().view("<f8").ravel()
+        valid[fi] = True
+    for i in slow_idx:
+        g = parse(bufs[i])
+        if g is not None and g.type_id == POINT and len(g.coords):
+            x[i] = g.coords[0, 0]
+            y[i] = g.coords[0, 1]
+            valid[i] = True
+    return x, y, valid
+
+
+# ---------------------------------------------------------------------------
+# WKT (reader/writer for constructors, tests and SD_Format-style display)
+# ---------------------------------------------------------------------------
+
+
+def _fmt_num(v: float) -> str:
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
+def _coords_wkt(arr: np.ndarray) -> str:
+    return ", ".join(" ".join(_fmt_num(c) for c in row) for row in arr)
+
+
+def to_wkt(g: Optional[Geometry]) -> Optional[str]:
+    if g is None:
+        return None
+    name = WKT_NAMES[g.type_id]
+    zm = ""
+    if g.has_z and g.has_m:
+        zm = " ZM"
+    elif g.has_z:
+        zm = " Z"
+    elif g.has_m:
+        zm = " M"
+    if g.is_empty:
+        return f"{name}{zm} EMPTY"
+    if g.type_id == POINT:
+        return f"{name}{zm} ({_coords_wkt(g.coords)})"
+    if g.type_id == LINESTRING:
+        return f"{name}{zm} ({_coords_wkt(g.coords)})"
+    if g.type_id == POLYGON:
+        rings = ", ".join(f"({_coords_wkt(r)})" for r in g.coords)
+        return f"{name}{zm} ({rings})"
+    if g.type_id == MULTIPOINT:
+        parts = ", ".join(f"({_coords_wkt(p.coords)})" for p in g.coords)
+        return f"{name}{zm} ({parts})"
+    if g.type_id == MULTILINESTRING:
+        parts = ", ".join(f"({_coords_wkt(p.coords)})" for p in g.coords)
+        return f"{name}{zm} ({parts})"
+    if g.type_id == MULTIPOLYGON:
+        parts = ", ".join(
+            "(" + ", ".join(f"({_coords_wkt(r)})" for r in p.coords) + ")" for p in g.coords
+        )
+        return f"{name}{zm} ({parts})"
+    parts = ", ".join(to_wkt(sub) for sub in g.coords)
+    return f"{name}{zm} ({parts})"
+
+
+class _WktReader:
+    def __init__(self, s: str):
+        self.s = s
+        self.pos = 0
+
+    def skip_ws(self):
+        while self.pos < len(self.s) and self.s[self.pos] in " \t\n\r":
+            self.pos += 1
+
+    def word(self) -> str:
+        self.skip_ws()
+        start = self.pos
+        while self.pos < len(self.s) and (self.s[self.pos].isalnum() or self.s[self.pos] == "_"):
+            self.pos += 1
+        return self.s[start : self.pos].upper()
+
+    def peek(self) -> str:
+        self.skip_ws()
+        return self.s[self.pos] if self.pos < len(self.s) else ""
+
+    def expect(self, ch: str):
+        self.skip_ws()
+        if self.pos >= len(self.s) or self.s[self.pos] != ch:
+            raise ValueError(f"WKT parse error at {self.pos}: expected {ch!r} in {self.s!r}")
+        self.pos += 1
+
+    def number(self) -> float:
+        self.skip_ws()
+        start = self.pos
+        while self.pos < len(self.s) and self.s[self.pos] not in " \t\n\r,()":
+            self.pos += 1
+        return float(self.s[start : self.pos])
+
+
+def _wkt_coordseq(r: _WktReader, ndim: int) -> np.ndarray:
+    rows = []
+    r.expect("(")
+    while True:
+        row = []
+        while r.peek() not in (",", ")"):
+            row.append(r.number())
+        rows.append(row)
+        if r.peek() == ",":
+            r.expect(",")
+        else:
+            break
+    r.expect(")")
+    width = max(len(row) for row in rows)
+    arr = np.full((len(rows), width), np.nan)
+    for i, row in enumerate(rows):
+        arr[i, : len(row)] = row
+    return arr
+
+
+def from_wkt(s: Optional[str]) -> Optional[Geometry]:
+    if s is None:
+        return None
+    r = _WktReader(s.strip())
+    return _wkt_geom(r)
+
+
+def _wkt_geom(r: _WktReader) -> Geometry:
+    name = r.word()
+    if name not in WKT_TO_TYPE:
+        raise ValueError(f"unknown WKT geometry type {name!r}")
+    type_id = WKT_TO_TYPE[name]
+    has_z = has_m = False
+    save = r.pos
+    mod = r.word()
+    if mod == "Z":
+        has_z = True
+    elif mod == "M":
+        has_m = True
+    elif mod == "ZM":
+        has_z = has_m = True
+    elif mod == "EMPTY":
+        return _empty(type_id, has_z, has_m)
+    else:
+        r.pos = save
+    save = r.pos
+    if r.word() == "EMPTY":
+        return _empty(type_id, has_z, has_m)
+    r.pos = save
+    ndim = 2 + int(has_z) + int(has_m)
+
+    if type_id == POINT:
+        arr = _wkt_coordseq(r, ndim)
+        hz, hm = _dims_from_width(arr.shape[1], has_z, has_m)
+        return Geometry(POINT, arr, hz, hm)
+    if type_id == LINESTRING:
+        arr = _wkt_coordseq(r, ndim)
+        hz, hm = _dims_from_width(arr.shape[1], has_z, has_m)
+        return Geometry(LINESTRING, arr, hz, hm)
+    if type_id == POLYGON:
+        r.expect("(")
+        rings = []
+        while True:
+            rings.append(_wkt_coordseq(r, ndim))
+            if r.peek() == ",":
+                r.expect(",")
+            else:
+                break
+        r.expect(")")
+        hz, hm = _dims_from_width(rings[0].shape[1], has_z, has_m)
+        return Geometry(POLYGON, rings, hz, hm)
+    if type_id in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON):
+        sub_type = {MULTIPOINT: POINT, MULTILINESTRING: LINESTRING, MULTIPOLYGON: POLYGON}[type_id]
+        r.expect("(")
+        subs = []
+        while True:
+            if sub_type == POINT:
+                if r.peek() == "(":
+                    arr = _wkt_coordseq(r, ndim)
+                else:  # bare "x y" multipoint form
+                    row = []
+                    while r.peek() not in (",", ")"):
+                        row.append(r.number())
+                    arr = np.array([row])
+                hz, hm = _dims_from_width(arr.shape[1], has_z, has_m)
+                subs.append(Geometry(POINT, arr, hz, hm))
+            elif sub_type == LINESTRING:
+                arr = _wkt_coordseq(r, ndim)
+                hz, hm = _dims_from_width(arr.shape[1], has_z, has_m)
+                subs.append(Geometry(LINESTRING, arr, hz, hm))
+            else:
+                r.expect("(")
+                rings = []
+                while True:
+                    rings.append(_wkt_coordseq(r, ndim))
+                    if r.peek() == ",":
+                        r.expect(",")
+                    else:
+                        break
+                r.expect(")")
+                hz, hm = _dims_from_width(rings[0].shape[1], has_z, has_m)
+                subs.append(Geometry(POLYGON, rings, hz, hm))
+            if r.peek() == ",":
+                r.expect(",")
+            else:
+                break
+        r.expect(")")
+        hz = any(s.has_z for s in subs)
+        hm = any(s.has_m for s in subs)
+        return Geometry(type_id, subs, hz, hm)
+    # GEOMETRYCOLLECTION
+    r.expect("(")
+    subs = []
+    while True:
+        subs.append(_wkt_geom(r))
+        if r.peek() == ",":
+            r.expect(",")
+        else:
+            break
+    r.expect(")")
+    return Geometry(
+        GEOMETRYCOLLECTION, subs, any(s.has_z for s in subs), any(s.has_m for s in subs)
+    )
+
+
+def _dims_from_width(width: int, has_z: bool, has_m: bool):
+    if has_z or has_m:
+        return has_z, has_m
+    if width == 3:
+        return True, False  # bare 3rd ordinate reads as Z (PostGIS convention)
+    if width == 4:
+        return True, True
+    return False, False
+
+
+def _empty(type_id: int, has_z: bool, has_m: bool) -> Geometry:
+    ndim = 2 + int(has_z) + int(has_m)
+    if type_id in (POINT, LINESTRING):
+        return Geometry(type_id, np.empty((0, ndim)), has_z, has_m)
+    return Geometry(type_id, [], has_z, has_m)
+
+
+def point(x: float, y: float, z: Optional[float] = None, m: Optional[float] = None) -> Geometry:
+    row = [x, y]
+    if z is not None:
+        row.append(z)
+    if m is not None:
+        row.append(m)
+    return Geometry(POINT, np.array([row], dtype=np.float64), z is not None, m is not None)
+
+
+def box(xmin: float, ymin: float, xmax: float, ymax: float) -> Geometry:
+    ring = np.array(
+        [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax], [xmin, ymin]],
+        dtype=np.float64,
+    )
+    return Geometry(POLYGON, [ring])

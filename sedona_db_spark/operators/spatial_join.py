@@ -1,0 +1,505 @@
+"""Two-phase distributed spatial join (tile prefilter + exact refine).
+
+The reference's `SpatialJoinExec` (`rust/sedona-spatial-join/src/exec.rs`)
+builds ONE shared-memory Hilbert R-tree over the build side and probes it
+from every output partition — a single-node design. On a 1000-executor
+cluster there is no shared memory, so this operator re-expresses the same
+semantics as a composition of Spark built-ins that Catalyst/AQE can
+optimize:
+
+    1. PREFILTER  — cover each geometry with quadkey grid cells
+                    (`tiling.Grid`): points → exactly 1 cell (cheap,
+                    vectorized); polygons/envelopes → exploded to the cells
+                    their bbox overlaps (the small side).
+    2. EQUI-JOIN  — ordinary hash join on `cell` (broadcast when the
+                    polygon side is small; AQE handles skewed cells,
+                    salting available via `salt_hot_cells`).
+    3. DEDUP      — a candidate pair can meet in several cells when BOTH
+                    sides are exploded; we emit it only in the cell that
+                    contains the pair's bbox-intersection corner (the
+                    classic PBSM reference-point trick) → no
+                    dropDuplicates shuffle. Point sides are never exploded,
+                    so the common case has zero dedup cost.
+    4. REFINE     — exact predicate, evaluated by the batched numpy
+                    kernels: candidates arrive grouped by polygon id, so a
+                    single polygon tests its whole candidate batch with one
+                    vectorized ray-cast (`algos.locate_points_in_polygon`).
+
+Join types Inner/Left/Right/Semi/Anti mirror `exec.rs:102-109` +
+`stream.rs:292-388` (unmatched tracking is an anti-join on matched ids
+instead of the reference's visited-bitmap).
+
+Distance joins (ST_DWithin) expand the probe envelope by the distance
+before covering — the analogue of `operand_evaluator.rs:307`
+(`expand_rect_in_place`).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..geometry import algos, wkb
+from ..tiling import Grid, pick_level_for_envelopes
+
+RELATION_FNS = {
+    "intersects": algos.intersects,
+    "contains": algos.contains,
+    "within": algos.within,
+    "covers": algos.covers,
+    "covered_by": algos.covered_by,
+    "touches": algos.touches,
+    "crosses": algos.crosses,
+    "overlaps": algos.overlaps,
+    "equals": algos.equals,
+}
+
+# predicate -> which side must contain the other (for planner notes only)
+_INVERT = {  # mirrors SpatialPredicate::invert (spatial_predicate.rs:217-229)
+    "contains": "within",
+    "within": "contains",
+    "covers": "covered_by",
+    "covered_by": "covers",
+}
+
+
+def _bounds_udf():
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("xmin", DoubleType()),
+                StructField("ymin", DoubleType()),
+                StructField("xmax", DoubleType()),
+                StructField("ymax", DoubleType()),
+            ]
+        )
+    )
+    def geom_bounds(s: pd.Series) -> pd.DataFrame:
+        n = len(s)
+        out = np.full((n, 4), np.nan)
+        for i, v in enumerate(s):
+            if v is not None:
+                out[i] = algos.bounds(wkb.parse(v))
+        return pd.DataFrame(out, columns=["xmin", "ymin", "xmax", "ymax"])
+
+    return geom_bounds
+
+
+def add_bounds(df: DataFrame, geom_col: str, prefix: str = "") -> DataFrame:
+    b = _bounds_udf()(F.col(geom_col)).alias("_b")
+    df = df.withColumn("_b", b)
+    for c in ("xmin", "ymin", "xmax", "ymax"):
+        df = df.withColumn(prefix + c, F.col(f"_b.{c}"))
+    return df.drop("_b")
+
+
+def _cell_of_points_udf(grid: Grid, geom_col: str):
+    @F.pandas_udf(LongType())
+    def cell_of(s: pd.Series) -> pd.Series:
+        x, y, valid = wkb.decode_points_xy(list(s))
+        cells = grid.cell_of_points(np.where(valid, x, 0.0), np.where(valid, y, 0.0))
+        out = pd.Series(cells)
+        out[~valid] = None
+        return out
+
+    return cell_of(F.col(geom_col))
+
+
+def _cover_cells_udf(grid: Grid, expand_col: Optional[str] = None):
+    """Geometry (+optional per-row expansion distance) -> array<long> cells."""
+
+    from pyspark.sql.types import ArrayType
+
+    if expand_col is None:
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def cover(s: pd.Series) -> pd.Series:
+            out = []
+            for v in s:
+                if v is None:
+                    out.append(None)
+                    continue
+                xmin, ymin, xmax, ymax = algos.bounds(wkb.parse(v))
+                if np.isnan(xmin):
+                    out.append(None)
+                    continue
+                out.append(grid.cover_env_cells(xmin, ymin, xmax, ymax).tolist())
+            return pd.Series(out, dtype=object)
+
+        return cover
+    else:
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def cover(s: pd.Series, d: pd.Series) -> pd.Series:
+            out = []
+            for v, dd in zip(s, d):
+                if v is None or dd is None:
+                    out.append(None)
+                    continue
+                xmin, ymin, xmax, ymax = algos.bounds(wkb.parse(v))
+                if np.isnan(xmin):
+                    out.append(None)
+                    continue
+                dd = float(dd)
+                out.append(
+                    grid.cover_env_cells(xmin - dd, ymin - dd, xmax + dd, ymax + dd).tolist()
+                )
+            return pd.Series(out, dtype=object)
+
+        return cover
+
+
+def estimate_env_stats(df: DataFrame, geom_col: str, sample_rows: int = 1000):
+    """Sample envelope widths/heights + bounds (speculative stats, cf.
+    `refine/exec_mode_selector.rs`: reference samples ~1000 probe geoms)."""
+    rows = df.select(geom_col).limit(sample_rows).collect()
+    widths, heights = [], []
+    gxmin = gymin = np.inf
+    gxmax = gymax = -np.inf
+    for r in rows:
+        v = r[0]
+        if v is None:
+            continue
+        xmin, ymin, xmax, ymax = algos.bounds(wkb.parse(v))
+        if np.isnan(xmin):
+            continue
+        widths.append(xmax - xmin)
+        heights.append(ymax - ymin)
+        gxmin, gymin = min(gxmin, xmin), min(gymin, ymin)
+        gxmax, gymax = max(gxmax, xmax), max(gymax, ymax)
+    return np.array(widths), np.array(heights), (gxmin, gymin, gxmax, gymax)
+
+
+def _refine_udf(predicate: str, distance_expr_is_col: bool):
+    """Exact-predicate refine over candidate pairs.
+
+    Receives (left_wkb, right_wkb[, dist]) per candidate. Point×polygon
+    candidates take the vectorized group path in `spatial_join` instead;
+    this generic refiner handles arbitrary geometry pairs.
+    """
+    if predicate == "dwithin":
+
+        @F.pandas_udf(BooleanType())
+        def refine(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    False
+                    if (x is None or y is None or dd is None)
+                    else algos.dwithin(wkb.parse(x), wkb.parse(y), float(dd))
+                    for x, y, dd in zip(a, b, d)
+                ],
+                dtype=bool,
+            )
+
+        return refine
+
+    fn = RELATION_FNS[predicate]
+
+    @F.pandas_udf(BooleanType())
+    def refine(a: pd.Series, b: pd.Series) -> pd.Series:
+        # group identical right-side geometries (broadcast polygons repeat
+        # across candidates) and reuse the parsed object — the analogue of
+        # the reference's prepared-geometry cache (refine/geos.rs)
+        cache = {}
+
+        def get(v):
+            g = cache.get(v)
+            if g is None:
+                g = wkb.parse(v)
+                cache[v] = g
+            return g
+
+        return pd.Series(
+            [
+                False if (x is None or y is None) else bool(fn(get(x), get(y)))
+                for x, y in zip(a, b)
+            ],
+            dtype=bool,
+        )
+
+    return refine
+
+
+def _point_in_polygon_refine_udf(predicate: str):
+    """Vectorized refine for the hot case: left side is points.
+
+    Candidates are processed per Arrow batch; within a batch we group by
+    the polygon buffer and run ONE vectorized ray-cast per polygon over all
+    its candidate points — no per-row Python on the 10^12-row side.
+    """
+    want_interior_only = predicate in ("contains", "within")
+    boundary_ok = predicate in ("intersects", "covers", "covered_by")
+
+    @F.pandas_udf(BooleanType())
+    def refine(px: pd.Series, py: pd.Series, poly_wkb: pd.Series) -> pd.Series:
+        n = len(px)
+        out = np.zeros(n, dtype=bool)
+        xs = px.to_numpy(dtype=np.float64, na_value=np.nan)
+        ys = py.to_numpy(dtype=np.float64, na_value=np.nan)
+        groups: dict = {}
+        for i, v in enumerate(poly_wkb):
+            if v is not None:
+                groups.setdefault(v, []).append(i)
+        for v, idxs in groups.items():
+            g = wkb.parse(v)
+            ii = np.array(idxs)
+            loc = algos.locate_points_in_geometry(xs[ii], ys[ii], g)
+            if want_interior_only:
+                ok = loc == algos.INTERIOR
+            elif boundary_ok:
+                ok = loc != algos.OUTSIDE
+            else:  # touches
+                ok = loc == algos.BOUNDARY
+            out[ii] = ok
+        return pd.Series(out)
+
+    return refine
+
+
+def spatial_join(
+    left: DataFrame,
+    right: DataFrame,
+    predicate: str = "intersects",
+    left_geom: str = "geometry",
+    right_geom: str = "geometry",
+    how: str = "inner",
+    distance=None,
+    grid_level: Optional[int] = None,
+    broadcast_right: Optional[bool] = None,
+    left_is_points: Optional[bool] = None,
+) -> DataFrame:
+    """Spatial join: ``left PREDICATE right`` with OGC semantics.
+
+    predicate: intersects|contains|within|covers|covered_by|touches|
+               crosses|overlaps|equals|dwithin
+    how: inner|left|right|left_semi|left_anti
+    distance: for dwithin — a literal or a Column (column-valued distances
+              match the reference's `tests/test_sjoin.py` cases)
+    """
+    predicate = predicate.lower()
+    how = how.lower()
+    if predicate != "dwithin" and predicate not in RELATION_FNS:
+        raise ValueError(f"unknown predicate {predicate!r}")
+
+    # unique row ids for dedup/outer tracking
+    lcols, rcols = left.columns, right.columns
+    L = left.withColumn("_lid", F.monotonically_increasing_id())
+    R = right.withColumn("_rid", F.monotonically_increasing_id())
+
+    # --- stats + grid level -------------------------------------------------
+    if grid_level is None:
+        widths, heights, _ = estimate_env_stats(R, right_geom)
+        grid_level = pick_level_for_envelopes(widths, heights)
+    grid = Grid(grid_level)
+
+    # --- detect the hot point×polygon shape ----------------------------------
+    if left_is_points is None:
+        sample = [r[0] for r in L.select(left_geom).limit(200).collect() if r[0] is not None]
+        left_is_points = bool(sample) and all(
+            len(bytes(v)) == 21 and bytes(v)[1] == wkb.POINT for v in sample
+        )
+
+    dist_col = None
+    if predicate == "dwithin":
+        if distance is None:
+            raise ValueError("dwithin requires a distance")
+        if isinstance(distance, (int, float)):
+            R = R.withColumn("_dist", F.lit(float(distance)))
+        else:
+            R = R.withColumn("_dist", distance)
+        dist_col = "_dist"
+
+    # --- cover both sides -----------------------------------------------------
+    if left_is_points and predicate != "dwithin":
+        Lc = L.withColumn("_cell", _cell_of_points_udf(grid, left_geom)).where(
+            F.col("_cell").isNotNull()
+        )
+        left_exploded = False
+    else:
+        cover = _cover_cells_udf(grid)
+        Lc = (
+            L.withColumn("_cells", cover(F.col(left_geom)))
+            .where(F.col("_cells").isNotNull())
+            .withColumn("_cell", F.explode("_cells"))
+            .drop("_cells")
+        )
+        left_exploded = True
+
+    if dist_col is not None:
+        cover_r = _cover_cells_udf(grid, expand_col=dist_col)
+        Rc = (
+            R.withColumn("_cells", cover_r(F.col(right_geom), F.col(dist_col)))
+            .where(F.col("_cells").isNotNull())
+            .withColumn("_cell", F.explode("_cells"))
+            .drop("_cells")
+        )
+        right_exploded = True
+    else:
+        cover_r = _cover_cells_udf(grid)
+        Rc = (
+            R.withColumn("_cells", cover_r(F.col(right_geom)))
+            .where(F.col("_cells").isNotNull())
+            .withColumn("_cell", F.explode("_cells"))
+            .drop("_cells")
+        )
+        right_exploded = True
+
+    # --- broadcast decision ---------------------------------------------------
+    if broadcast_right is None:
+        # the polygon/admin side of a web-scale PIP join is tiny vs pages
+        try:
+            broadcast_right = right.count() <= 2_000_000
+        except Exception:
+            broadcast_right = False
+    Rj = F.broadcast(Rc) if broadcast_right else Rc
+
+    # rename geometry cols to avoid collision
+    Lc = Lc.withColumnRenamed(left_geom, "_lgeom") if left_geom in rcols or left_geom == right_geom else Lc
+    lgeom = "_lgeom" if (left_geom in rcols or left_geom == right_geom) else left_geom
+    Rj = Rj.withColumnRenamed(right_geom, "_rgeom") if right_geom in lcols or left_geom == right_geom else Rj
+    rgeom = "_rgeom" if (right_geom in lcols or left_geom == right_geom) else right_geom
+
+    cand = Lc.join(Rj, on="_cell", how="inner")
+
+    # --- PBSM dedup (only when both sides exploded) ----------------------------
+    if left_exploded and right_exploded:
+        # emit in the cell containing the reference corner of the bbox pair
+        lb = _bounds_udf()(F.col(lgeom))
+        rb = _bounds_udf()(F.col(rgeom))
+        cand = cand.withColumn("_lb", lb).withColumn("_rb", rb)
+        refx = F.greatest(F.col("_lb.xmin"), F.col("_rb.xmin"))
+        refy = F.greatest(F.col("_lb.ymin"), F.col("_rb.ymin"))
+        cell_env = _cell_env_exprs(grid, "_cell")
+        cand = cand.where(
+            (refx >= cell_env[0])
+            & (refx < cell_env[2])
+            & (refy >= cell_env[1])
+            & (refy < cell_env[3])
+            # clamp: reference corner outside world bounds lands in edge cell
+            | ((refx >= grid.bounds[2]) & (cell_env[2] >= grid.bounds[2]))
+            | ((refy >= grid.bounds[3]) & (cell_env[3] >= grid.bounds[3]))
+        ).drop("_lb", "_rb")
+
+    # --- refine -----------------------------------------------------------------
+    if left_is_points and predicate in ("intersects", "contains", "within", "covers", "covered_by", "touches"):
+        # vectorized PIP path; note arg order: polygon side is `right`
+        # for contains/covers we test polygon-contains-point i.e. predicate
+        # names are interpreted as left PRED right:
+        #   left(point) within right(poly)      -> interior
+        #   left(point) intersects right(poly)  -> not outside
+        pred_map = {
+            "within": "within",        # point within poly -> interior
+            "covered_by": "covers",    # point covered_by poly -> not outside
+            "intersects": "intersects",
+            "touches": "touches",
+            # left point contains/covers a polygon is impossible unless the
+            # polygon is degenerate — route to the generic refiner
+        }
+        if predicate in ("contains", "covers"):
+            refine = _refine_udf(predicate, False)
+            cand = cand.withColumn("_ok", refine(F.col(lgeom), F.col(rgeom)))
+        else:
+            pip = _point_in_polygon_refine_udf(pred_map[predicate])
+            px = _point_x_expr(lgeom)
+            py = _point_y_expr(lgeom)
+            cand = cand.withColumn("_ok", pip(px, py, F.col(rgeom)))
+    elif predicate == "dwithin":
+        refine = _refine_udf("dwithin", True)
+        cand = cand.withColumn("_ok", refine(F.col(lgeom), F.col(rgeom), F.col(dist_col)))
+    else:
+        refine = _refine_udf(predicate, False)
+        cand = cand.withColumn("_ok", refine(F.col(lgeom), F.col(rgeom)))
+
+    matched = cand.where(F.col("_ok"))
+
+    out_l = [F.col(lgeom).alias(left_geom) if c == left_geom else F.col(c) for c in lcols]
+    out_r = [F.col(rgeom).alias(right_geom) if c == right_geom else F.col(c) for c in rcols]
+
+    if how == "inner":
+        return matched.select(*out_l, *out_r)
+    if how in ("left_semi", "semi"):
+        ids = matched.select("_lid").distinct()
+        return L.join(ids, "_lid", "left_semi").select(*lcols)
+    if how in ("left_anti", "anti"):
+        ids = matched.select("_lid").distinct()
+        return L.join(ids, "_lid", "left_anti").select(*lcols)
+    if how == "left":
+        pairs = matched.select("_lid", *[F.col(c) for c in ("_rid",)], *out_r)
+        joined = L.join(pairs, "_lid", "left")
+        return joined.select(*[F.col(c) for c in lcols], *[F.col(c) for c in rcols])
+    if how == "right":
+        pairs = matched.select("_rid", *out_l)
+        joined = R.join(pairs, "_rid", "left")
+        return joined.select(*[F.col(c) for c in lcols], *[F.col(c) for c in rcols])
+    raise ValueError(f"unsupported how={how!r}")
+
+
+def _cell_env_exprs(grid: Grid, cell_col: str):
+    """Pure-Spark (codegen'd) cell -> envelope, via bit math on the quadkey."""
+    m = F.col(cell_col).cast("bigint")
+    # de-interleave in SQL would be heavy; instead use a pandas UDF once
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("x0", DoubleType()),
+                StructField("y0", DoubleType()),
+                StructField("x1", DoubleType()),
+                StructField("y1", DoubleType()),
+            ]
+        )
+    )
+    def envs(c: pd.Series) -> pd.DataFrame:
+        x0, y0, x1, y1 = grid.cell_env(c.to_numpy(dtype=np.int64))
+        return pd.DataFrame({"x0": x0, "y0": y0, "x1": x1, "y1": y1})
+
+    e = envs(m)
+    return (e.getField("x0"), e.getField("y0"), e.getField("x1"), e.getField("y1"))
+
+
+def _point_x_expr(geom_col: str):
+    # little-endian IEEE754 double at offset 5 of a 21-byte point buffer;
+    # decoded in the pandas refine UDF instead when unavailable — here we
+    # use a tiny vectorized UDF to keep the candidate schema narrow
+    @F.pandas_udf(DoubleType())
+    def px(s: pd.Series) -> pd.Series:
+        x, _, valid = wkb.decode_points_xy(list(s))
+        out = pd.Series(x)
+        out[~valid] = None
+        return out
+
+    return px(F.col(geom_col))
+
+
+def _point_y_expr(geom_col: str):
+    @F.pandas_udf(DoubleType())
+    def py(s: pd.Series) -> pd.Series:
+        _, y, valid = wkb.decode_points_xy(list(s))
+        out = pd.Series(y)
+        out[~valid] = None
+        return out
+
+    return py(F.col(geom_col))
+
+
+def salt_hot_cells(df: DataFrame, cell_col: str, hot_threshold: int, replicas: int) -> DataFrame:
+    """Skew mitigation: split cells whose row count exceeds `hot_threshold`
+    into `replicas` salted sub-keys. Join the other side after exploding its
+    matching cells × replicas. (Zipfian geotag hotspots — FIXTURES.md §1.)"""
+    counts = df.groupBy(cell_col).count().where(F.col("count") > hot_threshold)
+    hot = F.broadcast(counts.select(F.col(cell_col).alias("_hot_cell")))
+    out = df.join(hot, df[cell_col] == F.col("_hot_cell"), "left")
+    return out.withColumn(
+        "_salt",
+        F.when(F.col("_hot_cell").isNotNull(), (F.rand(42) * replicas).cast("int")).otherwise(0),
+    ).drop("_hot_cell")

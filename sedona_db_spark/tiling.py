@@ -1,0 +1,147 @@
+"""Quadkey grid tiling — the from-scratch replacement for H3/S2 cells.
+
+The reference joins through a single shared-memory Hilbert R-tree
+(`rust/sedona-spatial-join/src/index.rs:775-900`). That design cannot exist
+on a 1000-executor cluster, so our engine partitions space with a uniform
+quadtree grid over lon/lat:
+
+* a cell at ``level`` L is one of 2^L × 2^L rectangles over the world box
+  (configurable bounds for planar data);
+* ``cell_id`` packs (level, morton(ix, iy)) into one int64, so Z-order
+  ranges double as spatial ranges → the pages table can be
+  **range-partitioned by cell_id** and parquet min/max stats on cell_id
+  give row-group pruning for free (the Spark analogue of the reference's
+  GeoParquet bbox pruning, `rust/sedona-geoparquet/src/file_opener.rs:169-280`);
+* point → exactly ONE cell (hot side never explodes);
+* polygon/envelope → the set of cells its bbox overlaps (small side
+  explodes; PBSM reference-point dedup keeps pairs unique).
+
+Everything is vectorized numpy — these run inside pandas UDFs over Arrow
+batches on the 10^12-row side.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+WORLD = (-180.0, -90.0, 180.0, 90.0)
+MAX_LEVEL = 26  # 2*26 + 5 bits < 63
+
+
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Interleave: spread the low 26 bits of v so there is a 0 between each."""
+    v = v.astype(np.uint64)
+    v &= np.uint64(0x3FFFFFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def morton(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    return (_part1by1(np.asarray(ix)) | (_part1by1(np.asarray(iy)) << np.uint64(1))).astype(np.int64)
+
+
+class Grid:
+    """Uniform quadtree grid over a bounding box at a fixed level."""
+
+    def __init__(self, level: int, bounds: Tuple[float, float, float, float] = WORLD):
+        if not (0 <= level <= MAX_LEVEL):
+            raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
+        self.level = level
+        self.bounds = bounds
+        self.nx = 1 << level
+        self.cw = (bounds[2] - bounds[0]) / self.nx  # cell width
+        self.ch = (bounds[3] - bounds[1]) / self.nx  # cell height
+
+    # -- index math ----------------------------------------------------------
+    def xy_to_ij(self, x: np.ndarray, y: np.ndarray):
+        ix = np.floor((np.asarray(x, dtype=np.float64) - self.bounds[0]) / self.cw).astype(np.int64)
+        iy = np.floor((np.asarray(y, dtype=np.float64) - self.bounds[1]) / self.ch).astype(np.int64)
+        np.clip(ix, 0, self.nx - 1, out=ix)
+        np.clip(iy, 0, self.nx - 1, out=iy)
+        return ix, iy
+
+    def cell_of_points(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        """Vectorized point -> cell_id (the 10^12-row hot path)."""
+        ix, iy = self.xy_to_ij(x, y)
+        return self.pack(ix, iy)
+
+    def pack(self, ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+        return (np.int64(self.level) << np.int64(58)) | morton(ix, iy)
+
+    def unpack(self, cell_id: np.ndarray):
+        m = np.asarray(cell_id, dtype=np.uint64) & np.uint64((1 << 58) - 1)
+
+        def compact(v):
+            v &= np.uint64(0x5555555555555555)
+            v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+            v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+            v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+            v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+            v = (v | (v >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+            return v.astype(np.int64)
+
+        return compact(m.copy()), compact(m >> np.uint64(1))
+
+    # -- envelope covering ---------------------------------------------------
+    def cover_env_ranges(self, xmin, ymin, xmax, ymax):
+        """Vectorized bbox -> inclusive (ix0, iy0, ix1, iy1) index ranges."""
+        ix0, iy0 = self.xy_to_ij(xmin, ymin)
+        ix1, iy1 = self.xy_to_ij(xmax, ymax)
+        return ix0, iy0, ix1, iy1
+
+    def cover_env_cells(self, xmin: float, ymin: float, xmax: float, ymax: float) -> np.ndarray:
+        """All cell_ids overlapped by one bbox."""
+        ix0, iy0, ix1, iy1 = self.cover_env_ranges(
+            np.array([xmin]), np.array([ymin]), np.array([xmax]), np.array([ymax])
+        )
+        ixs = np.arange(ix0[0], ix1[0] + 1)
+        iys = np.arange(iy0[0], iy1[0] + 1)
+        gx, gy = np.meshgrid(ixs, iys)
+        return self.pack(gx.ravel(), gy.ravel())
+
+    def cell_env(self, cell_id) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        ix, iy = self.unpack(cell_id)
+        xmin = self.bounds[0] + ix * self.cw
+        ymin = self.bounds[1] + iy * self.ch
+        return xmin, ymin, xmin + self.cw, ymin + self.ch
+
+    def neighbors_within(self, cell_id: np.ndarray, radius: int) -> np.ndarray:
+        """Chebyshev ring: all cells within `radius` cells of each input.
+
+        Used by the grid kNN join ring expansion (replaces the reference's
+        global R-tree neighbor search, `index.rs:499-676`).
+        """
+        ix, iy = self.unpack(np.asarray(cell_id))
+        offs = np.arange(-radius, radius + 1)
+        ox, oy = np.meshgrid(offs, offs)
+        nix = ix[:, None] + ox.ravel()[None, :]
+        niy = iy[:, None] + oy.ravel()[None, :]
+        ok = (nix >= 0) & (nix < self.nx) & (niy >= 0) & (niy < self.nx)
+        return self.pack(np.where(ok, nix, 0), np.where(ok, niy, 0)), ok
+
+
+def pick_level_for_envelopes(widths: np.ndarray, heights: np.ndarray,
+                             bounds=WORLD, target_cells_per_geom: float = 4.0,
+                             min_level: int = 2, max_level: int = 16) -> int:
+    """Choose a grid level so a typical build-side envelope covers about
+    ``target_cells_per_geom`` cells — the analogue of the reference's
+    speculative stats-driven execution-mode selection
+    (`rust/sedona-spatial-join/src/refine/exec_mode_selector.rs:26-110`).
+    """
+    w = float(np.nanmedian(widths)) if len(widths) else 0.0
+    h = float(np.nanmedian(heights)) if len(heights) else 0.0
+    span = max(bounds[2] - bounds[0], bounds[3] - bounds[1])
+    size = max(w, h)
+    if size <= 0 or not np.isfinite(size):
+        return max_level
+    # cell edge ≈ size * sqrt(target) is ~target cells per envelope
+    import math
+
+    level = int(math.floor(math.log2(span / (size * (target_cells_per_geom ** 0.5) / 2.0))))
+    return int(min(max(level, min_level), max_level))
