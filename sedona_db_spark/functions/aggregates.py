@@ -1,0 +1,226 @@
+"""Spatial aggregate functions (reference: `rust/sedona-functions/src/
+st_collect.rs`, `st_union_aggr.rs`, `st_intersection_aggr.rs`,
+`st_envelope_aggr.rs`, `st_analyze_aggr.rs` + accumulator framework
+`rust/sedona-expr/src/aggregate_udf.rs`, all in /root/reference).
+
+Design for scale — each aggregate picks the cheapest Spark shape:
+
+* **ST_Envelope_Aggr** is pure column math: derive (xmin…ymax) once with a
+  vectorized bounds UDF, then built-in min/max aggregation. No geometry
+  objects ever shuffle; this is the one the 100 TB path uses for stats.
+* **ST_Analyze_Aggr** likewise reduces per-row derived numerics with
+  built-in aggregates (two-phase partial/final for free).
+* **ST_Collect / ST_Union_Aggr / ST_Intersection_Aggr** genuinely need the
+  geometries: collect_list of WKB + a finishing pandas UDF. The finish
+  runs per GROUP; grouped aggregation distributes groups across executors.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..geometry import algos, wkb
+from .st import _union as _pairwise_union
+
+
+def bounds_struct(geom: Column) -> Column:
+    """Vectorized geometry -> struct(xmin, ymin, xmax, ymax)."""
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("xmin", DoubleType()),
+                StructField("ymin", DoubleType()),
+                StructField("xmax", DoubleType()),
+                StructField("ymax", DoubleType()),
+            ]
+        )
+    )
+    def b(s: pd.Series) -> pd.DataFrame:
+        out = np.full((len(s), 4), np.nan)
+        for i, v in enumerate(s):
+            if v is not None:
+                out[i] = algos.bounds(wkb.parse(v))
+        return pd.DataFrame(out, columns=["xmin", "ymin", "xmax", "ymax"])
+
+    return b(geom)
+
+
+def envelope_aggr(df: DataFrame, geom_col: str, group_cols: Optional[List[str]] = None) -> DataFrame:
+    """ST_Envelope_Aggr: aggregate bounding box as a WKB polygon column
+    `envelope` (+ numeric xmin/ymin/xmax/ymax). Pure Spark min/max — no
+    geometry shuffle (reference: st_envelope_aggr.rs)."""
+    df = df.withColumn("_b", bounds_struct(F.col(geom_col)))
+    aggs = [
+        F.min("_b.xmin").alias("xmin"),
+        F.min("_b.ymin").alias("ymin"),
+        F.max("_b.xmax").alias("xmax"),
+        F.max("_b.ymax").alias("ymax"),
+    ]
+    out = df.groupBy(*(group_cols or [])).agg(*aggs)
+
+    @F.pandas_udf(BinaryType())
+    def mkbox(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if any(v is None or (isinstance(v, float) and np.isnan(v)) for v in t)
+                else wkb.encode(wkb.box(*map(float, t)))
+                for t in zip(xmin, ymin, xmax, ymax)
+            ],
+            dtype=object,
+        )
+
+    return out.withColumn("envelope", mkbox("xmin", "ymin", "xmax", "ymax"))
+
+
+def _finish_udf(kind: str):
+    @F.pandas_udf(BinaryType())
+    def finish(lists: pd.Series) -> pd.Series:
+        out = []
+        for items in lists:
+            geoms = [wkb.parse(bytes(v)) for v in items if v is not None] if items is not None else []
+            geoms = [g for g in geoms if g is not None and not g.is_empty]
+            if not geoms:
+                out.append(wkb.encode(wkb.Geometry(wkb.GEOMETRYCOLLECTION, [])))
+                continue
+            if kind == "collect":
+                types = {g.type_id for g in geoms}
+                if types == {wkb.POINT}:
+                    g = wkb.Geometry(wkb.MULTIPOINT, geoms)
+                elif types == {wkb.LINESTRING}:
+                    g = wkb.Geometry(wkb.MULTILINESTRING, geoms)
+                elif types == {wkb.POLYGON}:
+                    g = wkb.Geometry(wkb.MULTIPOLYGON, geoms)
+                else:
+                    g = wkb.Geometry(wkb.GEOMETRYCOLLECTION, geoms)
+            elif kind == "union":
+                g = geoms[0]
+                for nxt in geoms[1:]:
+                    g = _pairwise_union(g, nxt)
+            else:  # intersection
+                from .st import _intersection
+
+                g = geoms[0]
+                for nxt in geoms[1:]:
+                    g = _intersection(g, nxt)
+                    if g.is_empty:
+                        break
+            out.append(wkb.encode(g))
+        return pd.Series(out, dtype=object)
+
+    return finish
+
+
+def collect_aggr(df: DataFrame, geom_col: str, group_cols: Optional[List[str]] = None,
+                 out_col: str = "collected") -> DataFrame:
+    """ST_Collect: geometries of a group -> one multi-geometry/collection
+    (reference: st_collect.rs:48-107)."""
+    grouped = df.groupBy(*(group_cols or [])).agg(F.collect_list(geom_col).alias("_geoms"))
+    return grouped.withColumn(out_col, _finish_udf("collect")(F.col("_geoms"))).drop("_geoms")
+
+
+def union_aggr(df: DataFrame, geom_col: str, group_cols: Optional[List[str]] = None,
+               out_col: str = "union_geom") -> DataFrame:
+    """ST_Union_Aggr. Deviation from the reference (documented): without a
+    clipping library the union does not dissolve overlapping polygon
+    boundaries — it merges parts and dedupes coincident points; disjoint
+    inputs (the common tiling case) produce exact results."""
+    grouped = df.groupBy(*(group_cols or [])).agg(F.collect_list(geom_col).alias("_geoms"))
+    return grouped.withColumn(out_col, _finish_udf("union")(F.col("_geoms"))).drop("_geoms")
+
+
+def intersection_aggr(df: DataFrame, geom_col: str, group_cols: Optional[List[str]] = None,
+                      out_col: str = "intersection_geom") -> DataFrame:
+    """ST_Intersection_Aggr (point×any / convex-polygon chains)."""
+    grouped = df.groupBy(*(group_cols or [])).agg(F.collect_list(geom_col).alias("_geoms"))
+    return grouped.withColumn(out_col, _finish_udf("intersection")(F.col("_geoms"))).drop("_geoms")
+
+
+_ANALYZE_FIELDS = [
+    ("count", LongType()),
+    ("puntal_count", LongType()),
+    ("lineal_count", LongType()),
+    ("polygonal_count", LongType()),
+    ("collection_count", LongType()),
+    ("total_points", LongType()),
+    ("mean_points_per_geometry", DoubleType()),
+    ("xmin", DoubleType()),
+    ("ymin", DoubleType()),
+    ("xmax", DoubleType()),
+    ("ymax", DoubleType()),
+]
+
+
+def analyze_aggr(df: DataFrame, geom_col: str, group_cols: Optional[List[str]] = None) -> DataFrame:
+    """ST_Analyze_Aggr: GeoStatistics over a geometry column (reference:
+    st_analyze_aggr.rs:49-120 + rust/sedona-expr/src/statistics.rs).
+
+    Two-phase: one vectorized UDF derives per-row numerics, then built-in
+    aggregates reduce them — identical shape to the reference's
+    accumulator, but map-side combine comes free from Spark."""
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("cls", StringType()),
+                StructField("npts", LongType()),
+                StructField("xmin", DoubleType()),
+                StructField("ymin", DoubleType()),
+                StructField("xmax", DoubleType()),
+                StructField("ymax", DoubleType()),
+            ]
+        )
+    )
+    def derive(s: pd.Series) -> pd.DataFrame:
+        cls, npts = [], []
+        bb = np.full((len(s), 4), np.nan)
+        for i, v in enumerate(s):
+            if v is None:
+                cls.append(None)
+                npts.append(0)
+                continue
+            g = wkb.parse(v)
+            if g.type_id == wkb.GEOMETRYCOLLECTION:
+                cls.append("collection")
+            elif g.type_id in (wkb.POLYGON, wkb.MULTIPOLYGON):
+                cls.append("polygonal")
+            elif g.type_id in (wkb.LINESTRING, wkb.MULTILINESTRING):
+                cls.append("lineal")
+            else:
+                cls.append("puntal")
+            npts.append(algos.num_points(g))
+            bb[i] = algos.bounds(g)
+        return pd.DataFrame(
+            {"cls": cls, "npts": npts, "xmin": bb[:, 0], "ymin": bb[:, 1],
+             "xmax": bb[:, 2], "ymax": bb[:, 3]}
+        )
+
+    d = df.withColumn("_a", derive(F.col(geom_col)))
+    aggs = [
+        F.count("_a.cls").alias("count"),
+        F.sum(F.when(F.col("_a.cls") == "puntal", 1).otherwise(0)).alias("puntal_count"),
+        F.sum(F.when(F.col("_a.cls") == "lineal", 1).otherwise(0)).alias("lineal_count"),
+        F.sum(F.when(F.col("_a.cls") == "polygonal", 1).otherwise(0)).alias("polygonal_count"),
+        F.sum(F.when(F.col("_a.cls") == "collection", 1).otherwise(0)).alias("collection_count"),
+        F.sum("_a.npts").alias("total_points"),
+        F.avg("_a.npts").alias("mean_points_per_geometry"),
+        F.min("_a.xmin").alias("xmin"),
+        F.min("_a.ymin").alias("ymin"),
+        F.max("_a.xmax").alias("xmax"),
+        F.max("_a.ymax").alias("ymax"),
+    ]
+    return d.groupBy(*(group_cols or [])).agg(*aggs)

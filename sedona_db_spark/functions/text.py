@@ -1,0 +1,123 @@
+"""Text-analysis functions for the documents/pages corpus.
+
+Everything here is a *Column expression builder* over built-in
+`pyspark.sql.functions` — no Python UDFs in these hot paths, so the whole
+stage compiles to JVM codegen and survives a 100 TB scan. (Language-ID is
+the one rule-based scorer; it is still pure Column algebra.)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import Column, functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / counting
+# ---------------------------------------------------------------------------
+
+# BPE-ish word pattern: letter runs, digit runs, or single punctuation
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_tokens(text: Column) -> Column:
+    """Whitespace tokens (empty string -> empty array)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(whitespace_tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish tokens via regexp_extract_all (JVM-side)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+EN_STOPWORDS = ["the", "a", "an", "of", "to", "and", "in", "is", "it", "that"]
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    total = F.length(text).cast("double")
+    nonpunct = F.length(F.regexp_replace(text, r"[^\w\s]", "")).cast("double")
+    return F.when(total > 0, (total - nonpunct) / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, stopwords: List[str] = EN_STOPWORDS) -> Column:
+    toks = F.transform(whitespace_tokens(text), lambda w: F.lower(w))
+    hits = F.size(F.filter(toks, lambda w: w.isin(*stopwords)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = whitespace_tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, v: a + v)
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation
+    noise, natural stopword density, sane word lengths. Deterministic
+    closed-form — reproducible in plain SQL for the oracle."""
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4)
+    sw = stopword_ratio(text)
+    sw_score = F.least(sw * 5, F.lit(1.0))
+    mwl = mean_word_length(text)
+    wl_score = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_score + punct_pen + sw_score + wl_score) / 4.0, 6)
+
+
+# ---------------------------------------------------------------------------
+# language identification (stopword-hit heuristic)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "es"],
+}
+
+
+def lang_scores(text: Column) -> Dict[str, Column]:
+    toks = F.transform(whitespace_tokens(text), lambda w: F.lower(w))
+    return {
+        lang: F.size(F.filter(toks, lambda w: w.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def langid(text: Column) -> Column:
+    """Argmax language over marker-hit counts; 'und' when no marker hits.
+    Ties break in fixed (en, de, fr, es) order."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Canonical-form digest: lowercase, strip non-alphanumerics, collapse
+    whitespace, md5. Robust to case/punctuation edits; SQL-reproducible."""
+    norm = F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", "")
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    return F.md5(norm)

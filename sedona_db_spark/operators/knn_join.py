@@ -84,10 +84,17 @@ def knn_join(
     spark = probe.sparkSession
     grid = Grid(grid_level)
 
-    P = probe.withColumn("_pid", F.monotonically_increasing_id())
-    B = build.withColumn("_bid", F.monotonically_increasing_id())
-    P = _points_xy(P, probe_geom, "_px", "_py").where(F.col("_px").isNotNull())
-    B = _points_xy(B, build_geom, "_bx", "_by").where(F.col("_bx").isNotNull())
+    # prefix both sides so duplicate column names can't collide (same
+    # contract as spatial_join; output restores original names)
+    pcols, bcols = probe.columns, build.columns
+    P = probe.select([F.col(c).alias(f"_p_{c}") for c in pcols]).withColumn(
+        "_pid", F.monotonically_increasing_id()
+    )
+    B = build.select([F.col(c).alias(f"_b_{c}") for c in bcols]).withColumn(
+        "_bid", F.monotonically_increasing_id()
+    )
+    P = _points_xy(P, f"_p_{probe_geom}", "_px", "_py").where(F.col("_px").isNotNull())
+    B = _points_xy(B, f"_b_{build_geom}", "_bx", "_by").where(F.col("_bx").isNotNull())
 
     @F.pandas_udf(LongType())
     def cell_of(x: pd.Series, y: pd.Series) -> pd.Series:
@@ -163,14 +170,11 @@ def knn_join(
         d = np.where((gx > 0) & (gy > 0), ps[np.maximum(gx - 1, 0), np.maximum(gy - 1, 0)], 0)
         return a - b + (-c + d)
 
-    pcols, bcols = probe.columns, build.columns
-
     def run_pass(Pr: DataFrame) -> DataFrame:
         cand = (
             Pr.withColumn("_cand_cell", F.explode("_cells"))
             .drop("_cells")
-            .join(B.select("_bid", "_bx", "_by", "_cell", *[c for c in bcols]),
-                  F.col("_cand_cell") == F.col("_cell"), "inner")
+            .join(B, F.col("_cand_cell") == F.col("_cell"), "inner")
             .drop("_cand_cell", "_cell")
         )
         if use_spheroid:
@@ -186,10 +190,18 @@ def knn_join(
                 (F.col("_px") - F.col("_bx")) ** 2 + (F.col("_py") - F.col("_by")) ** 2
             )
         cand = cand.withColumn("knn_distance", dcol)
-        w = Window.partitionBy("_pid").orderBy(F.col("knn_distance").asc(), F.col("_bid").asc())
-        ranked = cand.withColumn(
-            "knn_rank", F.rank().over(w) if include_ties else F.row_number().over(w)
-        )
+        if include_ties:
+            # rank over distance ONLY: equidistant rows share a rank and all
+            # come back (`knn_include_tie_breakers` in the reference,
+            # rust/sedona-spatial-join/src/index.rs:499-676)
+            w = Window.partitionBy("_pid").orderBy(F.col("knn_distance").asc())
+            ranked = cand.withColumn("knn_rank", F.rank().over(w))
+        else:
+            # deterministic tie-break: a user-named build id beats the
+            # synthetic (partitioning-dependent) _bid
+            tie = F.col(f"_b_{build_id}").asc() if build_id else F.col("_bid").asc()
+            w = Window.partitionBy("_pid").orderBy(F.col("knn_distance").asc(), tie)
+            ranked = cand.withColumn("knn_rank", F.row_number().over(w))
         return ranked.where(F.col("knn_rank") <= k)
 
     P1 = P.withColumn("_r", initial_radius(F.col("_px"), F.col("_py")))
@@ -236,8 +248,8 @@ def knn_join(
         P1 = P1.join(ok_ids, "_pid", "left_anti").unionByName(P_retry).cache()
 
     out_cols = (
-        [F.col(c) for c in pcols]
-        + [F.col(c) for c in bcols]
+        [F.col(f"_p_{c}").alias(c) for c in pcols]
+        + [F.col(f"_b_{c}").alias(c) for c in bcols]
         + [F.col("knn_distance"), F.col("knn_rank")]
     )
     return result.select(*out_cols)

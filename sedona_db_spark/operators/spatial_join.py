@@ -109,8 +109,10 @@ def _cell_of_points_udf(grid: Grid, geom_col: str):
     def cell_of(s: pd.Series) -> pd.Series:
         x, y, valid = wkb.decode_points_xy(list(s))
         cells = grid.cell_of_points(np.where(valid, x, 0.0), np.where(valid, y, 0.0))
-        out = pd.Series(cells)
-        out[~valid] = None
+        # nullable Int64: None into an int64 Series would upcast to float64
+        # and corrupt cell ids above 2^53
+        out = pd.Series(cells, dtype="Int64")
+        out[~valid] = pd.NA
         return out
 
     return cell_of(F.col(geom_col))
@@ -292,44 +294,53 @@ def spatial_join(
     if predicate != "dwithin" and predicate not in RELATION_FNS:
         raise ValueError(f"unknown predicate {predicate!r}")
 
-    # unique row ids for dedup/outer tracking
-    lcols, rcols = left.columns, right.columns
-    L = left.withColumn("_lid", F.monotonically_increasing_id())
-    R = right.withColumn("_rid", F.monotonically_increasing_id())
+    # column-valued dwithin distance is evaluated against the ORIGINAL right
+    # frame before prefixing (matches the reference's column-distance joins,
+    # `python/sedonadb/tests/test_sjoin.py` in /root/reference)
+    if predicate == "dwithin":
+        if distance is None:
+            raise ValueError("dwithin requires a distance")
+        dexpr = F.lit(float(distance)) if isinstance(distance, (int, float)) else distance
+        right = right.withColumn("__sj_dist", dexpr.cast("double"))
+
+    # prefix every column so the two sides can never collide (output keeps
+    # original names, duplicates allowed — same contract as df.join)
+    lcols, rcols = left.columns, [c for c in right.columns if c != "__sj_dist"]
+    L = left.select([F.col(c).alias(f"_l_{c}") for c in lcols]).withColumn(
+        "_lid", F.monotonically_increasing_id()
+    )
+    R = right.select(
+        [F.col(c).alias(f"_r_{c}") for c in rcols]
+        + ([F.col("__sj_dist").alias("_dist")] if "__sj_dist" in right.columns else [])
+    ).withColumn("_rid", F.monotonically_increasing_id())
+    lgeom = f"_l_{left_geom}"
+    rgeom = f"_r_{right_geom}"
 
     # --- stats + grid level -------------------------------------------------
     if grid_level is None:
-        widths, heights, _ = estimate_env_stats(R, right_geom)
+        widths, heights, _ = estimate_env_stats(R, rgeom)
         grid_level = pick_level_for_envelopes(widths, heights)
     grid = Grid(grid_level)
 
     # --- detect the hot point×polygon shape ----------------------------------
     if left_is_points is None:
-        sample = [r[0] for r in L.select(left_geom).limit(200).collect() if r[0] is not None]
+        sample = [r[0] for r in L.select(lgeom).limit(200).collect() if r[0] is not None]
         left_is_points = bool(sample) and all(
             len(bytes(v)) == 21 and bytes(v)[1] == wkb.POINT for v in sample
         )
 
-    dist_col = None
-    if predicate == "dwithin":
-        if distance is None:
-            raise ValueError("dwithin requires a distance")
-        if isinstance(distance, (int, float)):
-            R = R.withColumn("_dist", F.lit(float(distance)))
-        else:
-            R = R.withColumn("_dist", distance)
-        dist_col = "_dist"
+    dist_col = "_dist" if predicate == "dwithin" else None
 
     # --- cover both sides -----------------------------------------------------
     if left_is_points and predicate != "dwithin":
-        Lc = L.withColumn("_cell", _cell_of_points_udf(grid, left_geom)).where(
+        Lc = L.withColumn("_cell", _cell_of_points_udf(grid, lgeom)).where(
             F.col("_cell").isNotNull()
         )
         left_exploded = False
     else:
         cover = _cover_cells_udf(grid)
         Lc = (
-            L.withColumn("_cells", cover(F.col(left_geom)))
+            L.withColumn("_cells", cover(F.col(lgeom)))
             .where(F.col("_cells").isNotNull())
             .withColumn("_cell", F.explode("_cells"))
             .drop("_cells")
@@ -339,7 +350,7 @@ def spatial_join(
     if dist_col is not None:
         cover_r = _cover_cells_udf(grid, expand_col=dist_col)
         Rc = (
-            R.withColumn("_cells", cover_r(F.col(right_geom), F.col(dist_col)))
+            R.withColumn("_cells", cover_r(F.col(rgeom), F.col(dist_col)))
             .where(F.col("_cells").isNotNull())
             .withColumn("_cell", F.explode("_cells"))
             .drop("_cells")
@@ -348,7 +359,7 @@ def spatial_join(
     else:
         cover_r = _cover_cells_udf(grid)
         Rc = (
-            R.withColumn("_cells", cover_r(F.col(right_geom)))
+            R.withColumn("_cells", cover_r(F.col(rgeom)))
             .where(F.col("_cells").isNotNull())
             .withColumn("_cell", F.explode("_cells"))
             .drop("_cells")
@@ -364,12 +375,6 @@ def spatial_join(
             broadcast_right = False
     Rj = F.broadcast(Rc) if broadcast_right else Rc
 
-    # rename geometry cols to avoid collision
-    Lc = Lc.withColumnRenamed(left_geom, "_lgeom") if left_geom in rcols or left_geom == right_geom else Lc
-    lgeom = "_lgeom" if (left_geom in rcols or left_geom == right_geom) else left_geom
-    Rj = Rj.withColumnRenamed(right_geom, "_rgeom") if right_geom in lcols or left_geom == right_geom else Rj
-    rgeom = "_rgeom" if (right_geom in lcols or left_geom == right_geom) else right_geom
-
     cand = Lc.join(Rj, on="_cell", how="inner")
 
     # --- PBSM dedup (only when both sides exploded) ----------------------------
@@ -378,8 +383,13 @@ def spatial_join(
         lb = _bounds_udf()(F.col(lgeom))
         rb = _bounds_udf()(F.col(rgeom))
         cand = cand.withColumn("_lb", lb).withColumn("_rb", rb)
-        refx = F.greatest(F.col("_lb.xmin"), F.col("_rb.xmin"))
-        refy = F.greatest(F.col("_lb.ymin"), F.col("_rb.ymin"))
+        # dwithin: the right side covered an envelope EXPANDED by the
+        # distance — dedup must reference the same expanded envelope, or
+        # pairs whose raw bboxes are disjoint get dropped
+        r_xmin = F.col("_rb.xmin") - (F.col(dist_col) if dist_col else F.lit(0.0))
+        r_ymin = F.col("_rb.ymin") - (F.col(dist_col) if dist_col else F.lit(0.0))
+        refx = F.greatest(F.col("_lb.xmin"), r_xmin)
+        refy = F.greatest(F.col("_lb.ymin"), r_ymin)
         cell_env = _cell_env_exprs(grid, "_cell")
         cand = cand.where(
             (refx >= cell_env[0])
@@ -423,25 +433,25 @@ def spatial_join(
 
     matched = cand.where(F.col("_ok"))
 
-    out_l = [F.col(lgeom).alias(left_geom) if c == left_geom else F.col(c) for c in lcols]
-    out_r = [F.col(rgeom).alias(right_geom) if c == right_geom else F.col(c) for c in rcols]
+    out_l = [F.col(f"_l_{c}").alias(c) for c in lcols]
+    out_r = [F.col(f"_r_{c}").alias(c) for c in rcols]
 
     if how == "inner":
         return matched.select(*out_l, *out_r)
     if how in ("left_semi", "semi"):
         ids = matched.select("_lid").distinct()
-        return L.join(ids, "_lid", "left_semi").select(*lcols)
+        return L.join(ids, "_lid", "left_semi").select(*out_l)
     if how in ("left_anti", "anti"):
         ids = matched.select("_lid").distinct()
-        return L.join(ids, "_lid", "left_anti").select(*lcols)
+        return L.join(ids, "_lid", "left_anti").select(*out_l)
     if how == "left":
-        pairs = matched.select("_lid", *[F.col(c) for c in ("_rid",)], *out_r)
+        pairs = matched.select("_lid", *[F.col(f"_r_{c}") for c in rcols])
         joined = L.join(pairs, "_lid", "left")
-        return joined.select(*[F.col(c) for c in lcols], *[F.col(c) for c in rcols])
+        return joined.select(*out_l, *out_r)
     if how == "right":
-        pairs = matched.select("_rid", *out_l)
+        pairs = matched.select("_rid", *[F.col(f"_l_{c}") for c in lcols])
         joined = R.join(pairs, "_rid", "left")
-        return joined.select(*[F.col(c) for c in lcols], *[F.col(c) for c in rcols])
+        return joined.select(*out_l, *out_r)
     raise ValueError(f"unsupported how={how!r}")
 
 

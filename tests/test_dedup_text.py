@@ -1,0 +1,161 @@
+"""Dedup / similarity / text-analysis operator tests (documents table +
+planted near-duplicates)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from sedona_db_spark.functions import text as T
+from sedona_db_spark.operators import dedup as D
+from sedona_db_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog and runs far away today"),
+        (1, "the quick brown fox jumps over the lazy dog and runs far away tonight"),  # near-dup of 0
+        (2, "completely different content about spark partitions and shuffle behavior"),
+        (3, "the quick brown fox jumps over the lazy dog and runs far away today"),  # exact dup of 0
+        (4, "der hund läuft und die katze ist das haus der garten und der baum"),
+        (5, "le chat et le chien sont dans la maison et les jardins des villes"),
+        (6, "short text"),
+    ]
+    return spark.createDataFrame(base, "doc_id LONG, text STRING").cache()
+
+
+def test_exact_dedup(docs):
+    out = D.exact_dedup(docs, "text", "doc_id").collect()
+    groups = {r["rep_id"]: r["dup_count"] for r in out}
+    assert groups[0] == 2  # docs 0 and 3
+    assert sum(groups.values()) == 7
+    assert len(groups) == 6
+
+
+def test_minhash_finds_planted_near_dup(docs):
+    pairs = D.minhash_dedup(docs, "text", "doc_id", threshold=0.5,
+                            num_hashes=64, bands=16, shingle_k=5)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert (0, 3) in got and got[(0, 3)] == 1.0  # exact dup -> full agreement
+    assert (0, 1) in got and got[(0, 1)] > 0.5   # near dup
+    assert (0, 2) not in got and (4, 5) not in got
+
+
+def test_minhash_signature_deterministic(docs, spark):
+    sig = D.minhash_signature_udf(32, 5, seed=1)
+    a = docs.select("doc_id", sig(F.col("text")).alias("s")).collect()
+    b = docs.repartition(5).select("doc_id", sig(F.col("text")).alias("s")).collect()
+    assert {r["doc_id"]: r["s"] for r in a} == {r["doc_id"]: r["s"] for r in b}
+
+
+def test_simhash_near_dups(docs):
+    pairs = D.simhash_near_dups(docs, "text", "doc_id", max_hamming=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 3) in got  # identical text -> hamming 0
+    assert (0, 1) in got  # one word changed -> few bits flip
+    assert (0, 2) not in got
+
+
+def test_ngram_jaccard_verify(docs, spark):
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "id_a LONG, id_b LONG")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in D.ngram_jaccard_pairs(docs, pairs, "text", "doc_id", n=3).collect()}
+    assert out[(0, 3)] == 1.0
+    assert 0.5 < out[(0, 1)] < 1.0
+    assert out[(0, 2)] == 0.0
+
+
+def test_embedding_cosine_pairs(spark):
+    rng = np.random.default_rng(4)
+    vecs = rng.normal(size=(20, 16)).astype(np.float32)
+    vecs[7] = vecs[3] + rng.normal(scale=0.01, size=16).astype(np.float32)  # planted near-dup
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = D.embedding_cosine_pairs(df, "embedding", "vec_id", threshold=0.95, planes=8)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (3, 7) in got
+
+
+def test_brute_force_topk_cosine(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(30, 8)).astype(np.float64)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    q = df.where(F.col("vec_id") < 3)
+    res = S.brute_force_topk(q, df, k=4)
+    rowsr = res.collect()
+    assert len(rowsr) == 12
+    # oracle
+    X = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for qid in range(3):
+        sims = X @ X[qid]
+        order = np.lexsort((np.arange(30), -sims))[:4]
+        got = sorted([(r["rank"], r["neighbor_id"]) for r in rowsr if r["query_id"] == qid])
+        assert [n for _, n in got] == [int(j) for j in order]
+        # self always rank 1
+        assert got[0][1] == qid
+
+
+def test_ivf_topk_recall(spark):
+    rng = np.random.default_rng(6)
+    vecs = rng.normal(size=(200, 16)).astype(np.float64)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    q = df.where(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(q, df, k=5)
+    approx = S.ivf_topk(q, df, k=5, nlists=8, nprobe=4, train_sample=200)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7  # nprobe=4/8 lists
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def test_token_counts(docs):
+    out = docs.select("doc_id", T.token_count(F.col("text")).alias("n")).collect()
+    d = {r["doc_id"]: r["n"] for r in out}
+    assert d[6] == 2
+    assert d[0] == 14
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([(0, "hello, world! 42x")], "id LONG, text STRING")
+    n = df.select(T.bpe_token_count(F.col("text")).alias("n")).collect()[0]["n"]
+    # hello , world ! 42 x
+    assert n == 6
+
+
+def test_quality_and_ratios(docs):
+    rows = docs.select(
+        "doc_id",
+        T.punct_ratio(F.col("text")).alias("p"),
+        T.stopword_ratio(F.col("text")).alias("s"),
+        T.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    d = {r["doc_id"]: r for r in rows}
+    assert d[0]["p"] == 0.0
+    assert d[0]["s"] > 0.1  # 'the' x2, 'and', 'over'...
+    assert 0.0 < d[0]["q"] <= 1.0
+
+
+def test_langid(docs):
+    out = {r["doc_id"]: r["l"] for r in docs.select("doc_id", T.langid(F.col("text")).alias("l")).collect()}
+    assert out[0] == "en"
+    assert out[4] == "de"
+    assert out[5] == "fr"
+    assert out[6] == "und"
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello,   World!"), (1, "hello world"), (2, "different")],
+        "id LONG, text STRING",
+    )
+    rows = {r["id"]: r["f"] for r in df.select("id", T.doc_fingerprint(F.col("text")).alias("f")).collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]

@@ -1,0 +1,120 @@
+"""Grid kNN join differential tests.
+
+Mirrors the reference (`python/sedonadb/tests/test_knnjoin.py:24-100`):
+|result| = |probe| * k, per-probe distances ascend, and the neighbor sets
+match a brute-force oracle exactly — including the ring-termination bound
+at cell borders (the part the reference gets free from its global R-tree)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql.types import BinaryType, DoubleType, LongType, StructField, StructType
+
+from sedona_db_spark.geometry import algos, wkb
+from sedona_db_spark.operators.knn_join import knn_join
+
+SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("geometry", BinaryType()),
+])
+
+
+def make_points(n, seed, bounds=(0, 0, 100, 100)):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(bounds[0], bounds[2], n)
+    y = rng.uniform(bounds[1], bounds[3], n)
+    return [(int(i), bytes(b)) for i, b in enumerate(wkb.encode_points_xy(x, y))], x, y
+
+
+def brute_knn(px, py, bx, by, k):
+    """Oracle: exact k nearest by (distance, build_id)."""
+    out = {}
+    for i in range(len(px)):
+        d = np.hypot(bx - px[i], by - py[i])
+        order = np.lexsort((np.arange(len(bx)), d))
+        out[i] = [(int(j), float(d[j])) for j in order[:k]]
+    return out
+
+
+@pytest.mark.parametrize("k", [1, 3, 5])
+def test_knn_matches_bruteforce(spark, k):
+    probe_rows, px, py = make_points(60, 42)
+    build_rows, bx, by = make_points(150, 43)
+    P = spark.createDataFrame(probe_rows, SCHEMA).withColumnRenamed("id", "pid")
+    B = spark.createDataFrame(build_rows, SCHEMA).withColumnRenamed("id", "bid")
+    res = knn_join(P, B, k=k, build_id="bid", grid_level=5)
+    rows = res.select("pid", "bid", "knn_distance", "knn_rank").collect()
+    assert len(rows) == 60 * k
+    want = brute_knn(px, py, bx, by, k)
+    got = {}
+    for r in rows:
+        got.setdefault(r["pid"], []).append((r["knn_rank"], r["bid"], r["knn_distance"]))
+    for pid, lst in got.items():
+        lst.sort()
+        ids = [b for _, b, _ in lst]
+        dists = [d for _, _, d in lst]
+        assert dists == sorted(dists), f"probe {pid}: distances not ascending"
+        want_ids = [j for j, _ in want[pid]]
+        assert ids == want_ids, f"probe {pid}"
+        for d, (_, wd) in zip(dists, want[pid]):
+            assert abs(d - wd) < 1e-9
+
+
+def test_knn_sparse_build_forces_ring_escalation(spark):
+    """Tiny build side clustered in one corner: most probes' k-th neighbor is
+    far outside the initial guard ring — exercises the escalation loop."""
+    probe_rows, px, py = make_points(40, 1)
+    rng = np.random.default_rng(2)
+    bx = rng.uniform(0, 5, 8)
+    by = rng.uniform(0, 5, 8)
+    build_rows = [(int(i), bytes(b)) for i, b in enumerate(wkb.encode_points_xy(bx, by))]
+    P = spark.createDataFrame(probe_rows, SCHEMA).withColumnRenamed("id", "pid")
+    B = spark.createDataFrame(build_rows, SCHEMA).withColumnRenamed("id", "bid")
+    res = knn_join(P, B, k=3, build_id="bid", grid_level=6)
+    rows = res.select("pid", "bid", "knn_rank").collect()
+    assert len(rows) == 40 * 3
+    want = brute_knn(px, py, bx, by, 3)
+    got = {}
+    for r in rows:
+        got.setdefault(r["pid"], set()).add(r["bid"])
+    for pid in got:
+        assert got[pid] == {j for j, _ in want[pid]}, f"probe {pid}"
+
+
+def test_knn_k_exceeds_build_size(spark):
+    probe_rows, px, py = make_points(10, 5)
+    build_rows, bx, by = make_points(4, 6)
+    P = spark.createDataFrame(probe_rows, SCHEMA).withColumnRenamed("id", "pid")
+    B = spark.createDataFrame(build_rows, SCHEMA).withColumnRenamed("id", "bid")
+    res = knn_join(P, B, k=9, build_id="bid", grid_level=4)
+    # every probe gets all 4 build rows
+    assert res.count() == 10 * 4
+
+
+def test_knn_include_ties(spark):
+    # 4 equidistant neighbors, k=2 with ties -> all 4 returned
+    probe_rows = [(0, bytes(wkb.encode_points_xy(np.array([50.0]), np.array([50.0]))[0]))]
+    off = np.array([[1, 0], [-1, 0], [0, 1], [0, -1]], dtype=float)
+    bx, by = 50 + off[:, 0], 50 + off[:, 1]
+    build_rows = [(int(i), bytes(b)) for i, b in enumerate(wkb.encode_points_xy(bx, by))]
+    P = spark.createDataFrame(probe_rows, SCHEMA).withColumnRenamed("id", "pid")
+    B = spark.createDataFrame(build_rows, SCHEMA).withColumnRenamed("id", "bid")
+    res = knn_join(P, B, k=2, build_id="bid", include_ties=True, grid_level=5)
+    assert res.count() == 4
+    res2 = knn_join(P, B, k=2, build_id="bid", include_ties=False, grid_level=5)
+    assert res2.count() == 2
+
+
+def test_knn_spheroid_metric(spark):
+    # haversine: nearest in meters differs from planar degrees at high lat
+    probe_rows = [(0, bytes(wkb.encode_points_xy(np.array([0.0]), np.array([80.0]))[0]))]
+    # candidate A: 5 deg east at lat 80 (short in meters); B: 4 deg south (long)
+    bx = np.array([5.0, 0.0])
+    by = np.array([80.0, 75.5])
+    build_rows = [(int(i), bytes(b)) for i, b in enumerate(wkb.encode_points_xy(bx, by))]
+    P = spark.createDataFrame(probe_rows, SCHEMA).withColumnRenamed("id", "pid")
+    B = spark.createDataFrame(build_rows, SCHEMA).withColumnRenamed("id", "bid")
+    planar = knn_join(P, B, k=1, build_id="bid", grid_level=4).collect()[0]["bid"]
+    sphere = knn_join(P, B, k=1, build_id="bid", use_spheroid=True, grid_level=4).collect()[0]["bid"]
+    assert planar == 1  # 4.5 deg < 5 deg planar
+    assert sphere == 0  # 5 deg lon at lat 80 ≈ 97 km < 500 km
