@@ -1,38 +1,503 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every `queries()` entry runs OUR engine (WKB geometry column, ST_* pandas
+UDFs, two-phase spatial join, grid kNN join, dedup/ANN/text operators) over
+the driver's parquet tables; the paired `oracle_sql()` entry recomputes the
+same result in plain ANSI SQL (DuckDB has no spatial extension in this
+sandbox, so geometry is DERIVED from table keys by exact arithmetic both
+sides — integer mods scaled by binary-exact constants — making the SQL
+oracle bit-reproducible).
+
+Derivation scheme (identical expressions in Spark and DuckDB):
+  customer point:  cx = -180 + ((c_custkey*7)  % 3600)*0.1 + 0.005
+                   cy =  -90 + ((c_custkey*13) % 1800)*0.1 + 0.005
+  supplier point:  sx = -180 + ((s_suppkey*29) % 3600)*0.1 + 0.055
+                   sy =  -90 + ((s_suppkey*31) % 1800)*0.1 + 0.055
+  nation box:      [x0, y0, x0+72, y0+36], x0 = -180 + (n%5)*72,
+                   y0 = -90 + (n//5)*36     (5x5 partition of the world)
+The +0.005/+0.055 offsets keep every point strictly off every box edge, so
+interior vs boundary semantics can never disagree with the oracle.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# -- derived geometry columns (Spark side) -----------------------------------
+
+def _cust_pts(spark, sf_dir):
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    cx = F.lit(-180.0) + ((F.col("c_custkey") * 7) % 3600) * F.lit(0.1) + F.lit(0.005)
+    cy = F.lit(-90.0) + ((F.col("c_custkey") * 13) % 1800) * F.lit(0.1) + F.lit(0.005)
+    return c.withColumn("geom", st.ST_Point(cx, cy))
+
+
+def _supp_pts(spark, sf_dir):
+    from sedona_db_spark.functions import st
+
+    s = _t(spark, sf_dir, "supplier")
+    sx = F.lit(-180.0) + ((F.col("s_suppkey") * 29) % 3600) * F.lit(0.1) + F.lit(0.055)
+    sy = F.lit(-90.0) + ((F.col("s_suppkey") * 31) % 1800) * F.lit(0.1) + F.lit(0.055)
+    return s.withColumn("geom", st.ST_Point(sx, sy))
+
+
+def _nation_boxes(spark, sf_dir):
+    from sedona_db_spark.functions import st
+
+    n = _t(spark, sf_dir, "nation")
+    x0 = F.lit(-180.0) + (F.col("n_nationkey") % 5) * F.lit(72.0)
+    y0 = F.lit(-90.0) + F.floor(F.col("n_nationkey") / 5) * F.lit(36.0)
+    return n.withColumn(
+        "geom", st.ST_MakeEnvelope(x0, y0, x0 + F.lit(72.0), y0 + F.lit(36.0))
+    )
+
+
+# SQL fragments for the same derivations (DuckDB)
+# every literal is cast to DOUBLE: DuckDB parses bare decimal literals as
+# DECIMAL (exact arithmetic) which would diverge from Spark's IEEE doubles
+_CX = "(CAST(-180.0 AS DOUBLE) + ((c_custkey*7) % 3600)*CAST(0.1 AS DOUBLE) + CAST(0.005 AS DOUBLE))"
+_CY = "(CAST(-90.0 AS DOUBLE) + ((c_custkey*13) % 1800)*CAST(0.1 AS DOUBLE) + CAST(0.005 AS DOUBLE))"
+_SX = "(CAST(-180.0 AS DOUBLE) + ((s_suppkey*29) % 3600)*CAST(0.1 AS DOUBLE) + CAST(0.055 AS DOUBLE))"
+_SY = "(CAST(-90.0 AS DOUBLE) + ((s_suppkey*31) % 1800)*CAST(0.1 AS DOUBLE) + CAST(0.055 AS DOUBLE))"
+_NX0 = "(CAST(-180.0 AS DOUBLE) + (n_nationkey % 5)*CAST(72.0 AS DOUBLE))"
+_NY0 = "(CAST(-90.0 AS DOUBLE) + (n_nationkey // 5)*CAST(36.0 AS DOUBLE))"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_pip_within_count(spark, sf_dir):
+    from sedona_db_spark.operators.spatial_join import spatial_join
+
+    pts = _cust_pts(spark, sf_dir).select("c_custkey", "geom")
+    boxes = _nation_boxes(spark, sf_dir).select("n_nationkey", "geom")
+    j = spatial_join(pts, boxes, predicate="within", left_geom="geom", right_geom="geom")
+    return j.groupBy("n_nationkey").agg(F.count("*").alias("cnt")).orderBy("n_nationkey")
+
+
+def _q_pip_within_pairs(spark, sf_dir):
+    from sedona_db_spark.operators.spatial_join import spatial_join
+
+    pts = _cust_pts(spark, sf_dir).select("c_custkey", "geom")
+    boxes = _nation_boxes(spark, sf_dir).select("n_nationkey", "geom")
+    j = spatial_join(pts, boxes, predicate="within", left_geom="geom", right_geom="geom")
+    return j.select("c_custkey", "n_nationkey")
+
+
+def _q_sjoin_intersects_suppliers(spark, sf_dir):
+    from sedona_db_spark.operators.spatial_join import spatial_join
+
+    pts = _supp_pts(spark, sf_dir).select("s_suppkey", "geom")
+    boxes = _nation_boxes(spark, sf_dir).select("n_nationkey", "geom")
+    j = spatial_join(pts, boxes, predicate="intersects", left_geom="geom", right_geom="geom")
+    return j.select("s_suppkey", "n_nationkey")
+
+
+def _q_dwithin_pairs(spark, sf_dir):
+    from sedona_db_spark.operators.spatial_join import spatial_join
+
+    pts = _cust_pts(spark, sf_dir).select("c_custkey", "geom")
+    sup = _supp_pts(spark, sf_dir).select("s_suppkey", "geom")
+    j = spatial_join(
+        pts, sup, predicate="dwithin", distance=4.95,
+        left_geom="geom", right_geom="geom",
+    )
+    return j.select("c_custkey", "s_suppkey")
+
+
+def _q_knn_suppliers_k3(spark, sf_dir):
+    from sedona_db_spark.operators.knn_join import knn_join
+
+    pts = _cust_pts(spark, sf_dir).select("c_custkey", "geom")
+    sup = _supp_pts(spark, sf_dir).select("s_suppkey", "geom")
+    j = knn_join(pts, sup, k=3, probe_geom="geom", build_geom="geom",
+                 build_id="s_suppkey", grid_level=6)
+    return j.select("c_custkey", "s_suppkey", F.col("knn_rank").cast("int").alias("knn_rank"))
+
+
+def _q_st_accessors(spark, sf_dir):
+    from sedona_db_spark.functions import st
+
+    pts = _cust_pts(spark, sf_dir)
+    box = st.ST_MakeEnvelope(F.lit(-90.0), F.lit(-45.0), F.lit(90.0), F.lit(45.0))
+    return pts.select(
+        "c_custkey",
+        st.ST_X(F.col("geom")).alias("px"),
+        st.ST_Y(F.col("geom")).alias("py"),
+        st.ST_Within(F.col("geom"), box).alias("in_box"),
+        st.ST_GeometryType(F.col("geom")).alias("gtype"),
+        F.col("c_nationkey").alias("c_nationkey"),
+    )
+
+
+def _q_st_box_measures(spark, sf_dir):
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    x0 = (F.col("c_custkey") * 3 % 100).cast("double")
+    y0 = (F.col("c_custkey") * 11 % 80).cast("double")
+    w = (F.col("c_custkey") % 7 + 1).cast("double")
+    h = (F.col("c_custkey") % 5 + 1).cast("double")
+    box = st.ST_MakeEnvelope(x0, y0, x0 + w, y0 + h)
+    cen = st.ST_Centroid(box)
+    return c.select(
+        "c_custkey",
+        st.ST_Area(box).alias("area"),
+        st.ST_Perimeter(box).alias("perimeter"),
+        st.ST_X(cen).alias("cen_x"),
+        st.ST_Y(cen).alias("cen_y"),
+        st.ST_XMin(box).alias("xmin"),
+        st.ST_YMax(box).alias("ymax"),
+        st.ST_NPoints(box).alias("npoints"),
+    )
+
+
+def _q_envelope_aggr_nation(spark, sf_dir):
+    from sedona_db_spark.functions.aggregates import envelope_aggr
+
+    pts = _cust_pts(spark, sf_dir)
+    out = envelope_aggr(pts, "geom", ["c_nationkey"])
+    return out.select("c_nationkey", "xmin", "ymin", "xmax", "ymax")
+
+
+def _q_zonal_stats(spark, sf_dir):
+    from sedona_db_spark.functions import st
+    from sedona_db_spark.operators.spatial_join import spatial_join
+
+    tiles = spark.range(0, 2048).select(
+        F.col("id").alias("tile_id"),
+        ((F.col("id") * 37 % 1000) / F.lit(10.0)).alias("val"),
+        (F.lit(-180.0) + ((F.col("id") % 64) + F.lit(0.5)) * F.lit(5.625)).alias("tcx"),
+        (F.lit(-90.0) + (F.floor(F.col("id") / 64) + F.lit(0.5)) * F.lit(5.625)).alias("tcy"),
+    )
+    tiles = tiles.withColumn("geom", st.ST_Point(F.col("tcx"), F.col("tcy")))
+    boxes = _nation_boxes(spark, sf_dir).select("n_nationkey", "geom")
+    j = spatial_join(
+        tiles.select("tile_id", "val", "geom"), boxes,
+        predicate="within", left_geom="geom", right_geom="geom",
+    )
+    return (
+        j.groupBy("n_nationkey")
+        .agg(F.count("*").alias("tile_cnt"), F.round(F.sum("val"), 6).alias("val_sum"))
+        .orderBy("n_nationkey")
+    )
+
+
+def _q_grid_cells(spark, sf_dir):
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from sedona_db_spark.geometry import wkb
+    from sedona_db_spark.tiling import Grid
+
+    grid = Grid(4)
+    pts = _cust_pts(spark, sf_dir)
+
+    @F.pandas_udf(StructType([StructField("ix", IntegerType()), StructField("iy", IntegerType())]))
+    def cell_ij(s: pd.Series) -> pd.DataFrame:
+        x, y, valid = wkb.decode_points_xy(list(s))
+        cells = grid.cell_of_points(np.where(valid, x, 0.0), np.where(valid, y, 0.0))
+        ix, iy = grid.unpack(cells)
+        return pd.DataFrame({"ix": ix.astype(np.int32), "iy": iy.astype(np.int32)})
+
+    out = pts.withColumn("_ij", cell_ij(F.col("geom")))
+    return out.select(
+        "c_custkey", F.col("_ij.ix").alias("ix"), F.col("_ij.iy").alias("iy")
+    )
+
+
+def _q_doc_exact_dedup(spark, sf_dir):
+    from sedona_db_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+def _q_doc_token_stats(spark, sf_dir):
+    from sedona_db_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+    )
+
+
+def _q_doc_quality(spark, sf_dir):
+    from sedona_db_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        F.round(T.mean_word_length(F.col("text")), 6).alias("mean_word_len"),
+    )
+
+
+def _q_doc_langid(spark, sf_dir):
+    from sedona_db_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.langid(F.col("text")).alias("lang_pred"))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from sedona_db_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.doc_fingerprint(F.col("text")).alias("fp"))
+
+
+def _q_ann_topk(spark, sf_dir):
+    from sedona_db_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    out = brute_force_topk(q, emb, k=5)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    # no SQL oracle (signature permutations are engine-defined); the driver
+    # records a rows-only check and tests/test_dedup_text.py verifies
+    # planted near-dups exactly
+    from sedona_db_spark.operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, "text", "doc_id", threshold=0.5)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from sedona_db_spark.operators.dedup import simhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
+
+
+def _q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_window_top_orders(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def _q_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("val_sum"),
+        )
+        .orderBy("hour_epoch")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: point-in-polygon spatial join of customer points against
+    the 5x5 world partition of nation boxes at sf0.001."""
+    return _q_pip_within_count(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pip_within_count": _q_pip_within_count,
+        "pip_within_pairs": _q_pip_within_pairs,
+        "sjoin_intersects_suppliers": _q_sjoin_intersects_suppliers,
+        "dwithin_pairs": _q_dwithin_pairs,
+        "knn_suppliers_k3": _q_knn_suppliers_k3,
+        "st_accessors": _q_st_accessors,
+        "st_box_measures": _q_st_box_measures,
+        "envelope_aggr_nation": _q_envelope_aggr_nation,
+        "zonal_stats": _q_zonal_stats,
+        "grid_cells": _q_grid_cells,
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_token_stats": _q_doc_token_stats,
+        "doc_quality": _q_doc_quality,
+        "doc_langid": _q_doc_langid,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "ann_topk": _q_ann_topk,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "tpch_q1": _q_tpch_q1,
+        "window_top_orders": _q_window_top_orders,
+        "events_hourly": _q_events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pip_join = (
+        f"customer c JOIN nation n ON {_CX} > {_NX0} AND {_CX} < {_NX0} + 72.0 "
+        f"AND {_CY} > {_NY0} AND {_CY} < {_NY0} + 36.0"
+    )
+    d2 = f"(({_CX}-{_SX})*(({_CX})-({_SX})) + ({_CY}-{_SY})*(({_CY})-({_SY})))"
+    # n.b. write dx*dx with identical parenthesization both factors
+    d2 = f"((({_CX})-({_SX}))*(({_CX})-({_SX})) + (({_CY})-({_SY}))*(({_CY})-({_SY})))"
+    return {
+        "pip_within_count": (
+            f"SELECT n.n_nationkey AS n_nationkey, count(*) AS cnt FROM {pip_join} "
+            f"GROUP BY 1 ORDER BY 1"
+        ),
+        "pip_within_pairs": (
+            f"SELECT c.c_custkey AS c_custkey, n.n_nationkey AS n_nationkey FROM {pip_join}"
+        ),
+        "sjoin_intersects_suppliers": (
+            f"SELECT s.s_suppkey AS s_suppkey, n.n_nationkey AS n_nationkey "
+            f"FROM supplier s JOIN nation n ON {_SX} > {_NX0} AND {_SX} < {_NX0} + 72.0 "
+            f"AND {_SY} > {_NY0} AND {_SY} < {_NY0} + 36.0"
+        ),
+        "dwithin_pairs": (
+            f"SELECT c.c_custkey AS c_custkey, s.s_suppkey AS s_suppkey "
+            f"FROM customer c CROSS JOIN supplier s "
+            f"WHERE sqrt({d2}) <= CAST(4.95 AS DOUBLE)"
+        ),
+        "knn_suppliers_k3": (
+            f"SELECT c_custkey, s_suppkey, knn_rank FROM ("
+            f"  SELECT c.c_custkey AS c_custkey, s.s_suppkey AS s_suppkey, "
+            f"         CAST(row_number() OVER (PARTITION BY c.c_custkey "
+            f"              ORDER BY {d2}, s.s_suppkey) AS INTEGER) AS knn_rank "
+            f"  FROM customer c CROSS JOIN supplier s) WHERE knn_rank <= 3"
+        ),
+        "st_accessors": (
+            f"SELECT c_custkey, {_CX} AS px, {_CY} AS py, "
+            f"({_CX} > CAST(-90.0 AS DOUBLE) AND {_CX} < CAST(90.0 AS DOUBLE) AND {_CY} > CAST(-45.0 AS DOUBLE) AND {_CY} < CAST(45.0 AS DOUBLE)) AS in_box, "
+            f"'ST_Point' AS gtype, c_nationkey FROM customer c"
+        ),
+        "st_box_measures": (
+            "SELECT c_custkey, "
+            "CAST((c_custkey % 7 + 1) AS DOUBLE) * CAST((c_custkey % 5 + 1) AS DOUBLE) AS area, "
+            "CAST(2.0 AS DOUBLE) * (CAST((c_custkey % 7 + 1) AS DOUBLE) + CAST((c_custkey % 5 + 1) AS DOUBLE)) AS perimeter, "
+            "CAST((c_custkey*3 % 100) AS DOUBLE) + CAST((c_custkey % 7 + 1) AS DOUBLE) * CAST(0.5 AS DOUBLE) AS cen_x, "
+            "CAST((c_custkey*11 % 80) AS DOUBLE) + CAST((c_custkey % 5 + 1) AS DOUBLE) * CAST(0.5 AS DOUBLE) AS cen_y, "
+            "CAST((c_custkey*3 % 100) AS DOUBLE) AS xmin, "
+            "CAST((c_custkey*11 % 80) AS DOUBLE) + CAST((c_custkey % 5 + 1) AS DOUBLE) AS ymax, "
+            "5 AS npoints FROM customer"
+        ),
+        "envelope_aggr_nation": (
+            f"SELECT c_nationkey, min({_CX}) AS xmin, min({_CY}) AS ymin, "
+            f"max({_CX}) AS xmax, max({_CY}) AS ymax FROM customer c GROUP BY 1"
+        ),
+        "zonal_stats": (
+            "WITH tiles AS (SELECT id AS tile_id, (id*37 % 1000)/CAST(10.0 AS DOUBLE) AS val, "
+            "  CAST(-180.0 AS DOUBLE) + ((id % 64) + CAST(0.5 AS DOUBLE))*CAST(5.625 AS DOUBLE) AS tcx, "
+            "  CAST(-90.0 AS DOUBLE) + ((id // 64) + CAST(0.5 AS DOUBLE))*CAST(5.625 AS DOUBLE) AS tcy FROM range(2048) t(id)) "
+            f"SELECT n.n_nationkey AS n_nationkey, count(*) AS tile_cnt, "
+            f"round(sum(val), 6) AS val_sum "
+            f"FROM tiles JOIN nation n ON tcx > {_NX0} AND tcx < {_NX0} + 72.0 "
+            f"AND tcy > {_NY0} AND tcy < {_NY0} + 36.0 GROUP BY 1 ORDER BY 1"
+        ),
+        "grid_cells": (
+            f"SELECT c_custkey, "
+            f"CAST(floor(({_CX} - CAST(-180.0 AS DOUBLE)) / CAST(22.5 AS DOUBLE)) AS INTEGER) AS ix, "
+            f"CAST(floor(({_CY} - CAST(-90.0 AS DOUBLE)) / CAST(11.25 AS DOUBLE)) AS INTEGER) AS iy FROM customer c"
+        ),
+        "doc_exact_dedup": (
+            "SELECT md5(text) AS digest, min(doc_id) AS rep_id, count(*) AS dup_count "
+            "FROM documents GROUP BY 1"
+        ),
+        "doc_token_stats": (
+            "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens, "
+            "CAST(length(text) AS BIGINT) AS n_chars_calc FROM documents"
+        ),
+        "doc_quality": (
+            "WITH t AS (SELECT doc_id, text, "
+            "  regexp_split_to_array(trim(text), '\\s+') AS toks, "
+            "  CAST(length(text) AS DOUBLE) AS total, "
+            "  CAST(length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) AS nonpunct "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "round(CASE WHEN total > 0 THEN (total - nonpunct)/total ELSE 0.0 END, 6) AS punct_ratio, "
+            "round(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> lower(x) IN "
+            "('the','a','an','of','to','and','in','is','it','that'))) AS DOUBLE)"
+            " / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS stopword_ratio, "
+            "round(CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)"
+            " / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS mean_word_len "
+            "FROM t"
+        ),
+        "doc_langid": (
+            "WITH t AS (SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'), "
+            "x -> lower(x)) AS toks FROM documents), "
+            "s AS (SELECT doc_id, "
+            "len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en, "
+            "len(list_filter(toks, x -> x IN ('der','die','und','ist','das'))) AS s_de, "
+            "len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS s_fr, "
+            "len(list_filter(toks, x -> x IN ('el','la','los','que','es'))) AS s_es "
+            "FROM t) "
+            "SELECT doc_id, CASE WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'und' "
+            "WHEN s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en' "
+            "WHEN s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de' "
+            "WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) THEN 'fr' "
+            "ELSE 'es' END AS lang_pred FROM s"
+        ),
+        "doc_fingerprint": (
+            "SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp FROM documents"
+        ),
+        "ann_topk": (
+            "SELECT query_id, neighbor_id, rank FROM ("
+            "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "  CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) / "
+            "    (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) * "
+            "     sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) DESC, "
+            "    c.vec_id) AS INTEGER) AS rank "
+            "  FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id < 10) "
+            "WHERE rank <= 5"
+        ),
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+            "count(*) AS count_order FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "window_top_orders": (
+            "SELECT o_custkey, o_orderkey, rn FROM ("
+            "  SELECT o_custkey, o_orderkey, CAST(row_number() OVER ("
+            "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn "
+            "  FROM orders) WHERE rn <= 3"
+        ),
+        "events_hourly": (
+            "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, "
+            "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum "
+            "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        # minhash_pairs / simhash_pairs: intentionally no oracle — signature
+        # permutations are engine-defined; driver records rows-only checks.
+    }

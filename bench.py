@@ -1,0 +1,168 @@
+"""Headline benchmark: prints ONE JSON line
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Env:
+  SPARK_GRAFT_SF_DIR  data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+
+The headline queries exercise the scale-critical operators:
+  pip      600k lineitem-derived points x 25 admin boxes, two-phase spatial
+           join (broadcast build side, vectorized PIP refine)
+  knn      15k customer points -> k=5 nearest of 1k supplier points
+           (grid ring-expansion kNN)
+  dwithin  15k x 1k distance join with envelope expansion
+  minhash  near-dup candidate pairs over the documents table (LSH banding)
+  ann      brute-force cosine top-5, 20 queries x full embeddings corpus
+  textscan token/quality/langid full scan of documents (pure JVM columns)
+  tpch_q1  relational aggregation baseline (Catalyst-only, for reference)
+
+Throughput extras (rows/sec for the two north-rule operators) are included
+as informational keys; the driver's contract keys stay exactly as specified.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sedona_db_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def lineitem_points(spark, sf_dir):
+    """600k deterministic points derived from lineitem keys (the web-pages
+    stand-in at bench scale)."""
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.functions import st
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    x = F.lit(-180.0) + ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 3600) * F.lit(0.1) + F.lit(0.005)
+    y = F.lit(-90.0) + ((F.col("l_partkey") * 13) % 1800) * F.lit(0.1) + F.lit(0.005)
+    return li.select("l_orderkey", "l_linenumber", st.ST_Point(x, y).alias("geom"))
+
+
+def run_queries(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from sedona_db_spark.operators.dedup import minhash_dedup
+    from sedona_db_spark.operators.knn_join import knn_join
+    from sedona_db_spark.operators.similarity import brute_force_topk
+    from sedona_db_spark.operators.spatial_join import spatial_join
+    from sedona_db_spark.functions import text as T
+
+    timings = {}
+    extras = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        return out, dt
+
+    # pip: the north-rule headline
+    pts = lineitem_points(spark, sf_dir)
+    boxes = em._nation_boxes(spark, sf_dir).select("n_nationkey", "geom")
+    n_pts = pts.count()
+
+    def pip():
+        j = spatial_join(pts, boxes, predicate="within", left_geom="geom",
+                         right_geom="geom", left_is_points=True, grid_level=4,
+                         broadcast_right=True)
+        return j.groupBy("n_nationkey").count().collect()
+
+    _, dt = timed("pip", pip)
+    extras["pip_rows_per_sec"] = round(n_pts / dt, 1)
+
+    # knn
+    cust = em._cust_pts(spark, sf_dir).select("c_custkey", "geom")
+    supp = em._supp_pts(spark, sf_dir).select("s_suppkey", "geom")
+    n_cust = cust.count()
+
+    def knn():
+        j = knn_join(cust, supp, k=5, probe_geom="geom", build_geom="geom",
+                     build_id="s_suppkey", grid_level=6)
+        return j.count()
+
+    knn_rows, dt = timed("knn", knn)
+    extras["knn_rows_per_sec"] = round(n_cust / dt, 1)
+
+    def dwithin():
+        j = spatial_join(cust, supp, predicate="dwithin", distance=4.95,
+                         left_geom="geom", right_geom="geom")
+        return j.count()
+
+    timed("dwithin", dwithin)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def minhash():
+        return minhash_dedup(docs, "text", "doc_id", threshold=0.5).count()
+
+    timed("minhash", minhash)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def ann():
+        q = emb.where(F.col("vec_id") < 20)
+        return brute_force_topk(q, emb, k=5).count()
+
+    timed("ann", ann)
+
+    def textscan():
+        return docs.select(
+            F.sum(T.token_count(F.col("text"))),
+            F.sum(T.quality_score(F.col("text"))),
+            F.count(T.langid(F.col("text"))),
+        ).collect()
+
+    timed("textscan", textscan)
+
+    def q1():
+        return em._q_tpch_q1(spark, sf_dir).collect()
+
+    timed("tpch_q1", q1)
+
+    return timings, extras
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        timings, extras = run_queries(spark, sf_dir)
+    finally:
+        spark.stop()
+    out = {
+        "metric": "spatial-join wall time (PIP + kNN + dedup/ANN/text) at local[%d]" % cpus,
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

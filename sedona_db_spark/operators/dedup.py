@@ -204,10 +204,11 @@ def simhash_udf(seed: int = 3):
 
 
 def hash_word(w: str, seed: int) -> int:
-    h = np.uint64((seed * 0x9E3779B97F4A7C15 + 0xCBF29CE484222325) & 0xFFFFFFFFFFFFFFFF)
+    # python-int FNV-1a with explicit 64-bit wrap (no numpy overflow noise)
+    h = (seed * 0x9E3779B97F4A7C15 + 0xCBF29CE484222325) & 0xFFFFFFFFFFFFFFFF
     for ch in w.encode("utf-8"):
-        h = (h ^ np.uint64(ch)) * np.uint64(0x100000001B3)
-    return int(h)
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
 
 
 def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,

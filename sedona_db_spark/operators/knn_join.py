@@ -186,23 +186,32 @@ def knn_join(
                 )
             dcol = dist(F.col("_px"), F.col("_py"), F.col("_bx"), F.col("_by"))
         else:
-            dcol = F.sqrt(
-                (F.col("_px") - F.col("_bx")) ** 2 + (F.col("_py") - F.col("_by")) ** 2
-            )
-        cand = cand.withColumn("knn_distance", dcol)
+            # squared distance via plain multiply/add (NOT POWER): the exact
+            # IEEE ops any SQL engine uses for (dx*dx + dy*dy), so rankings
+            # are bit-reproducible against external oracles
+            dx = F.col("_px") - F.col("_bx")
+            dy = F.col("_py") - F.col("_by")
+            dcol = dx * dx + dy * dy
+        cand = cand.withColumn("_rankkey", dcol)
+        # rank on the squared distance (sqrt can collapse 1-ulp-distinct
+        # keys into equal doubles and reorder vs an external oracle); the
+        # reported distance applies sqrt afterwards
+        dist_out = F.col("_rankkey") if use_spheroid else F.sqrt("_rankkey")
         if include_ties:
             # rank over distance ONLY: equidistant rows share a rank and all
             # come back (`knn_include_tie_breakers` in the reference,
             # rust/sedona-spatial-join/src/index.rs:499-676)
-            w = Window.partitionBy("_pid").orderBy(F.col("knn_distance").asc())
+            w = Window.partitionBy("_pid").orderBy(F.col("_rankkey").asc())
             ranked = cand.withColumn("knn_rank", F.rank().over(w))
         else:
             # deterministic tie-break: a user-named build id beats the
             # synthetic (partitioning-dependent) _bid
             tie = F.col(f"_b_{build_id}").asc() if build_id else F.col("_bid").asc()
-            w = Window.partitionBy("_pid").orderBy(F.col("knn_distance").asc(), tie)
+            w = Window.partitionBy("_pid").orderBy(F.col("_rankkey").asc(), tie)
             ranked = cand.withColumn("knn_rank", F.row_number().over(w))
-        return ranked.where(F.col("knn_rank") <= k)
+        return ranked.withColumn("knn_distance", dist_out).where(
+            F.col("knn_rank") <= k
+        ).drop("_rankkey")
 
     P1 = P.withColumn("_r", initial_radius(F.col("_px"), F.col("_py")))
     P1 = P1.withColumn("_cells", cells_within(F.col("_px"), F.col("_py"), F.col("_r"))).cache()

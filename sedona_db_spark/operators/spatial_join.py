@@ -315,10 +315,24 @@ def spatial_join(
     ).withColumn("_rid", F.monotonically_increasing_id())
     lgeom = f"_l_{left_geom}"
     rgeom = f"_r_{right_geom}"
+    dist_col = "_dist" if predicate == "dwithin" else None
 
     # --- stats + grid level -------------------------------------------------
     if grid_level is None:
         widths, heights, _ = estimate_env_stats(R, rgeom)
+        if dist_col is not None:
+            # dwithin covers envelopes EXPANDED by the distance — size the
+            # grid for the expanded envelope or point sides explode to
+            # millions of cells (analogue of expand_rect_in_place,
+            # rust/sedona-spatial-join/src/operand_evaluator.rs:307)
+            dsample = [
+                float(r[0])
+                for r in R.select("_dist").limit(1000).collect()
+                if r[0] is not None
+            ]
+            dmed = float(np.median(dsample)) if dsample else 0.0
+            widths = (widths if len(widths) else np.zeros(1)) + 2.0 * dmed
+            heights = (heights if len(heights) else np.zeros(1)) + 2.0 * dmed
         grid_level = pick_level_for_envelopes(widths, heights)
     grid = Grid(grid_level)
 
@@ -328,8 +342,6 @@ def spatial_join(
         left_is_points = bool(sample) and all(
             len(bytes(v)) == 21 and bytes(v)[1] == wkb.POINT for v in sample
         )
-
-    dist_col = "_dist" if predicate == "dwithin" else None
 
     # --- cover both sides -----------------------------------------------------
     if left_is_points and predicate != "dwithin":

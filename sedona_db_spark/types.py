@@ -50,8 +50,9 @@ def geometry_field(name: str, crs: Optional[str] = DEFAULT_CRS, edges: str = PLA
 
 def with_geom_meta(df: DataFrame, colname: str, crs: Optional[str] = DEFAULT_CRS,
                    edges: str = PLANAR) -> DataFrame:
-    """Attach geometry metadata to an existing binary column."""
-    return df.withMetadata(colname, geom_meta(crs, edges)[META_KEY] | {})
+    """Attach geometry metadata to an existing binary column (wrapped under
+    META_KEY, matching geometry_field/get_geom_meta)."""
+    return df.withMetadata(colname, geom_meta(crs, edges))
 
 
 def get_geom_meta(df: DataFrame, colname: str) -> Optional[dict]:

@@ -1,0 +1,121 @@
+"""Replicates the driver's correctness gate locally: run every
+`__spark_entry__.queries()` entry on Spark and its `oracle_sql()` twin on
+DuckDB at sf0.01, compare row count, column names, and order-insensitive
+values. Run: `python tests/oracle_check.py [sf_dir]`."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(val):
+    if val is None:
+        return "NULL"
+    if isinstance(val, bool):
+        return "T" if val else "F"
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "NaN"
+        return repr(val)
+    if isinstance(val, (bytes, bytearray)):
+        return bytes(val).hex()
+    return str(val)
+
+
+def frame_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL {name}: spark error {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"weak {name}: rows={len(srows)} (no oracle)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = [tuple(r) for r in res.fetchall()]
+        except Exception as e:
+            failures.append((name, f"ORACLE ERROR: {e}"))
+            print(f"FAIL {name}: oracle error {str(e)[:300]}")
+            continue
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} != {len(orows)}")
+        if not problems:
+            sk, ok = frame_key(scols, srows), frame_key(ocols, orows)
+            if sk != ok:
+                diffs = [(a, b) for a, b in zip(sk, ok) if a != b][:3]
+                problems.append(f"values differ, first diffs: {diffs}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"FAIL {name}: {'; '.join(p[:400] for p in problems)}")
+        else:
+            print(f"ok   {name}: {len(srows)} rows")
+
+    # smoke: entry()
+    try:
+        n = entrymod.entry(spark).count()
+        print(f"entry(): {n} rows")
+        if n <= 0:
+            failures.append(("entry", "0 rows"))
+    except Exception as e:
+        failures.append(("entry", str(e)))
+        print(f"FAIL entry: {e}")
+
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILURES")
+        sys.exit(1)
+    print("\nALL OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""GeoParquet round-trip + bbox pruning tests."""
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from sedona_db_spark.geometry import wkb
+from sedona_db_spark.sources import geoparquet as GP
+from sedona_db_spark.types import get_geom_meta
+
+
+def _pts_df(spark, n=200, seed=0):
+    rng = np.random.default_rng(seed)
+    x, y = rng.uniform(-170, 170, n), rng.uniform(-80, 80, n)
+    rows = [(int(i), bytes(b)) for i, b in enumerate(wkb.encode_points_xy(x, y))]
+    return spark.createDataFrame(rows, "id LONG, geometry BINARY"), x, y
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    df, x, y = _pts_df(spark, 100)
+    path = str(tmp_path / "gp")
+    meta = GP.write_geoparquet(df, path, ["geometry"])
+    assert meta["version"].startswith("1.1")
+    assert meta["primary_column"] == "geometry"
+    col = meta["columns"]["geometry"]
+    assert col["encoding"] == "WKB"
+    bb = col["bbox"]
+    assert bb[0] == float(x.min()) and bb[3] == float(y.max())
+
+    back = GP.read_geoparquet(spark, path)
+    assert back.count() == 100
+    # geometry metadata re-attached
+    gm = get_geom_meta(back, "geometry")
+    assert gm and gm["crs"] == "OGC:CRS84"
+    # footer key readable
+    assert GP.read_geo_metadata(path)["columns"]["geometry"]["covering"]["bbox"]["xmin"] == [
+        "geometry_bbox", "xmin"
+    ]
+
+
+def test_bbox_filter_prunes_rowgroups(spark, tmp_path):
+    df, x, y = _pts_df(spark, 2000, seed=1)
+    path = str(tmp_path / "gp2")
+    # sort by x so row groups have tight disjoint bbox stats
+    from sedona_db_spark.functions import st
+
+    df = df.withColumn("px", st.ST_X(F.col("geometry"))).orderBy("px").drop("px")
+    GP.write_geoparquet(df.repartitionByRange(8, F.lit(1)), path, ["geometry"])
+    back = GP.read_geoparquet(spark, path)
+    got = GP.filter_bbox(back, "geometry", -10, -90, 10, 90)
+    want = int(((x >= -10) & (x <= 10)).sum())
+    assert got.count() == want
+    # the filter is on plain struct fields -> shows up as pushed filters
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "bbox" in plan
+
+
+def test_write_refuses_null_crs(spark, tmp_path):
+    df, _, _ = _pts_df(spark, 5)
+    import pytest
+
+    with pytest.raises(ValueError):
+        GP.write_geoparquet(df, str(tmp_path / "x"), ["geometry"], crs=None)

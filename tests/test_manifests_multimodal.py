@@ -1,0 +1,115 @@
+"""Checkpoint-resume manifests + multimodal plumbing tests."""
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sedona_db_spark.plans import manifests as M
+from sedona_db_spark.sources import multimodal as MM
+
+
+def test_run_stage_writes_manifest_and_resumes(spark, tmp_path):
+    root = str(tmp_path / "pipe")
+    calls = {"n": 0}
+
+    def build(s):
+        calls["n"] += 1
+        return s.range(100).select(
+            F.col("id"),
+            (F.col("id") % 10).cast("double").alias("xmin"),
+            (F.col("id") % 5).cast("double").alias("ymin"),
+            (F.col("id") % 10 + 1).cast("double").alias("xmax"),
+            (F.col("id") % 5 + 1).cast("double").alias("ymax"),
+            (F.col("id") % 50).alias("cell_id"),
+        )
+
+    out = M.run_stage(spark, root, "stage1", build,
+                      geom_bounds_cols=["xmin", "ymin", "xmax", "ymax"],
+                      cell_col="cell_id")
+    assert out.count() == 100
+    assert calls["n"] == 1
+
+    m = M.load_manifest(root, "stage1")
+    assert m.rows == 100
+    assert sum(m.partition_rows.values()) == 100
+    assert m.bbox == [0.0, 0.0, 10.0, 5.0]
+    assert m.cell_range == [0, 49]
+    assert m.wall_sec > 0
+
+    # resume: build NOT called again
+    out2 = M.run_stage(spark, root, "stage1", build,
+                       geom_bounds_cols=["xmin", "ymin", "xmax", "ymax"],
+                       cell_col="cell_id")
+    assert out2.count() == 100
+    assert calls["n"] == 1
+
+
+def test_run_stage_recomputes_on_lineage_change(spark, tmp_path):
+    root = str(tmp_path / "pipe2")
+
+    def build_a1(s):
+        return s.range(10).select(F.col("id"))
+
+    def build_a2(s):
+        return s.range(20).select(F.col("id"))
+
+    def build_b(s):
+        return spark.read.parquet(os.path.join(root, "a", "data")).where(F.col("id") < 5)
+
+    M.run_stage(spark, root, "a", build_a1)
+    M.run_stage(spark, root, "b", build_b, inputs=["a"])
+    fp_b1 = M.load_manifest(root, "b").fingerprint
+
+    # upstream changes -> b's lineage fingerprint mismatches -> recompute
+    M.run_stage(spark, root, "a", build_a2, force=True)
+    out = M.run_stage(spark, root, "b", build_b, inputs=["a"])
+    assert out.count() == 5
+    m_b = M.load_manifest(root, "b")
+    assert m_b.inputs["a"] == M.load_manifest(root, "a").fingerprint
+
+
+def test_spatial_filter_stats_prunes(spark, tmp_path):
+    root = str(tmp_path / "pipe3")
+
+    def build(s):
+        return s.range(10).select(
+            F.lit(10.0).alias("xmin"), F.lit(10.0).alias("ymin"),
+            F.lit(20.0).alias("xmax"), F.lit(20.0).alias("ymax"),
+        )
+
+    M.run_stage(spark, root, "s", build, geom_bounds_cols=["xmin", "ymin", "xmax", "ymax"])
+    st = M.SpatialFilterStats(M.load_manifest(root, "s"))
+    assert st.may_intersect(15, 15, 25, 25)
+    assert not st.may_intersect(30, 30, 40, 40)  # pruned from manifest alone
+
+
+def test_multimodal_features(spark):
+    media = MM.synthesize_media(spark, 30)
+    assert media.count() == 30
+    feats = MM.extract_features(media, decode="fake")
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == MM.FEATURE_DIM for r in rows)
+    # deterministic: same id -> same feature across runs
+    again = {r["media_id"]: r["feature"] for r in MM.extract_features(
+        MM.synthesize_media(spark, 30), decode="fake").collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["feature"]
+
+
+def test_multimodal_strict_decode_raises(spark):
+    media = MM.synthesize_media(spark, 3)
+    with pytest.raises(Exception):
+        MM.extract_features(media, decode="strict").collect()
+
+
+def test_video_frame_sampling(spark):
+    media = MM.synthesize_media(spark, 30)
+    frames = MM.sample_video_frames(media, every_ms=1000)
+    rows = frames.collect()
+    n_video = media.where(F.col("kind") == "video").count()
+    assert len(rows) == n_video * 5  # 5000 ms / 1000 ms
+    assert all(r["frame"] is not None for r in rows)
