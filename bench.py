@@ -53,7 +53,11 @@ def lineitem_points(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     x = F.lit(-180.0) + ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 3600) * F.lit(0.1) + F.lit(0.005)
     y = F.lit(-90.0) + ((F.col("l_partkey") * 13) % 1800) * F.lit(0.1) + F.lit(0.005)
-    return li.select("l_orderkey", "l_linenumber", st.ST_Point(x, y).alias("geom"))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        x.alias("lon"), y.alias("lat"),
+        st.ST_Point(x, y).alias("geom"),
+    )
 
 
 def run_queries(spark, sf_dir):
@@ -82,13 +86,26 @@ def run_queries(spark, sf_dir):
     n_pts = pts.count()
 
     def pip():
-        j = spatial_join(pts, boxes, predicate="within", left_geom="geom",
-                         right_geom="geom", left_is_points=True, grid_level=4,
-                         broadcast_right=True)
+        # all-JVM fast path: codegen cell assignment + rectangle refine
+        j = spatial_join(pts.select("l_orderkey", "lon", "lat"), boxes,
+                         predicate="within", left_geom="geom",
+                         right_geom="geom", left_xy=("lon", "lat"),
+                         grid_level=4, broadcast_right=True)
         return j.groupBy("n_nationkey").count().collect()
 
     _, dt = timed("pip", pip)
     extras["pip_rows_per_sec"] = round(n_pts / dt, 1)
+
+    def pip_udf():
+        # WKB-decode path (general geometry), for comparison
+        j = spatial_join(pts.select("l_orderkey", "geom"), boxes,
+                         predicate="within", left_geom="geom",
+                         right_geom="geom", left_is_points=True,
+                         grid_level=4, broadcast_right=True)
+        return j.groupBy("n_nationkey").count().collect()
+
+    _, dt = timed("pip_udf", pip_udf)
+    extras["pip_udf_rows_per_sec"] = round(n_pts / dt, 1)
 
     # knn
     cust = em._cust_pts(spark, sf_dir).select("c_custkey", "geom")

@@ -55,8 +55,9 @@ def run_level(cpus: int, sf_dir: str, replicate: int, iters: int = 3):
         boxes = em._nation_boxes(spark, sf_dir).select("n_nationkey", "geom")
 
         def job():
-            j = spatial_join(pts, boxes, predicate="within", left_geom="geom",
-                             right_geom="geom", left_is_points=True,
+            j = spatial_join(pts.select("l_orderkey", "lon", "lat"), boxes,
+                             predicate="within", left_geom="geom",
+                             right_geom="geom", left_xy=("lon", "lat"),
                              grid_level=4, broadcast_right=True)
             return j.groupBy("n_nationkey").count().collect()
 

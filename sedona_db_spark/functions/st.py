@@ -1082,6 +1082,116 @@ def _st_transform(s: pd.Series, from_crs: pd.Series, to_crs: pd.Series) -> pd.Se
 
 
 # ---------------------------------------------------------------------------
+# SRID / CRS (reference: st_setsrid.rs, st_srid.rs — CRS lives on the column
+# type there; our cross-engine carrier is the EWKB SRID field, while the
+# DataFrame-level convention in ..types carries full CRS metadata)
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+
+_CRS_TO_SRID = {"OGC:CRS84": 4326, "EPSG:4326": 4326, "EPSG:3857": 3857}
+_SRID_TO_CRS = {4326: "EPSG:4326", 3857: "EPSG:3857"}
+
+
+def _read_srid(buf: bytes) -> int:
+    if buf is None or len(buf) < 9:
+        return 0
+    endian = "<" if buf[0] == 1 else ">"
+    (raw,) = _struct.unpack_from(endian + "I", buf, 1)
+    if raw & 0x20000000:  # EWKB SRID flag
+        (srid,) = _struct.unpack_from(endian + "I", buf, 5)
+        return int(srid)
+    return 0
+
+
+def _set_srid_bytes(buf: bytes, srid: int) -> bytes:
+    g = wkb.parse(buf)
+    iso = wkb.encode(g)  # normalized ISO little-endian, no SRID
+    if not srid:
+        return iso
+    (raw,) = _struct.unpack_from("<I", iso, 1)
+    # convert ISO zm-coded type to EWKB flags + SRID
+    base = raw % 1000
+    flags = 0
+    if raw >= 3000:
+        flags = 0x80000000 | 0x40000000
+    elif raw >= 2000:
+        flags = 0x40000000
+    elif raw >= 1000:
+        flags = 0x80000000
+    header = b"\x01" + _struct.pack("<I", base | flags | 0x20000000) + _struct.pack("<I", srid)
+    return header + iso[5:]
+
+
+@pandas_udf(BinaryType())
+def _st_setsrid(s: pd.Series, srid: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if (v is None or k is None) else _set_srid_bytes(bytes(v), int(k))
+            for v, k in zip(s, srid)
+        ],
+        dtype=object,
+    )
+
+
+@pandas_udf(IntegerType())
+def _st_srid(s: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if v is None else _read_srid(bytes(v)) for v in s], dtype="Int32"
+    )
+
+
+@pandas_udf(BinaryType())
+def _st_setcrs(s: pd.Series, crs: pd.Series) -> pd.Series:
+    def run(v, c):
+        if v is None or c is None:
+            return None
+        srid = _CRS_TO_SRID.get(str(c).upper())
+        if srid is None:
+            raise ValueError(f"unknown CRS {c!r} (supported: {sorted(_CRS_TO_SRID)})")
+        return _set_srid_bytes(bytes(v), srid)
+
+    return pd.Series([run(v, c) for v, c in zip(s, crs)], dtype=object)
+
+
+@pandas_udf(StringType())
+def _st_crs(s: pd.Series) -> pd.Series:
+    def run(v):
+        if v is None:
+            return None
+        srid = _read_srid(bytes(v))
+        return _SRID_TO_CRS.get(srid) if srid else None
+
+    return pd.Series([run(v) for v in s], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_asbinary(s: pd.Series) -> pd.Series:
+    # strip any EWKB SRID tag -> plain ISO WKB (reference st_asbinary.rs
+    # strips the extension tag; the bytes themselves are already WKB)
+    return pd.Series(
+        [None if v is None else wkb.encode(wkb.parse(v)) for v in s], dtype=object
+    )
+
+
+def _st_knn_marker(*_args):
+    raise NotImplementedError(
+        "ST_KNN is a join-only marker function (docs/reference/sql.md:702-723 "
+        "in the reference); use sedona_db_spark.knn_join(probe, build, k=...)"
+    )
+
+
+def barrier(col: Column) -> Column:
+    """Optimization barrier (reference: rust/sedona-functions/src/barrier.rs)
+    — a volatile identity that PREVENTS Catalyst from pushing the wrapped
+    boolean filter past it (e.g. to force filter-after-kNN semantics)."""
+    from pyspark.sql.functions import udf
+
+    f = udf(lambda b: b, BooleanType()).asNondeterministic()
+    return f(col)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1097,6 +1207,11 @@ _UDFS: Dict[str, object] = {
     "ST_GeomFromWKB": _st_geomfromwkb,
     "ST_GeogFromWKB": _st_geomfromwkb,
     "ST_AsText": _st_astext,
+    "ST_AsBinary": _st_asbinary,
+    "ST_SetSRID": _st_setsrid,
+    "ST_SRID": _st_srid,
+    "ST_SetCRS": _st_setcrs,
+    "ST_CRS": _st_crs,
     "ST_MakeLine": _st_makeline,
     "ST_MakeEnvelope": _st_makeenvelope,
     "SD_Format": _sd_format,

@@ -61,6 +61,93 @@ def _points_xy(df: DataFrame, geom_col: str, xname: str, yname: str) -> DataFram
     return df.withColumn(xname, px(F.col(geom_col))).withColumn(yname, py(F.col(geom_col)))
 
 
+def _broadcast_knn(spark, P: DataFrame, B: DataFrame, k: int, pcols, bcols,
+                   build_id, use_spheroid: bool, include_ties: bool) -> DataFrame:
+    """Exact kNN with the build side broadcast: per probe Arrow batch, one
+    vectorized (batch x n_build) distance matrix + argpartition."""
+    tie_col = f"_b_{build_id}" if build_id else "_bid"
+    brows = B.select("_bid", "_bx", "_by", tie_col).collect()
+    bid = np.array([r["_bid"] for r in brows], dtype=np.int64)
+    bx = np.array([r["_bx"] for r in brows], dtype=np.float64)
+    by = np.array([r["_by"] for r in brows], dtype=np.float64)
+    tie = np.array([r[tie_col] for r in brows])
+    # pre-sort build by the tie key so ties resolve by position
+    order0 = np.argsort(tie, kind="stable")
+    bid, bx, by = bid[order0], bx[order0], by[order0]
+    bc = spark.sparkContext.broadcast((bid, bx, by))
+    k_eff = min(k, len(bid))
+
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        list(P.schema.fields)
+        + [
+            StructField("_bid_m", LongType()),
+            StructField("knn_distance", DoubleType()),
+            StructField("knn_rank", IntegerType()),
+        ]
+    )
+
+    def solve(batches):
+        bid_, bx_, by_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            px = pdf["_px"].to_numpy(np.float64)
+            py = pdf["_py"].to_numpy(np.float64)
+            if use_spheroid:
+                d = algos.haversine_m(px[:, None], py[:, None], bx_[None, :], by_[None, :])
+            else:
+                dx = px[:, None] - bx_[None, :]
+                dy = py[:, None] - by_[None, :]
+                d = dx * dx + dy * dy
+            idx_rows, idx_cols, dists, ranks = [], [], [], []
+            if include_ties:
+                part = np.sort(d, axis=1)
+                kth = part[:, k_eff - 1]
+                for i in range(len(px)):
+                    sel = np.nonzero(d[i] <= kth[i])[0]
+                    dv = d[i, sel]
+                    o = np.argsort(dv, kind="stable")
+                    sel, dv = sel[o], dv[o]
+                    # competition rank over distance only
+                    rk = np.searchsorted(np.sort(d[i]), dv, side="left") + 1
+                    idx_rows.extend([i] * len(sel))
+                    idx_cols.extend(sel.tolist())
+                    dists.extend(dv.tolist())
+                    ranks.extend(rk.astype(int).tolist())
+            else:
+                # take every candidate within the k-th distance (ties at the
+                # boundary included), order by (distance, tie key), keep k —
+                # argpartition alone could drop the tie-key-preferred row of
+                # a boundary tie
+                kth = np.partition(d, k_eff - 1, axis=1)[:, k_eff - 1]
+                for i in range(len(px)):
+                    sel = np.nonzero(d[i] <= kth[i])[0]
+                    o = np.lexsort((sel, d[i, sel]))[:k_eff]
+                    sel = sel[o]
+                    idx_rows.extend([i] * k_eff)
+                    idx_cols.extend(sel.tolist())
+                    dists.extend(d[i, sel].tolist())
+                    ranks.extend(range(1, k_eff + 1))
+            out = pdf.iloc[idx_rows].reset_index(drop=True)
+            out["_bid_m"] = bid_[idx_cols]
+            dd = np.asarray(dists)
+            out["knn_distance"] = dd if use_spheroid else np.sqrt(dd)
+            out["knn_rank"] = np.asarray(ranks, dtype=np.int32)
+            yield out
+
+    res = P.mapInPandas(solve, out_schema)
+    Bj = F.broadcast(B.withColumnRenamed("_bid", "_bid_m").drop("_bx", "_by"))
+    joined = res.join(Bj, "_bid_m")
+    out_cols = (
+        [F.col(f"_p_{c}").alias(c) for c in pcols]
+        + [F.col(f"_b_{c}").alias(c) for c in bcols]
+        + [F.col("knn_distance"), F.col("knn_rank").cast("int").alias("knn_rank")]
+    )
+    return joined.select(*out_cols)
+
+
 def knn_join(
     probe: DataFrame,
     build: DataFrame,
@@ -73,6 +160,7 @@ def knn_join(
     include_ties: bool = False,
     grid_level: int = 8,
     max_radius_passes: int = 6,
+    broadcast_threshold: int = 200_000,
 ) -> DataFrame:
     """For each probe point return its k nearest build points.
 
@@ -99,6 +187,18 @@ def knn_join(
     @F.pandas_udf(LongType())
     def cell_of(x: pd.Series, y: pd.Series) -> pd.Series:
         return pd.Series(grid.cell_of_points(x.to_numpy(np.float64), y.to_numpy(np.float64)))
+
+    # --- small build side: broadcast the whole build table and solve each
+    # probe batch exactly with numpy (the distributed analogue of the
+    # reference's shared in-memory R-tree, exec.rs `OnceAsync` build — on a
+    # cluster "shared memory" = a broadcast variable). No shuffle of the
+    # probe side at all; one window-free pass.
+    n_build = B.count()
+    if n_build <= broadcast_threshold:
+        return _broadcast_knn(
+            spark, P, B, k, pcols, bcols, build_id,
+            use_spheroid=use_spheroid, include_ties=include_ties,
+        )
 
     B = B.withColumn("_cell", cell_of(F.col("_bx"), F.col("_by"))).cache()
 

@@ -51,7 +51,7 @@ from pyspark.sql.types import (
 )
 
 from ..geometry import algos, wkb
-from ..tiling import Grid, pick_level_for_envelopes
+from ..tiling import Grid, cell_expr, pick_level_for_envelopes
 
 RELATION_FNS = {
     "intersects": algos.intersects,
@@ -160,6 +160,32 @@ def _cover_cells_udf(grid: Grid, expand_col: Optional[str] = None):
             return pd.Series(out, dtype=object)
 
         return cover
+
+
+def _is_axis_rect_wkb(v) -> bool:
+    """True iff the WKB is a single-ring axis-aligned rectangle (5-point
+    closed ring, each edge parallel to an axis, positive area)."""
+    try:
+        g = wkb.parse(bytes(v))
+    except Exception:
+        return False
+    if g is None or g.type_id != wkb.POLYGON or len(g.coords) != 1:
+        return False
+    ring = g.coords[0]
+    if len(ring) != 5:
+        return False
+    if not (ring[0][:2] == ring[-1][:2]).all():
+        return False
+    xs = set(float(x) for x in ring[:4, 0])
+    ys = set(float(y) for y in ring[:4, 1])
+    if len(xs) != 2 or len(ys) != 2:
+        return False
+    for i in range(4):
+        dx = ring[i + 1, 0] - ring[i, 0]
+        dy = ring[i + 1, 1] - ring[i, 1]
+        if dx != 0 and dy != 0:
+            return False
+    return True
 
 
 def estimate_env_stats(df: DataFrame, geom_col: str, sample_rows: int = 1000):
@@ -280,6 +306,7 @@ def spatial_join(
     grid_level: Optional[int] = None,
     broadcast_right: Optional[bool] = None,
     left_is_points: Optional[bool] = None,
+    left_xy: Optional[tuple] = None,
 ) -> DataFrame:
     """Spatial join: ``left PREDICATE right`` with OGC semantics.
 
@@ -288,6 +315,12 @@ def spatial_join(
     how: inner|left|right|left_semi|left_anti
     distance: for dwithin — a literal or a Column (column-valued distances
               match the reference's `tests/test_sjoin.py` cases)
+    left_xy: optional (x_col, y_col) names on `left` holding the point
+             coordinates as plain doubles (e.g. the pages table's lon/lat).
+             Unlocks the ALL-JVM fast path: cell assignment by codegen bit
+             math (`tiling.cell_expr`) and — when the right side is
+             axis-aligned rectangles — a pure-column refine, i.e. zero
+             Python in the whole join.
     """
     predicate = predicate.lower()
     how = how.lower()
@@ -337,17 +370,44 @@ def spatial_join(
     grid = Grid(grid_level)
 
     # --- detect the hot point×polygon shape ----------------------------------
+    if left_xy is not None:
+        left_is_points = True
     if left_is_points is None:
         sample = [r[0] for r in L.select(lgeom).limit(200).collect() if r[0] is not None]
         left_is_points = bool(sample) and all(
             len(bytes(v)) == 21 and bytes(v)[1] == wkb.POINT for v in sample
         )
 
+    # --- right side: axis-aligned-rectangle layer detection -------------------
+    # (admin boxes, tile grids, envelope layers) — unlocks a pure-column
+    # refine for point-in-rect predicates
+    right_is_rects = False
+    if left_is_points and predicate in ("within", "covered_by", "intersects", "touches"):
+        rsample0 = [r[0] for r in R.select(rgeom).limit(200).collect() if r[0] is not None]
+        right_is_rects = bool(rsample0) and all(_is_axis_rect_wkb(v) for v in rsample0)
+    if right_is_rects:
+        rb0 = _bounds_udf()(F.col(rgeom))
+        R = (
+            R.withColumn("_rbx", rb0)
+            .withColumn("_rx0", F.col("_rbx.xmin"))
+            .withColumn("_ry0", F.col("_rbx.ymin"))
+            .withColumn("_rx1", F.col("_rbx.xmax"))
+            .withColumn("_ry1", F.col("_rbx.ymax"))
+            .drop("_rbx")
+        )
+
     # --- cover both sides -----------------------------------------------------
     if left_is_points and predicate != "dwithin":
-        Lc = L.withColumn("_cell", _cell_of_points_udf(grid, lgeom)).where(
-            F.col("_cell").isNotNull()
-        )
+        if left_xy is not None:
+            px0 = F.col(f"_l_{left_xy[0]}").cast("double")
+            py0 = F.col(f"_l_{left_xy[1]}").cast("double")
+            Lc = L.withColumn("_cell", cell_expr(grid, px0, py0)).where(
+                px0.isNotNull() & py0.isNotNull()
+            )
+        else:
+            Lc = L.withColumn("_cell", _cell_of_points_udf(grid, lgeom)).where(
+                F.col("_cell").isNotNull()
+            )
         left_exploded = False
     else:
         cover = _cover_cells_udf(grid)
@@ -432,13 +492,49 @@ def spatial_join(
             refine = _refine_udf(predicate, False)
             cand = cand.withColumn("_ok", refine(F.col(lgeom), F.col(rgeom)))
         else:
-            pip = _point_in_polygon_refine_udf(pred_map[predicate])
-            px = _point_x_expr(lgeom)
-            py = _point_y_expr(lgeom)
-            cand = cand.withColumn("_ok", pip(px, py, F.col(rgeom)))
+            if left_xy is not None:
+                px = F.col(f"_l_{left_xy[0]}").cast("double")
+                py = F.col(f"_l_{left_xy[1]}").cast("double")
+            else:
+                px = _point_x_expr(lgeom)
+                py = _point_y_expr(lgeom)
+            if right_is_rects:
+                # pure-column point-in-rectangle refine (whole-stage codegen)
+                x0, y0, x1, y1 = (F.col(c) for c in ("_rx0", "_ry0", "_rx1", "_ry1"))
+                inside_open = (px > x0) & (px < x1) & (py > y0) & (py < y1)
+                inside_closed = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+                if predicate == "within":
+                    ok = inside_open
+                elif predicate in ("covered_by", "intersects"):
+                    ok = inside_closed
+                else:  # touches: closed-box minus interior
+                    ok = inside_closed & ~inside_open
+                cand = cand.withColumn("_ok", ok)
+            else:
+                pip = _point_in_polygon_refine_udf(pred_map[predicate])
+                cand = cand.withColumn("_ok", pip(px, py, F.col(rgeom)))
     elif predicate == "dwithin":
-        refine = _refine_udf("dwithin", True)
-        cand = cand.withColumn("_ok", refine(F.col(lgeom), F.col(rgeom), F.col(dist_col)))
+        rsample = [r[0] for r in R.select(rgeom).limit(200).collect() if r[0] is not None]
+        right_is_points = bool(rsample) and all(
+            len(bytes(v)) == 21 and bytes(v)[1] == wkb.POINT for v in rsample
+        )
+        if left_is_points and right_is_points:
+            # point x point: one vectorized decode + hypot per Arrow batch
+            # (the generic per-pair parser is ~50x slower here)
+            @F.pandas_udf(BooleanType())
+            def refine_pp(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
+                ax, ay, av = wkb.decode_points_xy(list(a))
+                bx, by, bv = wkb.decode_points_xy(list(b))
+                dd = d.to_numpy(dtype=np.float64, na_value=np.nan)
+                ok = av & bv & (np.hypot(ax - bx, ay - by) <= dd)
+                return pd.Series(ok)
+
+            cand = cand.withColumn(
+                "_ok", refine_pp(F.col(lgeom), F.col(rgeom), F.col(dist_col))
+            )
+        else:
+            refine = _refine_udf("dwithin", True)
+            cand = cand.withColumn("_ok", refine(F.col(lgeom), F.col(rgeom), F.col(dist_col)))
     else:
         refine = _refine_udf(predicate, False)
         cand = cand.withColumn("_ok", refine(F.col(lgeom), F.col(rgeom)))

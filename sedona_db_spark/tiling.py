@@ -126,6 +126,33 @@ class Grid:
         return self.pack(np.where(ok, nix, 0), np.where(ok, niy, 0)), ok
 
 
+def cell_expr(grid: "Grid", x_col, y_col):
+    """Pure-Spark (whole-stage-codegen) point -> cell_id expression.
+
+    The same morton interleave as `Grid.pack`, written as Column bit math —
+    when x/y exist as plain columns (e.g. the pages table's lon/lat), cell
+    assignment costs ZERO python and fuses into the scan stage."""
+    from pyspark.sql import functions as F
+
+    def spread(c):
+        c = c.bitwiseAND(F.lit(0x3FFFFFF))
+        c = (c.bitwiseOR(F.shiftleft(c, 16))).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+        c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+        c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+        c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x3333333333333333))
+        c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x5555555555555555))
+        return c
+
+    x0, y0 = grid.bounds[0], grid.bounds[1]
+    ix = F.floor((x_col - F.lit(x0)) / F.lit(grid.cw)).cast("long")
+    iy = F.floor((y_col - F.lit(y0)) / F.lit(grid.ch)).cast("long")
+    ix = F.greatest(F.lit(0), F.least(ix, F.lit(grid.nx - 1)))
+    iy = F.greatest(F.lit(0), F.least(iy, F.lit(grid.nx - 1)))
+    return F.lit(grid.level << 58).bitwiseOR(spread(ix)).bitwiseOR(
+        F.shiftleft(spread(iy), 1)
+    )
+
+
 def pick_level_for_envelopes(widths: np.ndarray, heights: np.ndarray,
                              bounds=WORLD, target_cells_per_geom: float = 4.0,
                              min_level: int = 2, max_level: int = 16) -> int:

@@ -37,12 +37,13 @@ def brute_knn(px, py, bx, by, k):
 
 
 @pytest.mark.parametrize("k", [1, 3, 5])
-def test_knn_matches_bruteforce(spark, k):
+@pytest.mark.parametrize("bt", [0, 200_000])  # 0 forces the grid path
+def test_knn_matches_bruteforce(spark, k, bt):
     probe_rows, px, py = make_points(60, 42)
     build_rows, bx, by = make_points(150, 43)
     P = spark.createDataFrame(probe_rows, SCHEMA).withColumnRenamed("id", "pid")
     B = spark.createDataFrame(build_rows, SCHEMA).withColumnRenamed("id", "bid")
-    res = knn_join(P, B, k=k, build_id="bid", grid_level=5)
+    res = knn_join(P, B, k=k, build_id="bid", grid_level=5, broadcast_threshold=bt)
     rows = res.select("pid", "bid", "knn_distance", "knn_rank").collect()
     assert len(rows) == 60 * k
     want = brute_knn(px, py, bx, by, k)
@@ -70,7 +71,7 @@ def test_knn_sparse_build_forces_ring_escalation(spark):
     build_rows = [(int(i), bytes(b)) for i, b in enumerate(wkb.encode_points_xy(bx, by))]
     P = spark.createDataFrame(probe_rows, SCHEMA).withColumnRenamed("id", "pid")
     B = spark.createDataFrame(build_rows, SCHEMA).withColumnRenamed("id", "bid")
-    res = knn_join(P, B, k=3, build_id="bid", grid_level=6)
+    res = knn_join(P, B, k=3, build_id="bid", grid_level=6, broadcast_threshold=0)
     rows = res.select("pid", "bid", "knn_rank").collect()
     assert len(rows) == 40 * 3
     want = brute_knn(px, py, bx, by, 3)
@@ -87,7 +88,8 @@ def test_knn_k_exceeds_build_size(spark):
     P = spark.createDataFrame(probe_rows, SCHEMA).withColumnRenamed("id", "pid")
     B = spark.createDataFrame(build_rows, SCHEMA).withColumnRenamed("id", "bid")
     res = knn_join(P, B, k=9, build_id="bid", grid_level=4)
-    # every probe gets all 4 build rows
+    assert res.count() == 10 * 4
+    res = knn_join(P, B, k=9, build_id="bid", grid_level=4, broadcast_threshold=0)
     assert res.count() == 10 * 4
 
 
@@ -99,10 +101,13 @@ def test_knn_include_ties(spark):
     build_rows = [(int(i), bytes(b)) for i, b in enumerate(wkb.encode_points_xy(bx, by))]
     P = spark.createDataFrame(probe_rows, SCHEMA).withColumnRenamed("id", "pid")
     B = spark.createDataFrame(build_rows, SCHEMA).withColumnRenamed("id", "bid")
-    res = knn_join(P, B, k=2, build_id="bid", include_ties=True, grid_level=5)
-    assert res.count() == 4
-    res2 = knn_join(P, B, k=2, build_id="bid", include_ties=False, grid_level=5)
-    assert res2.count() == 2
+    for bt in (0, 200_000):
+        res = knn_join(P, B, k=2, build_id="bid", include_ties=True, grid_level=5,
+                       broadcast_threshold=bt)
+        assert res.count() == 4, f"bt={bt}"
+        res2 = knn_join(P, B, k=2, build_id="bid", include_ties=False, grid_level=5,
+                        broadcast_threshold=bt)
+        assert res2.count() == 2, f"bt={bt}"
 
 
 def test_knn_spheroid_metric(spark):
@@ -116,5 +121,7 @@ def test_knn_spheroid_metric(spark):
     B = spark.createDataFrame(build_rows, SCHEMA).withColumnRenamed("id", "bid")
     planar = knn_join(P, B, k=1, build_id="bid", grid_level=4).collect()[0]["bid"]
     sphere = knn_join(P, B, k=1, build_id="bid", use_spheroid=True, grid_level=4).collect()[0]["bid"]
+    assert knn_join(P, B, k=1, build_id="bid", grid_level=4,
+                    broadcast_threshold=0).collect()[0]["bid"] == planar
     assert planar == 1  # 4.5 deg < 5 deg planar
     assert sphere == 0  # 5 deg lon at lat 80 ≈ 97 km < 500 km
