@@ -259,6 +259,51 @@ def _refine_udf(predicate: str, distance_expr_is_col: bool):
     return refine
 
 
+def _point_in_polygon_refine_bcast_udf(predicate: str, bc):
+    """PIP refine that looks polygons up in a BROADCAST id->WKB map.
+
+    Candidate rows then carry an 8-byte id instead of the full polygon WKB —
+    at 10^7+ candidates the Arrow transfer of replicated ~1 KB polygons is
+    the join's bandwidth ceiling; this removes it."""
+    want_interior_only = predicate in ("contains", "within")
+    boundary_ok = predicate in ("intersects", "covers", "covered_by")
+
+    @F.pandas_udf(BooleanType())
+    def refine(px: pd.Series, py: pd.Series, rid: pd.Series) -> pd.Series:
+        polys = bc.value
+        n = len(px)
+        out = np.zeros(n, dtype=bool)
+        xs = px.to_numpy(dtype=np.float64, na_value=np.nan)
+        ys = py.to_numpy(dtype=np.float64, na_value=np.nan)
+        rids = rid.to_numpy()
+        order = np.argsort(rids, kind="stable")
+        cache = {}
+        i = 0
+        while i < n:
+            j = i
+            rv = rids[order[i]]
+            while j < n and rids[order[j]] == rv:
+                j += 1
+            ii = order[i:j]
+            g = cache.get(rv)
+            if g is None:
+                buf = polys.get(int(rv))
+                g = wkb.parse(buf) if buf is not None else None
+                cache[rv] = g
+            if g is not None:
+                loc = algos.locate_points_in_geometry(xs[ii], ys[ii], g)
+                if want_interior_only:
+                    out[ii] = loc == algos.INTERIOR
+                elif boundary_ok:
+                    out[ii] = loc != algos.OUTSIDE
+                else:
+                    out[ii] = loc == algos.BOUNDARY
+            i = j
+        return pd.Series(out)
+
+    return refine
+
+
 def _point_in_polygon_refine_udf(predicate: str):
     """Vectorized refine for the hot case: left side is points.
 
@@ -307,6 +352,7 @@ def spatial_join(
     broadcast_right: Optional[bool] = None,
     left_is_points: Optional[bool] = None,
     left_xy: Optional[tuple] = None,
+    right_is_rects: Optional[bool] = None,
 ) -> DataFrame:
     """Spatial join: ``left PREDICATE right`` with OGC semantics.
 
@@ -381,10 +427,14 @@ def spatial_join(
     # --- right side: axis-aligned-rectangle layer detection -------------------
     # (admin boxes, tile grids, envelope layers) — unlocks a pure-column
     # refine for point-in-rect predicates
-    right_is_rects = False
-    if left_is_points and predicate in ("within", "covered_by", "intersects", "touches"):
-        rsample0 = [r[0] for r in R.select(rgeom).limit(200).collect() if r[0] is not None]
-        right_is_rects = bool(rsample0) and all(_is_axis_rect_wkb(v) for v in rsample0)
+    if right_is_rects is None:
+        right_is_rects = False
+        if left_is_points and predicate in ("within", "covered_by", "intersects", "touches"):
+            rsample0 = [r[0] for r in R.select(rgeom).limit(200).collect() if r[0] is not None]
+            right_is_rects = bool(rsample0) and all(_is_axis_rect_wkb(v) for v in rsample0)
+    else:
+        right_is_rects = bool(right_is_rects) and left_is_points and predicate in (
+            "within", "covered_by", "intersects", "touches")
     if right_is_rects:
         rb0 = _bounds_udf()(F.col(rgeom))
         R = (
@@ -510,6 +560,16 @@ def spatial_join(
                 else:  # touches: closed-box minus interior
                     ok = inside_closed & ~inside_open
                 cand = cand.withColumn("_ok", ok)
+            elif broadcast_right:
+                # broadcast the polygon bytes once; candidates carry only ids
+                rmap = {
+                    int(r["_rid"]): bytes(r[rgeom])
+                    for r in R.select("_rid", rgeom).collect()
+                    if r[rgeom] is not None
+                }
+                bc = left.sparkSession.sparkContext.broadcast(rmap)
+                pipb = _point_in_polygon_refine_bcast_udf(pred_map[predicate], bc)
+                cand = cand.withColumn("_ok", pipb(px, py, F.col("_rid")))
             else:
                 pip = _point_in_polygon_refine_udf(pred_map[predicate])
                 cand = cand.withColumn("_ok", pip(px, py, F.col(rgeom)))
@@ -608,6 +668,43 @@ def _point_y_expr(geom_col: str):
         return out
 
     return py(F.col(geom_col))
+
+
+def geography_dwithin_join(
+    left: DataFrame,
+    right: DataFrame,
+    distance_m: float,
+    left_geom: str = "geometry",
+    right_geom: str = "geometry",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Geography (spherical-edges) distance join.
+
+    The reference's spatial-join optimizer only rewrites PLANAR joins —
+    geography falls back to an exact nested-loop join
+    (rust/sedona-spatial-join/src/optimizer.rs:1015-1055 in /root/reference).
+    We mirror that: broadcast nested-loop + vectorized haversine refine.
+    Longitudes wrap naturally through the trig (points at lon -190 and
+    lon 170 are 0 apart on the sphere), so antimeridian-straddling data
+    joins correctly where a planar join would find nothing."""
+    lcols, rcols = left.columns, right.columns
+    L = left.select([F.col(c).alias(f"_l_{c}") for c in lcols])
+    R = right.select([F.col(c).alias(f"_r_{c}") for c in rcols])
+    Rj = F.broadcast(R) if broadcast_right else R
+    cand = L.crossJoin(Rj)
+
+    @F.pandas_udf(BooleanType())
+    def refine(a: pd.Series, b: pd.Series) -> pd.Series:
+        ax, ay, av = wkb.decode_points_xy(list(a))
+        bx, by, bv = wkb.decode_points_xy(list(b))
+        d = algos.haversine_m(ax, ay, bx, by)
+        return pd.Series(av & bv & (d <= distance_m))
+
+    out = cand.where(refine(F.col(f"_l_{left_geom}"), F.col(f"_r_{right_geom}")))
+    return out.select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[F.col(f"_r_{c}").alias(c) for c in rcols],
+    )
 
 
 def salt_hot_cells(df: DataFrame, cell_col: str, hot_threshold: int, replicas: int) -> DataFrame:
