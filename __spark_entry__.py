@@ -290,6 +290,48 @@ def _q_simhash_pairs(spark, sf_dir):
     return simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
 
 
+def _q_geography_dwithin(spark, sf_dir):
+    from sedona_db_spark.operators.spatial_join import geography_dwithin_join
+
+    pts = _cust_pts(spark, sf_dir).select("c_custkey", "geom")
+    sup = _supp_pts(spark, sf_dir).select("s_suppkey", "geom")
+    j = geography_dwithin_join(pts, sup, distance_m=500_000.0,
+                               left_geom="geom", right_geom="geom")
+    return j.select("c_custkey", "s_suppkey")
+
+
+def _q_doc_bpe_tokens(spark, sf_dir):
+    from sedona_db_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.bpe_token_count(F.col("text")).cast("bigint").alias("n_bpe")
+    )
+
+
+def _q_embedding_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return emb.select("vec_id", F.round(norm, 6).alias("l2_norm"))
+
+
+def _q_ivf_ann(spark, sf_dir):
+    # approximate by construction (probes nprobe/nlists of the corpus) —
+    # no SQL oracle; recall vs brute force asserted in tests/test_dedup_text.py
+    from sedona_db_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    out = ivf_topk(q, emb, k=5, nlists=8, nprobe=4, train_sample=2000)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+
+
 def _q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -356,6 +398,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
+        "geography_dwithin": _q_geography_dwithin,
+        "doc_bpe_tokens": _q_doc_bpe_tokens,
+        "embedding_norms": _q_embedding_norms,
+        "ivf_ann": _q_ivf_ann,
         "tpch_q1": _q_tpch_q1,
         "window_top_orders": _q_window_top_orders,
         "events_hourly": _q_events_hourly,
@@ -480,6 +526,25 @@ def oracle_sql() -> dict[str, str]:
             "    c.vec_id) AS INTEGER) AS rank "
             "  FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id < 10) "
             "WHERE rank <= 5"
+        ),
+        "geography_dwithin": (
+            # haversine with the same operation structure as
+            # geometry/algos.haversine_m (R = 6371008.8 mean radius)
+            f"SELECT c.c_custkey AS c_custkey, s.s_suppkey AS s_suppkey "
+            f"FROM customer c CROSS JOIN supplier s WHERE "
+            f"2.0*CAST(6371008.8 AS DOUBLE)*asin(sqrt(least(CAST(1.0 AS DOUBLE), "
+            f"pow(sin((radians({_CY})-radians({_SY}))/2),2) + "
+            f"cos(radians({_SY}))*cos(radians({_CY}))*"
+            f"pow(sin((radians({_CX})-radians({_SX}))/2),2)))) <= CAST(500000.0 AS DOUBLE)"
+        ),
+        "doc_bpe_tokens": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe FROM documents"
+        ),
+        "embedding_norms": (
+            "SELECT vec_id, round(sqrt(list_dot_product("
+            "CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm "
+            "FROM embeddings"
         ),
         "tpch_q1": (
             "SELECT l_returnflag, l_linestatus, "

@@ -353,6 +353,7 @@ def spatial_join(
     left_is_points: Optional[bool] = None,
     left_xy: Optional[tuple] = None,
     right_is_rects: Optional[bool] = None,
+    salt_replicas: int = 0,
 ) -> DataFrame:
     """Spatial join: ``left PREDICATE right`` with OGC semantics.
 
@@ -495,9 +496,21 @@ def spatial_join(
             broadcast_right = right.count() <= 2_000_000
         except Exception:
             broadcast_right = False
-    Rj = F.broadcast(Rc) if broadcast_right else Rc
-
-    cand = Lc.join(Rj, on="_cell", how="inner")
+    if salt_replicas > 1 and not broadcast_right:
+        # Zipf-skewed cells (hotspot cities) overwhelm single reduce tasks
+        # in a shuffled cell join; salting splits each hot cell across
+        # `salt_replicas` sub-keys — the big side picks one salt at random,
+        # the small side replicates into all of them (SURVEY.md §4 skew row)
+        Lc = Lc.withColumn(
+            "_salt", (F.rand(42) * salt_replicas).cast("int")
+        )
+        Rc = Rc.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_replicas - 1)))
+        )
+        cand = Lc.join(Rc, on=["_cell", "_salt"], how="inner").drop("_salt")
+    else:
+        Rj = F.broadcast(Rc) if broadcast_right else Rc
+        cand = Lc.join(Rj, on="_cell", how="inner")
 
     # --- PBSM dedup (only when both sides exploded) ----------------------------
     if left_exploded and right_exploded:
@@ -620,6 +633,21 @@ def spatial_join(
         pairs = matched.select("_rid", *[F.col(f"_l_{c}") for c in lcols])
         joined = R.join(pairs, "_rid", "left")
         return joined.select(*out_l, *out_r)
+    if how in ("full", "outer", "full_outer"):
+        # inner pairs + unmatched-left + unmatched-right (the visited-bitmap
+        # Full variant of the reference, stream.rs:292-388)
+        inner = matched.select(*out_l, *out_r)
+        l_unmatched = (
+            L.join(matched.select("_lid").distinct(), "_lid", "left_anti")
+            .select(*out_l, *[F.lit(None).cast(R.schema[f"_r_{c}"].dataType).alias(c) for c in rcols])
+        )
+        r_unmatched = (
+            R.join(matched.select("_rid").distinct(), "_rid", "left_anti")
+            .select(*[F.lit(None).cast(L.schema[f"_l_{c}"].dataType).alias(c) for c in lcols], *out_r)
+        )
+        # positional union: output may legitimately carry duplicate column
+        # names (same contract as df.join), which unionByName rejects
+        return inner.union(l_unmatched).union(r_unmatched)
     raise ValueError(f"unsupported how={how!r}")
 
 

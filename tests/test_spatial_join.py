@@ -204,3 +204,30 @@ def test_polygon_sides_both_exploded_dedup(spark):
         if algos.intersects(wkb.parse(aw), wkb.parse(bw))
     }
     assert set(rows) == want
+
+
+def test_full_outer(tables):
+    pts_df, polys_df, pts, polys = tables
+    L = pts_df.withColumnRenamed("id", "lid").withColumnRenamed("dist", "ldist")
+    R = polys_df.withColumnRenamed("id", "rid").withColumnRenamed("dist", "rdist")
+    inner = oracle_pairs(pts, polys, "intersects")
+    full = spatial_join(L, R, predicate="intersects", how="full")
+    rows = full.select("lid", "rid").collect()
+    got_pairs = {(r["lid"], r["rid"]) for r in rows if r["lid"] is not None and r["rid"] is not None}
+    unmatched_l = {r["lid"] for r in rows if r["rid"] is None}
+    unmatched_r = {r["rid"] for r in rows if r["lid"] is None}
+    assert got_pairs == inner
+    assert unmatched_l == {i for i, _, _ in pts} - {l for l, _ in inner}
+    assert unmatched_r == {i for i, _, _ in polys} - {r for _, r in inner}
+    assert len(rows) == len(inner) + len(unmatched_l) + len(unmatched_r)
+
+
+def test_salted_join_agrees(tables):
+    """Salted shuffle join (skew mitigation) returns the same pairs."""
+    pts_df, polys_df, pts, polys = tables
+    L = pts_df.withColumnRenamed("id", "lid").withColumnRenamed("dist", "ldist")
+    R = polys_df.withColumnRenamed("id", "rid").withColumnRenamed("dist", "rdist")
+    res = spatial_join(L, R, predicate="intersects", broadcast_right=False,
+                       salt_replicas=4)
+    got = {(r["lid"], r["rid"]) for r in res.select("lid", "rid").collect()}
+    assert got == oracle_pairs(pts, polys, "intersects")
