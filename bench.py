@@ -39,6 +39,10 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        # bigger Arrow batches amortize per-batch python overhead in the
+        # vectorized kernels (~20-30% on the refine-heavy queries)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .getOrCreate()
     )
 
