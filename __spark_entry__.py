@@ -21,7 +21,18 @@ interior vs boundary semantics can never disagree with the oracle.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make `sedona_db_spark` importable regardless of the caller's CWD — both
+# in this driver process and in the python workers it spawns (workers
+# inherit PYTHONPATH when the daemon starts, which is lazily after this)
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
+os.environ["PYTHONPATH"] = (
+    _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 import numpy as np
 import pandas as pd
