@@ -32,7 +32,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..geometry import algos, wkb
+from ..geometry import algos, overlay, wkb
 from .st import _union as _pairwise_union
 
 
@@ -108,8 +108,19 @@ def _finish_udf(kind: str):
                 else:
                     g = wkb.Geometry(wkb.GEOMETRYCOLLECTION, geoms)
             elif kind == "union":
-                g = geoms[0]
-                for nxt in geoms[1:]:
+                areal = [x for x in geoms if x.polygons()]
+                others = [x for x in geoms if not x.polygons()]
+                merged = []
+                if areal:
+                    # dissolving cascaded union (balanced overlay fold)
+                    merged.append(overlay.union_all(areal))
+                if others:
+                    g = others[0]
+                    for nxt in others[1:]:
+                        g = _pairwise_union(g, nxt)
+                    merged.append(g)
+                g = merged[0]
+                for nxt in merged[1:]:
                     g = _pairwise_union(g, nxt)
             else:  # intersection
                 from .st import _intersection
@@ -135,17 +146,17 @@ def collect_aggr(df: DataFrame, geom_col: str, group_cols: Optional[List[str]] =
 
 def union_aggr(df: DataFrame, geom_col: str, group_cols: Optional[List[str]] = None,
                out_col: str = "union_geom") -> DataFrame:
-    """ST_Union_Aggr. Deviation from the reference (documented): without a
-    clipping library the union does not dissolve overlapping polygon
-    boundaries — it merges parts and dedupes coincident points; disjoint
-    inputs (the common tiling case) produce exact results."""
+    """ST_Union_Aggr: dissolving union per group (reference:
+    st_union_aggr.rs). Areal members merge through the exact overlay engine
+    (cascaded balanced fold); puntal members dedupe coincident points."""
     grouped = df.groupBy(*(group_cols or [])).agg(F.collect_list(geom_col).alias("_geoms"))
     return grouped.withColumn(out_col, _finish_udf("union")(F.col("_geoms"))).drop("_geoms")
 
 
 def intersection_aggr(df: DataFrame, geom_col: str, group_cols: Optional[List[str]] = None,
                       out_col: str = "intersection_geom") -> DataFrame:
-    """ST_Intersection_Aggr (point×any / convex-polygon chains)."""
+    """ST_Intersection_Aggr: chained intersection per group (general
+    polygons via the overlay engine)."""
     grouped = df.groupBy(*(group_cols or [])).agg(F.collect_list(geom_col).alias("_geoms"))
     return grouped.withColumn(out_col, _finish_udf("intersection")(F.col("_geoms"))).drop("_geoms")
 

@@ -41,7 +41,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..geometry import algos, wkb
+from ..geometry import algos, overlay, wkb
 
 # ---------------------------------------------------------------------------
 # kernel helpers
@@ -489,25 +489,44 @@ def _ring_is_valid(ring: np.ndarray) -> bool:
     return True
 
 
+def _ring_simple(ring: np.ndarray) -> bool:
+    """Exact ring simplicity: no contact between non-adjacent segments.
+    O(n^2) pairs but each row is one vectorized orientation sweep — validity
+    is a cold path, never inside the join refine."""
+    segs = np.hstack([ring[:-1, :2], ring[1:, :2]])
+    keep = ~((segs[:, 0] == segs[:, 2]) & (segs[:, 1] == segs[:, 3]))
+    segs = segs[keep]
+    n = len(segs)
+    for i in range(n - 2):
+        j0 = i + 2
+        j1 = n - 1 if i == 0 else n  # wrap pair (0, n-1) is adjacent
+        if j1 > j0 and algos.segments_intersect_any(segs[i : i + 1], segs[j0:j1]):
+            return False
+    return True
+
+
 def _is_valid(g) -> bool:
-    # from-scratch validity: closed rings with >=4 points, no NaN coords,
-    # shell self-intersection check for small rings
+    """From-scratch OGC validity: finite coords, closed rings (>=4 pts),
+    EXACT ring simplicity (no size cutoff — reference: GEOS IsValidOp,
+    c/sedona-geos/src/st_isvalid.rs), holes contained in their shell."""
     c = g.all_coords()
     if len(c) and not np.isfinite(c[:, :2]).all():
         return False
     for poly in g.polygons():
+        if not poly.coords:
+            continue
         for ring in poly.coords:
             if not _ring_is_valid(ring):
                 return False
-            segs = np.hstack([ring[:-1, :2], ring[1:, :2]])
-            n = len(segs)
-            if n <= 64:  # O(n^2) self-intersection check on small rings
-                for i in range(n):
-                    for j in range(i + 2, n):
-                        if i == 0 and j == n - 1:
-                            continue
-                        if algos.segments_intersect_any(segs[i : i + 1], segs[j : j + 1]):
-                            return False
+            if len(ring) >= 4 and not _ring_simple(ring):
+                return False
+        shell = poly.coords[0]
+        for hole in poly.coords[1:]:
+            if len(hole) == 0:
+                continue
+            inside, on = algos.locate_points_in_ring(hole[:, 0], hole[:, 1], shell)
+            if np.any(~inside & ~on):
+                return False
     return True
 
 
@@ -762,9 +781,11 @@ def _clip_convex(subject: "wkb.Geometry", clip_ring: np.ndarray):
 
 
 def _intersection(a, b):
-    """Geometry intersection for the shapes our engine targets:
-    point×any, any×point, polygon×convex-polygon (Sutherland-Hodgman).
-    The reference delegates to GEOS (`c/sedona-geos/src/overlay.rs`)."""
+    """Geometry intersection. The reference delegates to GEOS
+    (`c/sedona-geos/src/overlay.rs` in /root/reference); here areal×areal
+    routes through the from-scratch exact snap-rounded subdivision overlay
+    (geometry/overlay.py), lineal×areal clips lines at polygon boundaries,
+    lineal×lineal nodes the arrangement; puntal cases test membership."""
     if a is None or b is None:
         return None
     if a.is_empty or b.is_empty or not algos.intersects(a, b):
@@ -780,15 +801,14 @@ def _intersection(a, b):
                 return keep[0]
             return wkb.Geometry(wkb.MULTIPOINT, keep)
     if a.polygons() and b.polygons():
-        bp = b.polygons()
-        if len(bp) == 1 and len(bp[0].coords) == 1 and _ring_convex(bp[0].coords[0]):
-            return _clip_convex(a, bp[0].coords[0])
-        ap = a.polygons()
-        if len(ap) == 1 and len(ap[0].coords) == 1 and _ring_convex(ap[0].coords[0]):
-            return _clip_convex(b, ap[0].coords[0])
+        return overlay.polygon_overlay(a, b, "intersection")
+    for lines, poly in ((a, b), (b, a)):
+        if lines.lines() and not lines.polygons() and poly.polygons():
+            return overlay.clip_lines_by_polygon(lines, poly, "intersection")
+    if a.lines() and b.lines():
+        return overlay.line_line_intersection(a, b)
     raise NotImplementedError(
-        "general (non-convex) polygon overlay requires a clipping library; "
-        "supported: point×any, polygon×convex-polygon"
+        "intersection of mixed geometry collections is not supported"
     )
 
 
@@ -820,10 +840,13 @@ _st_intersection = _make_overlay_udf(_intersection)
 
 
 def _union(a, b):
-    """Union as a collection merge (no dissolve — documented deviation;
-    the dissolving union lives in ST_Union_Aggr for envelopes/disjoint sets)."""
+    """Union. Areal×areal DISSOLVES through the exact overlay engine
+    (matching GEOS); puntal unions dedupe coincident points; mixed inputs
+    merge into a collection."""
     if a is None or b is None:
         return None
+    if a.polygons() and b.polygons() and not a.lines() and not b.lines() and not a.points() and not b.points():
+        return overlay.polygon_overlay(a, b, "union")
     parts = []
     for g in (a, b):
         if g.is_empty:
@@ -842,11 +865,6 @@ def _union(a, b):
                 seen.add(key)
                 uniq.append(p)
         return uniq[0] if len(uniq) == 1 else wkb.Geometry(wkb.MULTIPOINT, uniq)
-    if types == {wkb.POLYGON}:
-        if len(parts) == 1:
-            return parts[0]
-        if not algos.intersects(a, b):
-            return wkb.Geometry(wkb.MULTIPOLYGON, parts)
     if types == {wkb.LINESTRING}:
         return parts[0] if len(parts) == 1 else wkb.Geometry(wkb.MULTILINESTRING, parts)
     if len(parts) == 1:
@@ -867,7 +885,17 @@ def _difference(a, b):
         return keep[0] if len(keep) == 1 else wkb.Geometry(wkb.MULTIPOINT, keep)
     if not algos.intersects(a, b):
         return a
-    raise NotImplementedError("general polygon difference unsupported (no GEOS in env)")
+    if a.polygons():
+        if b.polygons():
+            return overlay.polygon_overlay(a, b, "difference")
+        return a  # subtracting lower-dimensional geometry leaves a unchanged
+    if a.lines():
+        if b.polygons():
+            return overlay.clip_lines_by_polygon(a, b, "difference")
+        if b.lines():
+            return overlay.line_line_difference(a, b)
+        return a
+    raise NotImplementedError("difference of mixed geometry collections is not supported")
 
 
 _st_difference = _make_overlay_udf(_difference)
@@ -888,7 +916,9 @@ def _symdifference(a, b):
         return pts[0] if len(pts) == 1 else wkb.Geometry(wkb.MULTIPOINT, pts)
     if not algos.intersects(a, b):
         return _union(a, b)
-    raise NotImplementedError("general polygon symdifference unsupported")
+    if a.polygons() and b.polygons():
+        return overlay.polygon_overlay(a, b, "symdifference")
+    raise NotImplementedError("symdifference of mixed-dimension geometries is not supported")
 
 
 _st_symdifference = _make_overlay_udf(_symdifference)
@@ -903,8 +933,18 @@ def _st_unaryunion(s: pd.Series) -> pd.Series:
         parts = g.geometries()
         if len(parts) <= 1:
             return wkb.encode(parts[0] if parts else g)
-        out = parts[0]
-        for p in parts[1:]:
+        areal = [p for p in parts if p.polygons()]
+        others = [p for p in parts if not p.polygons()]
+        merged = []
+        if areal:
+            merged.append(overlay.union_all(areal))  # dissolve overlaps
+        if others:
+            out = others[0]
+            for p in others[1:]:
+                out = _union(out, p)
+            merged.append(out)
+        out = merged[0]
+        for p in merged[1:]:
             out = _union(out, p)
         return wkb.encode(out)
 
@@ -924,7 +964,9 @@ def _st_buffer(s: pd.Series, d: pd.Series) -> pd.Series:
             return wkb.encode(algos.buffer_point(float(p.coords[0, 0]), float(p.coords[0, 1]), dd))
         if dd == 0:
             return wkb.encode(g)
-        raise NotImplementedError("ST_Buffer supports points in this build (no GEOS)")
+        # lines/polygons/multis: capsule union / inward difference through
+        # the overlay engine (reference: c/sedona-geos/src/st_buffer.rs)
+        return wkb.encode(overlay.buffer_geometry(g, dd))
 
     return pd.Series([buf(v, dd) for v, dd in zip(s, d)], dtype=object)
 

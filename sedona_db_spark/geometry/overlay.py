@@ -1,0 +1,784 @@
+"""General polygon boolean overlay, from scratch (no GEOS in this env).
+
+Replaces the reference's GEOS overlay kernels
+(`c/sedona-geos/src/overlay.rs` in /root/reference — ST_Intersection /
+ST_Union / ST_Difference / ST_SymDifference) for arbitrary polygons:
+concave shells, holes, multipolygons, shared/collinear edges.
+
+Algorithm: snap-rounded planar-subdivision overlay with EXACT integer
+predicates (the textbook arrangement/DCEL approach, de Berg et al. ch. 2):
+
+  1. QUANTIZE  — all coordinates snap to a power-of-two grid sized from the
+                 input bbox (relative resolution 2^-40). Power-of-two
+                 quantum => dequantization is exact in IEEE doubles, and
+                 grid-aligned fixtures round-trip bit-identically.
+  2. NODE      — every input edge is split at every intersection with every
+                 other edge. Orientation tests are exact (Python big-int
+                 cross products); proper-crossing points are computed as
+                 rationals and rounded to the grid.
+  3. PROVENANCE— each undirected subdivision edge remembers, per input
+                 polygon, which side its interior lies on (rings are
+                 normalized shell-CCW/hole-CW, so interior is always LEFT
+                 of a directed boundary edge). Edges not on a polygon's
+                 boundary get membership from one exact point-in-polygon
+                 test of their midpoint (guaranteed off-boundary).
+  4. SELECT    — per half-edge, the boolean op over (inA, inB) of its left
+                 face. Boundary half-edges are those whose left face is
+                 selected and right face is not.
+  5. TRACE     — walk boundary half-edges with the angular-next rule
+                 (first outgoing edge clockwise from the reversed incoming
+                 direction) => shells come out CCW, holes CW; holes are
+                 nested into their smallest containing shell.
+
+Degenerate results (polygons touching only along edges/points) fall back
+to the shared-boundary pieces, matching GEOS's lower-dimensional results
+for ST_Intersection.
+
+All arithmetic on the hot decisions (orientation, on-segment, area sign)
+is integer-exact; only the final dequantization returns to doubles.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import algos, wkb
+from .wkb import Geometry, LINESTRING, MULTILINESTRING, MULTIPOINT, MULTIPOLYGON, POINT, POLYGON, GEOMETRYCOLLECTION
+
+Pt = Tuple[int, int]
+
+_REL_BITS = 40  # quantization: resolution = scale * 2^-40
+
+
+# ---------------------------------------------------------------------------
+# quantization
+# ---------------------------------------------------------------------------
+
+
+def _pick_quantum(coords_max_abs: float) -> float:
+    m = max(coords_max_abs, 1.0)
+    e = math.ceil(math.log2(m)) if m > 1.0 else 0
+    return math.ldexp(1.0, e - _REL_BITS)  # power of two
+
+
+def _quantize_ring(ring: np.ndarray, q: float) -> List[Pt]:
+    xs = np.rint(ring[:, 0] / q).astype(object)
+    ys = np.rint(ring[:, 1] / q).astype(object)
+    out: List[Pt] = []
+    for x, y in zip(xs, ys):
+        p = (int(x), int(y))
+        if not out or out[-1] != p:
+            out.append(p)
+    if len(out) > 1 and out[0] == out[-1]:
+        out.pop()
+    return out  # open ring (no repeated closing vertex), dupes collapsed
+
+
+def _ring_area2_int(ring: List[Pt]) -> int:
+    a = 0
+    n = len(ring)
+    for i in range(n):
+        x0, y0 = ring[i]
+        x1, y1 = ring[(i + 1) % n]
+        a += x0 * y1 - x1 * y0
+    return a  # 2x signed area, exact
+
+
+# ---------------------------------------------------------------------------
+# exact predicates on grid points
+# ---------------------------------------------------------------------------
+
+
+def _orient(o: Pt, a: Pt, b: Pt) -> int:
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+
+def _on_segment(p: Pt, a: Pt, b: Pt) -> bool:
+    if _orient(a, b, p) != 0:
+        return False
+    return (
+        min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+        and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])
+    )
+
+
+def _round_div(n: int, d: int) -> int:
+    """Round n/d to nearest int, ties away from zero. Exact for ints."""
+    if d < 0:
+        n, d = -n, -d
+    if n >= 0:
+        return (2 * n + d) // (2 * d)
+    return -((-2 * n + d) // (2 * d))
+
+
+# ---------------------------------------------------------------------------
+# noding (split all segments at all intersections)
+# ---------------------------------------------------------------------------
+
+
+class _Seg:
+    __slots__ = ("p", "q", "side_a", "side_b", "cuts")
+
+    def __init__(self, p: Pt, q: Pt, side_a: int, side_b: int):
+        self.p = p
+        self.q = q
+        self.side_a = side_a  # +1: A interior left of p->q, -1: right, 0: not A boundary
+        self.side_b = side_b
+        self.cuts: List[Pt] = []
+
+
+def _collect_segments(geom_rings: List[Tuple[List[Pt], bool]], which: str) -> List[_Seg]:
+    """geom_rings: list of (open ring pts, is_shell). Normalizes orientation
+    so interior is left of every directed edge, then emits segments."""
+    segs: List[_Seg] = []
+    for ring, is_shell in geom_rings:
+        if len(ring) < 3:
+            continue
+        a2 = _ring_area2_int(ring)
+        if a2 == 0:
+            continue
+        ccw = a2 > 0
+        # shells must be CCW, holes CW for interior-on-left
+        pts = ring if (ccw == is_shell) else ring[::-1]
+        n = len(pts)
+        for i in range(n):
+            p, q = pts[i], pts[(i + 1) % n]
+            if p == q:
+                continue
+            if which == "A":
+                segs.append(_Seg(p, q, +1, 0))
+            else:
+                segs.append(_Seg(p, q, 0, +1))
+    return segs
+
+
+def _node_segments(segs: List[_Seg]) -> None:
+    """Add cut points to every segment at every pairwise intersection.
+    Exact orientation tests; proper crossings rounded to grid."""
+    n = len(segs)
+    # bbox arrays for the O(n^2) prefilter (floats fine for a filter)
+    bx0 = np.array([min(s.p[0], s.q[0]) for s in segs], dtype=np.float64)
+    bx1 = np.array([max(s.p[0], s.q[0]) for s in segs], dtype=np.float64)
+    by0 = np.array([min(s.p[1], s.q[1]) for s in segs], dtype=np.float64)
+    by1 = np.array([max(s.p[1], s.q[1]) for s in segs], dtype=np.float64)
+    for i in range(n):
+        si = segs[i]
+        # candidates j > i whose bbox overlaps
+        jj = np.nonzero(
+            (bx0[i + 1 :] <= bx1[i]) & (bx1[i + 1 :] >= bx0[i])
+            & (by0[i + 1 :] <= by1[i]) & (by1[i + 1 :] >= by0[i])
+        )[0]
+        for j0 in jj:
+            sj = segs[i + 1 + int(j0)]
+            a, b, c, d = si.p, si.q, sj.p, sj.q
+            d1 = _orient(c, d, a)
+            d2 = _orient(c, d, b)
+            d3 = _orient(a, b, c)
+            d4 = _orient(a, b, d)
+            if d1 == 0 and d2 == 0:
+                # collinear: project endpoints onto each other
+                if _on_segment(c, a, b):
+                    si.cuts.append(c)
+                if _on_segment(d, a, b):
+                    si.cuts.append(d)
+                if _on_segment(a, c, d):
+                    sj.cuts.append(a)
+                if _on_segment(b, c, d):
+                    sj.cuts.append(b)
+                continue
+            if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)) and d1 != 0 and d2 != 0 and d3 != 0 and d4 != 0:
+                # proper crossing: exact rational point, rounded to grid
+                den = d1 - d2
+                px = _round_div(a[0] * den + (b[0] - a[0]) * d1, den)
+                py = _round_div(a[1] * den + (b[1] - a[1]) * d1, den)
+                si.cuts.append((px, py))
+                sj.cuts.append((px, py))
+                continue
+            # endpoint touching
+            if d1 == 0 and _on_segment(a, c, d):
+                sj.cuts.append(a)
+            if d2 == 0 and _on_segment(b, c, d):
+                sj.cuts.append(b)
+            if d3 == 0 and _on_segment(c, a, b):
+                si.cuts.append(c)
+            if d4 == 0 and _on_segment(d, a, b):
+                si.cuts.append(d)
+
+
+def _subdivide(seg: _Seg) -> List[Tuple[Pt, Pt, int, int]]:
+    pts = [seg.p, seg.q] + seg.cuts
+    dx = seg.q[0] - seg.p[0]
+    dy = seg.q[1] - seg.p[1]
+    # sort along the segment by exact dot product
+    pts = sorted(set(pts), key=lambda t: (t[0] - seg.p[0]) * dx + (t[1] - seg.p[1]) * dy)
+    out = []
+    for u, v in zip(pts[:-1], pts[1:]):
+        if u != v:
+            out.append((u, v, seg.side_a, seg.side_b))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# edge classification
+# ---------------------------------------------------------------------------
+
+
+class _Edge:
+    __slots__ = ("lo", "hi", "side_a", "side_b", "in_a_l", "in_a_r", "in_b_l", "in_b_r")
+
+    def __init__(self, lo: Pt, hi: Pt):
+        self.lo = lo
+        self.hi = hi
+        self.side_a = 0  # +1 A-interior left of lo->hi, -1 right, 0 unknown
+        self.side_b = 0
+        self.in_a_l = self.in_a_r = False
+        self.in_b_l = self.in_b_r = False
+
+
+def _merge_edges(subsegs: List[Tuple[Pt, Pt, int, int]]) -> Dict[Tuple[Pt, Pt], _Edge]:
+    edges: Dict[Tuple[Pt, Pt], _Edge] = {}
+    for p, q, sa, sb in subsegs:
+        lo, hi = (p, q) if p < q else (q, p)
+        flip = -1 if (p, q) != (lo, hi) else 1
+        e = edges.get((lo, hi))
+        if e is None:
+            e = _Edge(lo, hi)
+            edges[(lo, hi)] = e
+        if sa:
+            v = sa * flip
+            e.side_a = 0 if (e.side_a and e.side_a != v) else v
+        if sb:
+            v = sb * flip
+            e.side_b = 0 if (e.side_b and e.side_b != v) else v
+    return edges
+
+
+def _classify_edges(edges: Dict[Tuple[Pt, Pt], _Edge], poly_a: Geometry, poly_b: Geometry, q: float) -> None:
+    """Fill in in_{a,b}_{l,r} per edge. Boundary edges read provenance;
+    non-boundary edges do one exact PIP of the (off-boundary) midpoint."""
+    # batch the PIP calls per polygon
+    need_a, need_b = [], []
+    for e in edges.values():
+        if e.side_a == 0:
+            need_a.append(e)
+        if e.side_b == 0:
+            need_b.append(e)
+    for need, poly, attr_l, attr_r in (
+        (need_a, poly_a, "in_a_l", "in_a_r"),
+        (need_b, poly_b, "in_b_l", "in_b_r"),
+    ):
+        if need:
+            mx = np.array([(e.lo[0] + e.hi[0]) * 0.5 * q for e in need])
+            my = np.array([(e.lo[1] + e.hi[1]) * 0.5 * q for e in need])
+            loc = algos.locate_points_in_geometry(mx, my, poly) if poly is not None else np.zeros(len(mx), np.int8)
+            # midpoint of a non-boundary edge cannot be ON the boundary after
+            # noding; treat BOUNDARY (snap-rounding residue) as inside
+            inside = loc != algos.OUTSIDE
+            for e, v in zip(need, inside):
+                setattr(e, attr_l, bool(v))
+                setattr(e, attr_r, bool(v))
+    for e in edges.values():
+        if e.side_a == +1:
+            e.in_a_l, e.in_a_r = True, False
+        elif e.side_a == -1:
+            e.in_a_l, e.in_a_r = False, True
+        if e.side_b == +1:
+            e.in_b_l, e.in_b_r = True, False
+        elif e.side_b == -1:
+            e.in_b_l, e.in_b_r = False, True
+
+
+_OPS = {
+    "intersection": lambda a, b: a and b,
+    "union": lambda a, b: a or b,
+    "difference": lambda a, b: a and not b,
+    "symdifference": lambda a, b: a != b,
+}
+
+
+# ---------------------------------------------------------------------------
+# boundary tracing
+# ---------------------------------------------------------------------------
+
+
+def _trace_rings(boundary: List[Tuple[Pt, Pt]]) -> List[List[Pt]]:
+    """Trace directed boundary edges (region on LEFT) into closed rings
+    using the angular-next rule."""
+    out_map: Dict[Pt, List[Pt]] = {}
+    for u, v in boundary:
+        out_map.setdefault(u, []).append(v)
+    unused = set(boundary)
+    rings: List[List[Pt]] = []
+    for start in boundary:
+        if start not in unused:
+            continue
+        ring = [start[0]]
+        cur = start
+        unused.discard(cur)
+        while True:
+            u, v = cur
+            ring.append(v)
+            outs = [w for w in out_map.get(v, []) if (v, w) in unused]
+            if not outs:
+                break
+            if len(outs) == 1:
+                nxt = outs[0]
+            else:
+                # first outgoing edge clockwise from the reversed incoming
+                rev = math.atan2(u[1] - v[1], u[0] - v[0])
+                best, best_delta = None, None
+                for w in outs:
+                    ang = math.atan2(w[1] - v[1], w[0] - v[0])
+                    delta = (rev - ang) % (2 * math.pi)
+                    if delta == 0.0:
+                        delta = 2 * math.pi
+                    if best_delta is None or delta < best_delta:
+                        best, best_delta = w, delta
+                nxt = best
+            cur = (v, nxt)
+            unused.discard(cur)
+        # keep only properly closed rings (open chains = snap residue)
+        if len(ring) >= 4 and ring[0] == ring[-1]:
+            rings.append(ring[:-1])
+    return rings
+
+
+def _interior_sample(ring: List[Pt]) -> Tuple[float, float]:
+    """A point inside a simple ring (for hole nesting): centroid of the ear
+    at the lowest-leftmost vertex, shrunk toward the vertex until inside."""
+    n = len(ring)
+    i = min(range(n), key=lambda k: (ring[k][0], ring[k][1]))
+    a, v, b = ring[(i - 1) % n], ring[i], ring[(i + 1) % n]
+    cx = (a[0] + v[0] + b[0]) / 3.0
+    cy = (a[1] + v[1] + b[1]) / 3.0
+    return cx, cy
+
+
+def _rings_to_geometry(rings: List[List[Pt]], q: float) -> Geometry:
+    """Shells (CCW) + holes (CW) -> POLYGON / MULTIPOLYGON, holes nested
+    into their smallest containing shell."""
+    shells, holes = [], []
+    for r in rings:
+        a2 = _ring_area2_int(r)
+        if a2 == 0:
+            continue
+        (shells if a2 > 0 else holes).append(r)
+    if not shells:
+        return Geometry(GEOMETRYCOLLECTION, [])
+
+    def close_f(r: List[Pt]) -> np.ndarray:
+        arr = np.array(r + [r[0]], dtype=np.float64)
+        return arr * q
+
+    shell_arrs = [close_f(s) for s in shells]
+    shell_areas = [abs(_ring_area2_int(s)) for s in shells]
+    shell_holes: List[List[np.ndarray]] = [[] for _ in shells]
+    for h in holes:
+        sx, sy = _interior_sample(h)
+        px, py = sx * q, sy * q
+        best, best_area = None, None
+        for k, sarr in enumerate(shell_arrs):
+            loc = algos.locate_points_in_ring(np.array([px]), np.array([py]), sarr)
+            if loc[0][0] or loc[1][0]:  # inside or on
+                if best_area is None or shell_areas[k] < best_area:
+                    best, best_area = k, shell_areas[k]
+        if best is not None:
+            shell_holes[best].append(close_f(h))
+    polys = [
+        Geometry(POLYGON, [shell_arrs[k]] + shell_holes[k]) for k in range(len(shells))
+    ]
+    if len(polys) == 1:
+        return polys[0]
+    return Geometry(MULTIPOLYGON, polys)
+
+
+# ---------------------------------------------------------------------------
+# public overlay
+# ---------------------------------------------------------------------------
+
+
+def _geom_rings(g: Optional[Geometry], quantum: float) -> List[Tuple[List[Pt], bool]]:
+    out = []
+    if g is None:
+        return out
+    for poly in g.polygons():
+        for k, ring in enumerate(poly.coords):
+            if len(ring) >= 4:
+                out.append((_quantize_ring(ring, quantum), k == 0))
+    return out
+
+
+def _requantized(g: Optional[Geometry], quantum: float) -> Optional[Geometry]:
+    """The polygon as the subdivision sees it (coords snapped to the grid) —
+    used for the midpoint PIP tests so boundaries align exactly."""
+    if g is None:
+        return None
+
+    def snap(arr: np.ndarray) -> np.ndarray:
+        out = arr.copy().astype(np.float64)
+        out[:, 0] = np.rint(out[:, 0] / quantum) * quantum
+        out[:, 1] = np.rint(out[:, 1] / quantum) * quantum
+        return out
+
+    polys = [Geometry(POLYGON, [snap(r) for r in p.coords]) for p in g.polygons()]
+    if not polys:
+        return Geometry(GEOMETRYCOLLECTION, [])
+    return polys[0] if len(polys) == 1 else Geometry(MULTIPOLYGON, polys)
+
+
+def polygon_overlay(a: Optional[Geometry], b: Optional[Geometry], op: str) -> Geometry:
+    """Boolean overlay of two areal geometries (polygon/multipolygon)."""
+    if op not in _OPS:
+        raise ValueError(f"unknown overlay op {op!r}")
+    coords = []
+    for g in (a, b):
+        if g is not None:
+            c = g.all_coords()
+            if len(c):
+                coords.append(np.max(np.abs(c[:, :2])))
+    quantum = _pick_quantum(float(max(coords)) if coords else 1.0)
+
+    segs = []
+    segs.extend(_collect_segments(_geom_rings(a, quantum), "A"))
+    segs.extend(_collect_segments(_geom_rings(b, quantum), "B"))
+    if not segs:
+        return Geometry(GEOMETRYCOLLECTION, [])
+    _node_segments(segs)
+    subsegs = []
+    for s in segs:
+        subsegs.extend(_subdivide(s))
+    edges = _merge_edges(subsegs)
+    _classify_edges(edges, _requantized(a, quantum), _requantized(b, quantum), quantum)
+
+    opf = _OPS[op]
+    boundary: List[Tuple[Pt, Pt]] = []
+    for e in edges.values():
+        sel_l = opf(e.in_a_l, e.in_b_l)
+        sel_r = opf(e.in_a_r, e.in_b_r)
+        if sel_l and not sel_r:
+            boundary.append((e.lo, e.hi))
+        elif sel_r and not sel_l:
+            boundary.append((e.hi, e.lo))
+    if not boundary:
+        if op == "intersection":
+            return _degenerate_intersection(edges, quantum)
+        return Geometry(GEOMETRYCOLLECTION, [])
+    rings = _trace_rings(boundary)
+    out = _rings_to_geometry(rings, quantum)
+    if out.is_empty and op == "intersection":
+        return _degenerate_intersection(edges, quantum)
+    return out
+
+
+def _degenerate_intersection(edges: Dict[Tuple[Pt, Pt], _Edge], q: float) -> Geometry:
+    """Polygons touching without interior overlap: GEOS returns the shared
+    boundary (lines), or shared vertices (points). We mirror that using the
+    subdivision's provenance: edges on BOTH boundaries."""
+    shared = [e for e in edges.values() if e.side_a != 0 and e.side_b != 0]
+    if shared:
+        lines = [
+            Geometry(
+                LINESTRING,
+                np.array([[e.lo[0] * q, e.lo[1] * q], [e.hi[0] * q, e.hi[1] * q]]),
+            )
+            for e in shared
+        ]
+        merged = _chain_lines(lines)
+        return merged[0] if len(merged) == 1 else Geometry(MULTILINESTRING, merged)
+    # shared vertices only
+    pa ={e.lo for e in edges.values() if e.side_a != 0} | {e.hi for e in edges.values() if e.side_a != 0}
+    pb = {e.lo for e in edges.values() if e.side_b != 0} | {e.hi for e in edges.values() if e.side_b != 0}
+    common = sorted(pa & pb)
+    if not common:
+        return Geometry(GEOMETRYCOLLECTION, [])
+    pts = [wkb.point(x * q, y * q) for x, y in common]
+    return pts[0] if len(pts) == 1 else Geometry(MULTIPOINT, pts)
+
+
+def _chain_lines(lines: List[Geometry]) -> List[Geometry]:
+    """Greedy-merge 2-point linestrings sharing endpoints into polylines."""
+    from collections import defaultdict
+
+    chains = [list(map(tuple, l.coords[:, :2])) for l in lines]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(chains)):
+            if chains[i] is None:
+                continue
+            for j in range(i + 1, len(chains)):
+                if chains[j] is None:
+                    continue
+                ci, cj = chains[i], chains[j]
+                if ci[-1] == cj[0]:
+                    chains[i] = ci + cj[1:]
+                elif ci[-1] == cj[-1]:
+                    chains[i] = ci + cj[-2::-1]
+                elif ci[0] == cj[-1]:
+                    chains[i] = cj + ci[1:]
+                elif ci[0] == cj[0]:
+                    chains[i] = cj[::-1] + ci[1:]
+                else:
+                    continue
+                chains[j] = None
+                changed = True
+    return [
+        Geometry(LINESTRING, np.array(c, dtype=np.float64))
+        for c in chains
+        if c is not None
+    ]
+
+
+# ---------------------------------------------------------------------------
+# lines vs polygons
+# ---------------------------------------------------------------------------
+
+
+def clip_lines_by_polygon(lines: Geometry, poly: Geometry, keep: str) -> Geometry:
+    """Split a (multi)linestring at polygon boundaries, keep the parts
+    inside ('intersection') or outside ('difference'). Boundary-collinear
+    parts count as inside (GEOS semantics)."""
+    coords = []
+    for g in (lines, poly):
+        c = g.all_coords()
+        if len(c):
+            coords.append(np.max(np.abs(c[:, : 2])))
+    quantum = _pick_quantum(float(max(coords)) if coords else 1.0)
+
+    lsegs: List[_Seg] = []
+    for line in lines.lines():
+        pts = _quantize_open(line.coords, quantum)
+        for u, v in zip(pts[:-1], pts[1:]):
+            if u != v:
+                lsegs.append(_Seg(u, v, 0, 0))
+    psegs = _collect_segments(_geom_rings(poly, quantum), "B")
+    allsegs = lsegs + psegs
+    _node_segments(allsegs)
+    pieces = []
+    for s in lsegs:
+        pieces.extend(_subdivide(s))
+    if not pieces:
+        return Geometry(MULTILINESTRING, [])
+    qpoly = _requantized(poly, quantum)
+    mx = np.array([(u[0] + v[0]) * 0.5 * quantum for u, v, _, _ in pieces])
+    my = np.array([(u[1] + v[1]) * 0.5 * quantum for u, v, _, _ in pieces])
+    loc = algos.locate_points_in_geometry(mx, my, qpoly)
+    if keep == "intersection":
+        sel = loc != algos.OUTSIDE
+    else:
+        sel = loc == algos.OUTSIDE
+    kept = [
+        Geometry(
+            LINESTRING,
+            np.array([[u[0] * quantum, u[1] * quantum], [v[0] * quantum, v[1] * quantum]]),
+        )
+        for (u, v, _, _), ok in zip(pieces, sel)
+        if ok
+    ]
+    if not kept:
+        return Geometry(GEOMETRYCOLLECTION, [])
+    merged = _chain_lines(kept)
+    return merged[0] if len(merged) == 1 else Geometry(MULTILINESTRING, merged)
+
+
+def _quantize_open(arr: np.ndarray, q: float) -> List[Pt]:
+    xs = np.rint(arr[:, 0] / q).astype(object)
+    ys = np.rint(arr[:, 1] / q).astype(object)
+    out: List[Pt] = []
+    for x, y in zip(xs, ys):
+        p = (int(x), int(y))
+        if not out or out[-1] != p:
+            out.append(p)
+    return out
+
+
+def line_line_intersection(a: Geometry, b: Geometry) -> Geometry:
+    """Noded intersection of two lineal geometries: collinear shared
+    subsegments (as lines) + crossing/touching points."""
+    coords = []
+    for g in (a, b):
+        c = g.all_coords()
+        if len(c):
+            coords.append(np.max(np.abs(c[:, :2])))
+    quantum = _pick_quantum(float(max(coords)) if coords else 1.0)
+
+    def line_segs(g: Geometry, tag: str) -> List[_Seg]:
+        segs = []
+        for line in g.lines():
+            pts = _quantize_open(line.coords, quantum)
+            for u, v in zip(pts[:-1], pts[1:]):
+                if u != v:
+                    segs.append(_Seg(u, v, +1 if tag == "A" else 0, +1 if tag == "B" else 0))
+        return segs
+
+    sa, sb = line_segs(a, "A"), line_segs(b, "B")
+    allsegs = sa + sb
+    _node_segments(allsegs)
+    occ_a, occ_b = set(), set()
+    for s in allsegs:
+        for u, v, ta, tb in _subdivide(s):
+            key = (u, v) if u < v else (v, u)
+            (occ_a if ta else occ_b).add(key)
+    shared = sorted(occ_a & occ_b)
+    if shared:
+        lines = [
+            Geometry(LINESTRING, np.array([[u[0] * quantum, u[1] * quantum],
+                                           [v[0] * quantum, v[1] * quantum]]))
+            for u, v in shared
+        ]
+        merged = _chain_lines(lines)
+        return merged[0] if len(merged) == 1 else Geometry(MULTILINESTRING, merged)
+    # point contacts: vertices after noding common to both
+    va = {p for u_v in occ_a for p in u_v}
+    vb = {p for u_v in occ_b for p in u_v}
+    common = sorted(va & vb)
+    if not common:
+        return Geometry(GEOMETRYCOLLECTION, [])
+    pts = [wkb.point(x * quantum, y * quantum) for x, y in common]
+    return pts[0] if len(pts) == 1 else Geometry(MULTIPOINT, pts)
+
+
+def line_line_difference(a: Geometry, b: Geometry) -> Geometry:
+    """Lineal difference: a's subsegments minus the collinear-shared ones."""
+    coords = []
+    for g in (a, b):
+        c = g.all_coords()
+        if len(c):
+            coords.append(np.max(np.abs(c[:, :2])))
+    quantum = _pick_quantum(float(max(coords)) if coords else 1.0)
+
+    def line_segs(g: Geometry, sa: int, sb: int) -> List[_Seg]:
+        segs = []
+        for line in g.lines():
+            pts = _quantize_open(line.coords, quantum)
+            for u, v in zip(pts[:-1], pts[1:]):
+                if u != v:
+                    segs.append(_Seg(u, v, sa, sb))
+        return segs
+
+    allsegs = line_segs(a, 1, 0) + line_segs(b, 0, 1)
+    _node_segments(allsegs)
+    occ_a, occ_b = [], set()
+    for s in allsegs:
+        for u, v, ta, tb in _subdivide(s):
+            key = (u, v) if u < v else (v, u)
+            if ta:
+                occ_a.append(key)
+            else:
+                occ_b.add(key)
+    kept = [
+        Geometry(LINESTRING, np.array([[u[0] * quantum, u[1] * quantum],
+                                       [v[0] * quantum, v[1] * quantum]]))
+        for u, v in occ_a
+        if (u, v) not in occ_b
+    ]
+    if not kept:
+        return Geometry(GEOMETRYCOLLECTION, [])
+    merged = _chain_lines(kept)
+    return merged[0] if len(merged) == 1 else Geometry(MULTILINESTRING, merged)
+
+
+# ---------------------------------------------------------------------------
+# buffer (line / polygon via capsules + dissolve)
+# ---------------------------------------------------------------------------
+
+
+def _capsule(p: np.ndarray, q: np.ndarray, d: float, quad_segs: int) -> Geometry:
+    """Round-capped buffer of one segment as a single ring polygon."""
+    n_arc = max(2, int(quad_segs) * 2)  # half-circle resolution per cap
+    theta = math.atan2(q[1] - p[1], q[0] - p[0])
+    angles_q = theta - math.pi / 2 + np.linspace(0, math.pi, n_arc + 1)
+    angles_p = theta + math.pi / 2 + np.linspace(0, math.pi, n_arc + 1)
+    ring = np.concatenate(
+        [
+            q[None, :] + d * np.column_stack([np.cos(angles_q), np.sin(angles_q)]),
+            p[None, :] + d * np.column_stack([np.cos(angles_p), np.sin(angles_p)]),
+        ]
+    )
+    ring = np.vstack([ring, ring[:1]])
+    return Geometry(POLYGON, [ring])
+
+
+def buffer_geometry(g: Geometry, d: float, quad_segs: int = 8) -> Geometry:
+    """ST_Buffer for any geometry: points -> circles, lines -> dissolved
+    segment capsules, polygons -> polygon ∪ boundary capsules (d > 0) or
+    polygon − boundary capsules (d < 0). Mirrors the GEOS kernel surface
+    (`c/sedona-geos/src/st_buffer.rs` in /root/reference) via the overlay
+    engine instead of offset curves."""
+    if d == 0:
+        return g
+    caps: List[Geometry] = []
+    for p in g.points():
+        if len(p.coords):
+            caps.append(algos.buffer_point(float(p.coords[0, 0]), float(p.coords[0, 1]), abs(d), quad_segs))
+    for line in g.lines():
+        arr = line.coords[:, :2]
+        if len(arr) == 1:
+            caps.append(algos.buffer_point(float(arr[0, 0]), float(arr[0, 1]), abs(d), quad_segs))
+        for u, v in zip(arr[:-1], arr[1:]):
+            caps.append(_capsule(u, v, abs(d), quad_segs))
+    boundary_caps: List[Geometry] = []
+    for poly in g.polygons():
+        for ring in poly.coords:
+            arr = ring[:, :2]
+            for u, v in zip(arr[:-1], arr[1:]):
+                boundary_caps.append(_capsule(u, v, abs(d), quad_segs))
+    if g.polygons():
+        if d > 0:
+            return union_all(list(g.polygons()) + boundary_caps + caps)
+        shrunk = list(g.polygons())
+        base = shrunk[0] if len(shrunk) == 1 else Geometry(MULTIPOLYGON, shrunk)
+        return polygon_overlay(base, union_all(boundary_caps), "difference")
+    if d < 0:
+        return Geometry(GEOMETRYCOLLECTION, [])  # negative buffer of non-areal
+    return union_all(caps)
+
+
+# ---------------------------------------------------------------------------
+# n-way dissolve
+# ---------------------------------------------------------------------------
+
+
+def union_all(geoms: Sequence[Geometry]) -> Geometry:
+    """Dissolving union of many areal geometries (balanced pairwise fold —
+    O(n log n) overlay calls, matching GEOS CascadedUnion's shape)."""
+    parts = [g for g in geoms if g is not None and not g.is_empty and g.polygons()]
+    if not parts:
+        return Geometry(GEOMETRYCOLLECTION, [])
+    while len(parts) > 1:
+        nxt = []
+        for i in range(0, len(parts) - 1, 2):
+            nxt.append(polygon_overlay(parts[i], parts[i + 1], "union"))
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return parts[0]
+
+
+def intersection_all(geoms: Sequence[Geometry]) -> Geometry:
+    parts = [g for g in geoms if g is not None]
+    if not parts:
+        return Geometry(GEOMETRYCOLLECTION, [])
+    out = parts[0]
+    for g in parts[1:]:
+        if out.is_empty:
+            break
+        if out.polygons() and g.polygons():
+            out = polygon_overlay(out, g, "intersection")
+        else:
+            return _non_areal_chain_intersection(parts)
+    return out
+
+
+def _non_areal_chain_intersection(parts):
+    from ..functions import st as _st  # late import to avoid a cycle
+
+    out = parts[0]
+    for g in parts[1:]:
+        out = _st._intersection(out, g)
+        if out is None or out.is_empty:
+            break
+    return out

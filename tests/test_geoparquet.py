@@ -61,3 +61,34 @@ def test_write_refuses_null_crs(spark, tmp_path):
 
     with pytest.raises(ValueError):
         GP.write_geoparquet(df, str(tmp_path / "x"), ["geometry"], crs=None)
+
+
+def test_every_part_has_geo_footer_and_projjson(spark, tmp_path):
+    """The writer emits the `geo` key in the SAME pass that writes the data
+    (no post-write stamp/rewrite), with PROJJSON crs per GeoParquet 1.1."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    df, _, _ = _pts_df(spark, 64)
+    path = str(tmp_path / "gp3")
+    meta = GP.write_geoparquet(df.repartition(4), path, ["geometry"])
+    parts = glob.glob(path + "/*.parquet")
+    assert len(parts) >= 1
+    for part in parts:
+        md = pq.ParquetFile(part).schema_arrow.metadata or {}
+        assert GP.GEO_KEY in md
+        entry = json.loads(md[GP.GEO_KEY])["columns"]["geometry"]
+        crs = entry["crs"]
+        assert isinstance(crs, dict)  # PROJJSON object, not a bare string
+        assert crs["id"] == {"authority": "OGC", "code": "CRS84"}
+        # per-file bbox present and self-consistent
+        bb = entry["bbox"]
+        assert bb[0] <= bb[2] and bb[1] <= bb[3]
+    # dataset-level bbox is the envelope of the per-file bboxes
+    assert meta["columns"]["geometry"]["bbox"][0] == min(
+        json.loads((pq.ParquetFile(p).schema_arrow.metadata or {})[GP.GEO_KEY])[
+            "columns"]["geometry"]["bbox"][0]
+        for p in parts
+    )
