@@ -343,6 +343,87 @@ def _q_ivf_ann(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 
+def _q_intersection_area_concave(spark, sf_dir):
+    """General (concave) polygon overlay oracle: per customer, an L-shaped
+    hexagon (union of two arm rectangles) clipped by an offset box. The
+    Spark side runs the REAL overlay engine (ST_Intersection/Union/
+    Difference on the concave ring); the oracle reproduces the areas by
+    rect-clip arithmetic (greatest/least), exact because every coordinate
+    is a binary-exact half-integer."""
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    x0 = (F.col("c_custkey") * 3 % 100).cast("double")
+    y0 = (F.col("c_custkey") * 11 % 80).cast("double")
+    t = (F.col("c_custkey") % 3 + 1).cast("double")   # arm thickness 1..3
+    o = (F.col("c_custkey") % 2).cast("double") * F.lit(0.5) + F.lit(1.0)
+
+    s = lambda col: col.cast("string")
+    pt = lambda px, py: F.concat_ws(" ", s(px), s(py))
+    lwkt = F.concat(
+        F.lit("POLYGON (("),
+        F.concat_ws(
+            ", ",
+            pt(x0, y0), pt(x0 + 6, y0), pt(x0 + 6, y0 + t), pt(x0 + t, y0 + t),
+            pt(x0 + t, y0 + 6), pt(x0, y0 + 6), pt(x0, y0),
+        ),
+        F.lit("))"),
+    )
+    L = st.ST_GeomFromWKT(lwkt)
+    box = st.ST_MakeEnvelope(x0 + o, y0 + o, x0 + o + 4, y0 + o + 4)
+    return c.select(
+        "c_custkey",
+        F.round(st.ST_Area(st.ST_Intersection(L, box)), 6).alias("inter_area"),
+        F.round(st.ST_Area(st.ST_Union(L, box)), 6).alias("union_area"),
+        F.round(st.ST_Area(st.ST_Difference(L, box)), 6).alias("diff_area"),
+    )
+
+
+def _q_zonal_stats_raster(spark, sf_dir):
+    """Raster↔vector zonal overlay over the REAL raster struct (SURVEY
+    §1.4): 128 world tiles × 8×8 px, pixel values by integer formula;
+    explode → point-in-polygon join vs nation boxes → per-zone stats."""
+    from sedona_db_spark import raster as R
+
+    tiles = R.synthesize_world_tiles(spark, tiles_x=16, tiles_y=8, tile_px=8)
+    boxes = _nation_boxes(spark, sf_dir).select("n_nationkey", "geom")
+    out = R.zonal_stats(tiles, boxes, "n_nationkey", zone_geom="geom")
+    return out.select(
+        "n_nationkey",
+        "px_count",
+        F.round("value_sum", 6).alias("value_sum"),
+        F.round("value_mean", 6).alias("value_mean"),
+        F.col("value_min"),
+        F.col("value_max"),
+    ).orderBy("n_nationkey")
+
+
+def _q_knn_rect_k3(spark, sf_dir):
+    """kNN join with a NON-POINT build side (nation boxes): exact
+    point→rectangle distance (greatest/least arithmetic — reproducible in
+    SQL), rank by (distance², nationkey)."""
+    from sedona_db_spark.operators.knn_join import knn_join
+
+    pts = _cust_pts(spark, sf_dir).select("c_custkey", "geom")
+    boxes = _nation_boxes(spark, sf_dir).select("n_nationkey", "geom")
+    j = knn_join(pts, boxes, k=3, probe_geom="geom", build_geom="geom",
+                 build_id="n_nationkey")
+    return j.select("c_custkey", "n_nationkey", F.col("knn_rank").cast("int").alias("knn_rank"))
+
+
+def _q_geography_area(spark, sf_dir):
+    """Geography (spherical-edges) area of the nation boxes in steradians
+    (area_m2 / R²) — the spherical-excess shoelace is reproduced verbatim
+    in the SQL oracle."""
+    from sedona_db_spark.functions import geography as G
+
+    boxes = _nation_boxes(spark, sf_dir)
+    sr = G.ST_Area_Spherical(F.col("geom")) / F.lit(G.EARTH_RADIUS_M * G.EARTH_RADIUS_M)
+    return boxes.select(
+        "n_nationkey", F.round(sr, 6).alias("area_sr")
+    ).orderBy("n_nationkey")
+
+
 def _q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -416,6 +497,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "window_top_orders": _q_window_top_orders,
         "events_hourly": _q_events_hourly,
+        "intersection_area_concave": _q_intersection_area_concave,
+        "zonal_stats_raster": _q_zonal_stats_raster,
+        "knn_rect_k3": _q_knn_rect_k3,
+        "geography_area": _q_geography_area,
     }
 
 
@@ -573,6 +658,65 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, "
             "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum "
             "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "intersection_area_concave": (
+            # rect-clip arithmetic oracle for the concave L ∩/∪/− box —
+            # every coordinate is a binary-exact half-integer, so areas are
+            # exact in both engines
+            "WITH t AS (SELECT c_custkey, "
+            " CAST((c_custkey*3 % 100) AS DOUBLE) AS x0, "
+            " CAST((c_custkey*11 % 80) AS DOUBLE) AS y0, "
+            " CAST((c_custkey % 3 + 1) AS DOUBLE) AS th, "
+            " CAST((c_custkey % 2) AS DOUBLE)*CAST(0.5 AS DOUBLE) + CAST(1.0 AS DOUBLE) AS o "
+            " FROM customer), "
+            "g AS (SELECT c_custkey, x0, y0, th, x0+o AS bx0, y0+o AS by0, "
+            " x0+o+CAST(4.0 AS DOUBLE) AS bx1, y0+o+CAST(4.0 AS DOUBLE) AS by1 FROM t), "
+            "a AS (SELECT c_custkey, th, "
+            " greatest(CAST(0.0 AS DOUBLE), least(x0+th, bx1) - greatest(x0, bx0)) * "
+            " greatest(CAST(0.0 AS DOUBLE), least(y0+CAST(6.0 AS DOUBLE), by1) - greatest(y0, by0)) AS a1, "
+            " greatest(CAST(0.0 AS DOUBLE), least(x0+CAST(6.0 AS DOUBLE), bx1) - greatest(x0, bx0)) * "
+            " greatest(CAST(0.0 AS DOUBLE), least(y0+th, by1) - greatest(y0, by0)) AS a2, "
+            " greatest(CAST(0.0 AS DOUBLE), least(x0+th, bx1) - greatest(x0, bx0)) * "
+            " greatest(CAST(0.0 AS DOUBLE), least(y0+th, by1) - greatest(y0, by0)) AS ao "
+            " FROM g) "
+            "SELECT c_custkey, round(a1+a2-ao, 6) AS inter_area, "
+            " round((CAST(12.0 AS DOUBLE)*th - th*th) + CAST(16.0 AS DOUBLE) - (a1+a2-ao), 6) AS union_area, "
+            " round((CAST(12.0 AS DOUBLE)*th - th*th) - (a1+a2-ao), 6) AS diff_area "
+            "FROM a"
+        ),
+        "zonal_stats_raster": (
+            "WITH px AS (SELECT "
+            " CAST(-180.0 AS DOUBLE) + (t.id % 16)*CAST(22.5 AS DOUBLE) + (c.id + CAST(0.5 AS DOUBLE))*CAST(2.8125 AS DOUBLE) AS x, "
+            " CAST(-90.0 AS DOUBLE) + ((t.id // 16) + 1)*CAST(22.5 AS DOUBLE) - (r.id + CAST(0.5 AS DOUBLE))*CAST(2.8125 AS DOUBLE) AS y, "
+            " CAST(((t.id*64 + r.id*8 + c.id) * 37 % 1000) AS DOUBLE)/CAST(10.0 AS DOUBLE) AS v "
+            " FROM range(128) t(id) CROSS JOIN range(8) c(id) CROSS JOIN range(8) r(id)) "
+            f"SELECT n.n_nationkey AS n_nationkey, count(*) AS px_count, "
+            f"round(sum(v), 6) AS value_sum, round(avg(v), 6) AS value_mean, "
+            f"min(v) AS value_min, max(v) AS value_max "
+            f"FROM px JOIN nation n ON x > {_NX0} AND x < {_NX0} + 72.0 "
+            f"AND y > {_NY0} AND y < {_NY0} + 36.0 GROUP BY 1 ORDER BY 1"
+        ),
+        "knn_rect_k3": (
+            f"SELECT c_custkey, n_nationkey, knn_rank FROM ("
+            f" SELECT c_custkey, n_nationkey, CAST(row_number() OVER ("
+            f"  PARTITION BY c_custkey ORDER BY gx*gx + gy*gy, n_nationkey) AS INTEGER) AS knn_rank "
+            f" FROM (SELECT c.c_custkey AS c_custkey, n.n_nationkey AS n_nationkey, "
+            f"  greatest({_NX0} - {_CX}, {_CX} - ({_NX0} + CAST(72.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS gx, "
+            f"  greatest({_NY0} - {_CY}, {_CY} - ({_NY0} + CAST(36.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS gy "
+            f"  FROM customer c CROSS JOIN nation n)) "
+            f"WHERE knn_rank <= 3"
+        ),
+        "geography_area": (
+            # spherical shoelace (Chamberlain & Duquette) over the box ring,
+            # vertical edges contribute exactly 0 — same op order as
+            # functions/geography.py _ring_spherical_area_signed
+            f"SELECT n_nationkey, round(abs("
+            f" (radians({_NX0} + CAST(72.0 AS DOUBLE)) - radians({_NX0})) * "
+            f"  (CAST(2.0 AS DOUBLE) + sin(radians({_NY0})) + sin(radians({_NY0}))) + "
+            f" (radians({_NX0}) - radians({_NX0} + CAST(72.0 AS DOUBLE))) * "
+            f"  (CAST(2.0 AS DOUBLE) + sin(radians({_NY0} + CAST(36.0 AS DOUBLE))) + sin(radians({_NY0} + CAST(36.0 AS DOUBLE))))"
+            f" ) / CAST(2.0 AS DOUBLE), 6) AS area_sr "
+            f"FROM nation n ORDER BY n_nationkey"
         ),
         # minhash_pairs / simhash_pairs: intentionally no oracle — signature
         # permutations are engine-defined; driver records rows-only checks.

@@ -732,6 +732,39 @@ def distance(a: Optional[Geometry], b: Optional[Geometry]) -> float:
     return best
 
 
+def points_to_geometry_distance(px: np.ndarray, py: np.ndarray, g: Geometry) -> np.ndarray:
+    """Exact euclidean distance from MANY points to ONE geometry, vectorized
+    over the points (the kNN-join refine kernel for non-point build sides,
+    mirroring the reference's rect+exact distance probe,
+    rust/sedona-spatial-join/src/index.rs:499-676)."""
+    n = len(px)
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    segs = _segments(g)
+    if len(segs) == 0:
+        c = g.all_coords()[:, :2]
+        if len(c) == 0:
+            return np.full(n, np.inf)
+        return np.min(
+            np.hypot(px[:, None] - c[None, :, 0], py[:, None] - c[None, :, 1]), axis=1
+        )
+    x0, y0, x1, y1 = (segs[:, i][None, :] for i in range(4))
+    dx, dy = x1 - x0, y1 - y0
+    ll = dx * dx + dy * dy
+    ll_safe = np.where(ll > 0, ll, 1.0)
+    t = np.clip(((px[:, None] - x0) * dx + (py[:, None] - y0) * dy) / ll_safe, 0.0, 1.0)
+    cx, cy = x0 + t * dx, y0 + t * dy
+    d = np.min(np.hypot(px[:, None] - cx, py[:, None] - cy), axis=1)
+    if g.polygons():
+        loc = locate_points_in_geometry(px, py, g)
+        d = np.where(loc != OUTSIDE, 0.0, d)
+    # isolated point components (e.g. collections) also bound the distance
+    for p in g.points():
+        if len(p.coords):
+            d = np.minimum(d, np.hypot(px - p.coords[0, 0], py - p.coords[0, 1]))
+    return d
+
+
 def max_distance(a: Optional[Geometry], b: Optional[Geometry]) -> float:
     if a is None or b is None or a.is_empty or b.is_empty:
         return np.nan

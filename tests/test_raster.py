@@ -1,0 +1,98 @@
+"""Raster model tests: struct schema parity with the reference
+(`rust/sedona-schema/src/raster.rs:25-107`), RS_* accessors (RS_Width
+mirrors `rust/sedona-raster-functions/src/rs_size.rs`), tile->pixel
+explode, and the raster↔vector zonal overlay."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from sedona_db_spark import raster as R
+from sedona_db_spark.geometry import wkb
+
+
+@pytest.fixture(scope="module")
+def tiles(spark):
+    return R.synthesize_world_tiles(spark, tiles_x=4, tiles_y=2, tile_px=4).cache()
+
+
+def test_accessors_are_column_reads(spark, tiles):
+    row = tiles.select(
+        "tile_id",
+        R.RS_Width("raster").alias("w"),
+        R.RS_Height("raster").alias("h"),
+        R.RS_UpperLeftX("raster").alias("ulx"),
+        R.RS_UpperLeftY("raster").alias("uly"),
+        R.RS_ScaleX("raster").alias("sx"),
+        R.RS_ScaleY("raster").alias("sy"),
+        R.RS_NumBands("raster").alias("nb"),
+        R.RS_CRS("raster").alias("crs"),
+    ).where(F.col("tile_id") == 5).collect()[0]
+    assert row["w"] == 4 and row["h"] == 4
+    # tile 5 -> tx=1, ty=1 (4x2 grid, 90x90 deg tiles)
+    assert row["ulx"] == -180.0 + 1 * 90.0
+    assert row["uly"] == -90.0 + 2 * 90.0
+    assert row["sx"] == 90.0 / 4 and row["sy"] == -90.0 / 4
+    assert row["nb"] == 1 and row["crs"] == "OGC:CRS84"
+    # accessors must be pure struct-field reads (no Python stage)
+    plan = tiles.select(R.RS_Width("raster"))._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_rs_value(spark, tiles):
+    # value formula: ((t*16 + r*4 + c) * 37 % 1000)/10
+    got = tiles.select(
+        "tile_id", R.RS_Value("raster", 2, 1).alias("v")
+    ).where(F.col("tile_id") == 3).collect()[0]["v"]
+    assert got == ((3 * 16 + 1 * 4 + 2) * 37 % 1000) / 10.0
+
+
+def test_raster_to_points_roundtrip(spark, tiles):
+    pts = R.raster_to_points(tiles).collect()
+    assert len(pts) == 8 * 16  # 8 tiles x 16 px
+    for p in pts[:50]:
+        t = p["tile_id"]
+        tx, ty = t % 4, t // 4
+        assert -180 + tx * 90 < p["px_x"] < -180 + (tx + 1) * 90
+        assert -90 + ty * 90 < p["px_y"] < -90 + (ty + 1) * 90
+    # every formula value present exactly once per tile
+    vals = sorted(p["value"] for p in pts if p["tile_id"] == 0)
+    want = sorted(((0 * 16 + i) * 37 % 1000) / 10.0 for i in range(16))
+    assert vals == want
+
+
+def test_nodata_dropped(spark):
+    df = spark.createDataFrame(
+        [(0, R.make_raster_row(2, 2, 0.0, 2.0, 1.0, -1.0,
+                               [np.array([[1.0, -9.0], [3.0, 4.0]])], nodata=-9.0))],
+        R.StructType([R.StructField("tile_id", R.LongType()),
+                      R.StructField("raster", R.RASTER_TYPE)]),
+    )
+    pts = R.raster_to_points(df).collect()
+    assert sorted(p["value"] for p in pts) == [1.0, 3.0, 4.0]
+    nd = df.select(R.RS_BandNoDataValue("raster").alias("nd")).collect()[0]["nd"]
+    assert nd == -9.0
+
+
+def test_zonal_stats_matches_numpy(spark, tiles):
+    # zones: 2 hemispheres as boxes
+    zones = spark.createDataFrame(
+        [(0, wkb.encode(wkb.box(-180, -90, 0, 90))),
+         (1, wkb.encode(wkb.box(0, -90, 180, 90)))],
+        "zone_id LONG, geometry BINARY",
+    )
+    out = {r["zone_id"]: r for r in R.zonal_stats(tiles, zones, "zone_id").collect()}
+    # numpy oracle
+    agg = {0: [], 1: []}
+    for t in range(8):
+        tx, ty = t % 4, t // 4
+        for i in range(16):
+            c, r_ = i % 4, i // 4
+            x = -180 + tx * 90 + (c + 0.5) * 22.5
+            v = ((t * 16 + i) * 37 % 1000) / 10.0
+            agg[0 if x < 0 else 1].append(v)
+    for z in (0, 1):
+        assert out[z]["px_count"] == len(agg[z])
+        assert out[z]["value_sum"] == pytest.approx(sum(agg[z]))
+        assert out[z]["value_max"] == max(agg[z])
