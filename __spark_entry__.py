@@ -285,20 +285,21 @@ def _q_ann_topk(spark, sf_dir):
 
 
 def _q_minhash_pairs(spark, sf_dir):
-    # no SQL oracle (signature permutations are engine-defined); the driver
-    # records a rows-only check and tests/test_dedup_text.py verifies
-    # planted near-dups exactly
+    # poly31 scheme: shingle hashes and permutations mod 2^31-1, so the
+    # DuckDB oracle recomputes the signatures, banding, and estimate
+    # verbatim (upgraded from rows-only in round 1)
     from sedona_db_spark.operators.dedup import minhash_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup(docs, "text", "doc_id", threshold=0.5)
+    return minhash_dedup(docs, "text", "doc_id", threshold=0.5, scheme="poly31")
 
 
 def _q_simhash_pairs(spark, sf_dir):
-    from sedona_db_spark.operators.dedup import simhash_near_dups
+    # char-shingle simhash with poly31 bit votes — SQL-reproducible
+    from sedona_db_spark.operators.dedup import simhash_char_near_dups
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
+    return simhash_char_near_dups(docs, "text", "doc_id", max_hamming=3)
 
 
 def _q_geography_dwithin(spark, sf_dir):
@@ -333,13 +334,15 @@ def _q_embedding_norms(spark, sf_dir):
 
 
 def _q_ivf_ann(spark, sf_dir):
-    # approximate by construction (probes nprobe/nlists of the corpus) —
-    # no SQL oracle; recall vs brute force asserted in tests/test_dedup_text.py
+    # deterministic "first_n" centroids (the nlists lowest vec_ids) make
+    # the whole IVF pipeline — assignment, probing, ranking — recomputable
+    # in plain SQL (upgraded from rows-only in round 1); the kmeans path
+    # keeps its recall pytest in tests/test_dedup_text.py
     from sedona_db_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
-    out = ivf_topk(q, emb, k=5, nlists=8, nprobe=4, train_sample=2000)
+    out = ivf_topk(q, emb, k=5, nlists=8, nprobe=4, centroids="first_n")
     return out.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 
@@ -502,6 +505,116 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_rect_k3": _q_knn_rect_k3,
         "geography_area": _q_geography_area,
     }
+
+
+def _horner5_sql() -> str:
+    # balanced-by-construction base-31 horner over 5 codepoints mod 2^31-1
+    expr = "ascii(substr(text, CAST(i AS INTEGER), 1))"
+    for j in range(1, 5):
+        expr = f"({expr}*31 + ascii(substr(text, CAST(i+{j} AS INTEGER), 1)))"
+    return f"({expr} % 2147483647)"
+
+
+_SHINGLE5 = (
+    # distinct base-31 horner hashes of 5-char shingles mod 2^31-1 —
+    # mirrors dedup._char_shingles31 exactly (codepoints via ascii/substr)
+    "CASE WHEN text IS NOT NULL AND length(text) >= 5 THEN list_distinct(["
+    f" {_horner5_sql()}"
+    " for i in range(1, length(text) - 3)])"
+    " ELSE []::BIGINT[] END"
+)
+
+
+def _minhash_oracle() -> str:
+    from sedona_db_spark.operators.dedup import minhash_constants
+
+    A, B = minhash_constants(64, 1)
+    a_lit = "[" + ",".join(str(int(v)) for v in A) + "]::BIGINT[]"
+    b_lit = "[" + ",".join(str(int(v)) for v in B) + "]::BIGINT[]"
+    band_terms = " + ".join(
+        f"CASE WHEN sa[CAST(bb*4+{r} AS INTEGER)] = sb[CAST(bb*4+{r} AS INTEGER)] THEN 1 ELSE 0 END"
+        for r in range(1, 5)
+    )
+    return (
+        f"WITH consts AS (SELECT {a_lit} AS A, {b_lit} AS B), "
+        f"sh AS (SELECT doc_id, {_SHINGLE5} AS s FROM documents WHERE text IS NOT NULL), "
+        "mins AS (SELECT doc_id, j, "
+        " min((A[CAST(j+1 AS INTEGER)]*x + B[CAST(j+1 AS INTEGER)]) % 2147483647) AS m "
+        " FROM (SELECT doc_id, unnest(s) AS x FROM sh), "
+        "      (SELECT unnest(range(0, 64)) AS j), consts GROUP BY doc_id, j), "
+        "sig AS (SELECT doc_id, list(m ORDER BY j) AS sg FROM mins GROUP BY doc_id), "
+        "sigall AS (SELECT d.doc_id, COALESCE(s.sg, [0 for z in range(0, 64)]) AS sg "
+        " FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d "
+        " LEFT JOIN sig s ON d.doc_id = s.doc_id), "
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sg AS sa, b.sg AS sb "
+        " FROM sigall a JOIN sigall b ON a.doc_id < b.doc_id), "
+        "f AS (SELECT id_a, id_b, "
+        " list_sum(list_transform(range(0, 64), j -> CASE WHEN "
+        "  sa[CAST(j+1 AS INTEGER)] = sb[CAST(j+1 AS INTEGER)] THEN 1 ELSE 0 END)) AS eq, "
+        f" list_max(list_transform(range(0, 16), bb -> CASE WHEN {band_terms} = 4 THEN 1 ELSE 0 END)) AS bandok "
+        " FROM p) "
+        "SELECT id_a, id_b, CAST(eq AS DOUBLE)/64 AS est_jaccard FROM f "
+        "WHERE bandok = 1 AND CAST(eq AS DOUBLE)/64 >= CAST(0.5 AS DOUBLE)"
+    )
+
+
+def _simhash_oracle() -> str:
+    from sedona_db_spark.operators.dedup import simhash_constants
+
+    A, B = simhash_constants(64, 3)
+    a_lit = "[" + ",".join(str(int(v)) for v in A) + "]::BIGINT[]"
+    b_lit = "[" + ",".join(str(int(v)) for v in B) + "]::BIGINT[]"
+    chunk_hams = ", ".join(
+        f"list_sum(list_transform(range(0, 16), j -> df[CAST(j+{16*c}+1 AS INTEGER)])) AS h{c}"
+        for c in range(4)
+    )
+    return (
+        f"WITH consts AS (SELECT {a_lit} AS A, {b_lit} AS B), "
+        f"sh AS (SELECT doc_id, {_SHINGLE5} AS s FROM documents WHERE text IS NOT NULL), "
+        "votes AS (SELECT doc_id, j, "
+        " sum(CASE WHEN (A[CAST(j+1 AS INTEGER)]*x + B[CAST(j+1 AS INTEGER)]) % 2147483647 > 1073741823 "
+        "  THEN 1 ELSE -1 END) AS v "
+        " FROM (SELECT doc_id, unnest(s) AS x FROM sh), "
+        "      (SELECT unnest(range(0, 64)) AS j), consts GROUP BY doc_id, j), "
+        "bits AS (SELECT doc_id, list(CASE WHEN v > 0 THEN 1 ELSE 0 END ORDER BY j) AS bt "
+        " FROM votes GROUP BY doc_id), "
+        "bitsall AS (SELECT d.doc_id, COALESCE(b.bt, [0 for z in range(0, 64)]) AS bt "
+        " FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d "
+        " LEFT JOIN bits b ON d.doc_id = b.doc_id), "
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        " list_transform(range(0, 64), j -> CASE WHEN "
+        "  a.bt[CAST(j+1 AS INTEGER)] <> b.bt[CAST(j+1 AS INTEGER)] THEN 1 ELSE 0 END) AS df "
+        " FROM bitsall a JOIN bitsall b ON a.doc_id < b.doc_id), "
+        f"f AS (SELECT id_a, id_b, list_sum(df) AS ham, {chunk_hams} FROM p) "
+        "SELECT id_a, id_b, CAST(ham AS INTEGER) AS hamming FROM f "
+        "WHERE (h0 = 0 OR h1 = 0 OR h2 = 0 OR h3 = 0) AND ham <= 3"
+    )
+
+
+def _ivf_oracle() -> str:
+    cos = lambda u, v: (
+        f"list_dot_product({u}, {v}) / "
+        f"(sqrt(list_dot_product({u}, {u})) * sqrt(list_dot_product({v}, {v})))"
+    )
+    return (
+        "WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv "
+        " FROM embeddings WHERE vec_id < 8), "
+        "corp AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cvv FROM embeddings), "
+        "assign AS (SELECT nid, cid FROM ("
+        f" SELECT nid, cid, row_number() OVER (PARTITION BY nid ORDER BY {cos('cvv', 'cv')} DESC, cid) AS rn "
+        " FROM corp CROSS JOIN cent) WHERE rn = 1), "
+        "q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
+        " FROM embeddings WHERE vec_id < 10), "
+        "probe AS (SELECT qid, cid FROM ("
+        f" SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY {cos('qv', 'cv')} DESC, cid) AS rn "
+        " FROM q CROSS JOIN cent) WHERE rn <= 4), "
+        "cand AS (SELECT DISTINCT qid, nid FROM probe JOIN assign USING (cid)) "
+        "SELECT query_id, neighbor_id, rank FROM ("
+        " SELECT c.qid AS query_id, c.nid AS neighbor_id, "
+        f" CAST(row_number() OVER (PARTITION BY c.qid ORDER BY {cos('q.qv', 'corp.cvv')} DESC, c.nid) AS INTEGER) AS rank "
+        " FROM cand c JOIN q ON q.qid = c.qid JOIN corp ON corp.nid = c.nid) "
+        "WHERE rank <= 5"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -718,6 +831,7 @@ def oracle_sql() -> dict[str, str]:
             f" ) / CAST(2.0 AS DOUBLE), 6) AS area_sr "
             f"FROM nation n ORDER BY n_nationkey"
         ),
-        # minhash_pairs / simhash_pairs: intentionally no oracle — signature
-        # permutations are engine-defined; driver records rows-only checks.
+        "minhash_pairs": _minhash_oracle(),
+        "simhash_pairs": _simhash_oracle(),
+        "ivf_ann": _ivf_oracle(),
     }

@@ -1102,23 +1102,76 @@ def _webmercator_to_lonlat(arr: np.ndarray) -> np.ndarray:
 _CRS_ALIASES = {"EPSG:4326": "LL", "OGC:CRS84": "LL", "CRS84": "LL", "EPSG:3857": "WM"}
 
 
+def _crs_tag(code: str):
+    """'LL' | 'WM' | ('UTM', zone, north) | None."""
+    from ..geometry import proj as _proj
+
+    up = str(code).upper()
+    tag = _CRS_ALIASES.get(up)
+    if tag is not None:
+        return tag
+    utm = _proj.parse_utm_epsg(up)
+    if utm is not None:
+        return ("UTM",) + utm
+    return None
+
+
+def _to_lonlat_fn(tag):
+    from ..geometry import proj as _proj
+
+    if tag == "LL":
+        return lambda a: a
+    if tag == "WM":
+        return _webmercator_to_lonlat
+
+    def f(arr, _z=tag[1], _n=tag[2]):
+        out = arr.copy()
+        out[:, 0], out[:, 1] = _proj.utm_inverse(arr[:, 0], arr[:, 1], _z, _n)
+        return out
+
+    return f
+
+
+def _from_lonlat_fn(tag):
+    from ..geometry import proj as _proj
+
+    if tag == "LL":
+        return lambda a: a
+    if tag == "WM":
+        return _lonlat_to_webmercator
+
+    def f(arr, _z=tag[1], _n=tag[2]):
+        out = arr.copy()
+        out[:, 0], out[:, 1] = _proj.utm_forward(arr[:, 0], arr[:, 1], _z, _n)
+        return out
+
+    return f
+
+
 @pandas_udf(BinaryType())
 def _st_transform(s: pd.Series, from_crs: pd.Series, to_crs: pd.Series) -> pd.Series:
+    """CRS transform: EPSG:4326/OGC:CRS84 ↔ EPSG:3857 ↔ EPSG:326xx/327xx
+    (UTM via 6th-order Krüger series, geometry/proj.py). Routed through
+    lon/lat as the hub. Reference: PROJ-backed st_transform
+    (c/sedona-proj/src/st_transform.rs in /root/reference)."""
+
     def tf(v, f, t):
         if v is None or f is None or t is None:
             return None
-        fa = _CRS_ALIASES.get(str(f).upper())
-        ta = _CRS_ALIASES.get(str(t).upper())
+        fa = _crs_tag(f)
+        ta = _crs_tag(t)
         if fa is None or ta is None:
             raise NotImplementedError(
-                f"ST_Transform supports EPSG:4326/OGC:CRS84 <-> EPSG:3857 in this "
-                f"build (no PROJ in env); got {f!r} -> {t!r}"
+                f"ST_Transform supports EPSG:4326/OGC:CRS84, EPSG:3857, and "
+                f"UTM EPSG:326xx/327xx in this build (no PROJ in env); "
+                f"got {f!r} -> {t!r}"
             )
         g = wkb.parse(v)
         if fa == ta:
             return wkb.encode(g)
-        fn = _lonlat_to_webmercator if (fa, ta) == ("LL", "WM") else _webmercator_to_lonlat
-        return wkb.encode(algos._map_coords(g, fn))
+        to_ll = _to_lonlat_fn(fa)
+        from_ll = _from_lonlat_fn(ta)
+        return wkb.encode(algos._map_coords(g, lambda a: from_ll(to_ll(a))))
 
     return pd.Series([tf(v, f, t) for v, f, t in zip(s, from_crs, to_crs)], dtype=object)
 

@@ -31,6 +31,39 @@ from pyspark.sql.types import ArrayType, DoubleType, LongType
 from ..sources.pages import _splitmix64
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+_P31 = (1 << 31) - 1  # Mersenne prime 2^31-1: keeps every op in BIGINT range
+                      # so external SQL oracles can recompute signatures
+
+
+def minhash_constants(num_hashes: int = 64, seed: int = 1, p: int = _P31):
+    """The (a, b) universal-hash constants — exposed so an external oracle
+    (oracle_sql) can embed the exact same permutations as SQL literals."""
+    rng = np.random.default_rng(seed)
+    A = rng.integers(1, p, num_hashes, dtype=np.int64)
+    B = rng.integers(0, p, num_hashes, dtype=np.int64)
+    return A, B
+
+
+def simhash_constants(bits: int = 64, seed: int = 3, p: int = _P31):
+    rng = np.random.default_rng(seed + 1000)
+    A = rng.integers(1, p, bits, dtype=np.int64)
+    B = rng.integers(0, p, bits, dtype=np.int64)
+    return A, B
+
+
+def _char_shingles31(text: str, k: int) -> np.ndarray:
+    """Distinct base-31 polynomial hashes of all character k-grams mod
+    2^31-1, over unicode CODE POINTS — the exact arithmetic
+    (ascii(substr(...)) horner) any SQL engine can reproduce: max
+    intermediate ≈ 2^21 · 31^(k-1) stays far below 2^63."""
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(codes) < k:
+        return np.empty(0, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(codes, k)
+    h = np.zeros(len(win), dtype=np.uint64)
+    for j in range(k):
+        h = h * np.uint64(31) + win[:, j]
+    return np.unique(h % np.uint64(_P31))
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -59,11 +92,39 @@ def _char_shingles(text: str, k: int) -> np.ndarray:
     return np.unique(_splitmix64(h))
 
 
-def minhash_signature_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 1):
+def minhash_signature_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 1,
+                          scheme: str = "poly31"):
     """text -> array<long> minhash signature (vectorized per Arrow batch).
 
     Permutations are (a*x + b) mod p universal hashes with seeded a/b —
-    identical on every executor."""
+    identical on every executor. scheme:
+    * "poly31" (default) — shingle hash and permutations mod 2^31-1, every
+      op BIGINT-safe so a plain-SQL oracle recomputes the signature
+      verbatim (CORRECTNESS gate upgrade, VERDICT item 7);
+    * "splitmix" — the round-1 61-bit splitmix/FNV mix (engine-defined)."""
+    if scheme == "poly31":
+        A64, B64 = minhash_constants(num_hashes, seed)
+        A = A64.astype(np.uint64)
+        B = B64.astype(np.uint64)
+        P = np.uint64(_P31)
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def sig(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                sh = _char_shingles31(t, shingle_k)
+                if len(sh) == 0:
+                    out.append([0] * num_hashes)
+                    continue
+                vals = (A[:, None] * sh[None, :] + B[:, None]) % P
+                out.append(vals.min(axis=1).astype(np.int64).tolist())
+            return pd.Series(out, dtype=object)
+
+        return sig
+
     rng = np.random.default_rng(seed)
     A = rng.integers(1, (1 << 61) - 1, num_hashes, dtype=np.int64).astype(np.uint64)
     B = rng.integers(0, (1 << 61) - 1, num_hashes, dtype=np.int64).astype(np.uint64)
@@ -95,6 +156,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 5,
     seed: int = 1,
+    scheme: str = "poly31",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -104,7 +166,7 @@ def minhash_lsh_candidates(
     threshold (16 bands × 4 rows ≈ catches J ≳ 0.5)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signature_udf(num_hashes, shingle_k, seed)
+    sig = minhash_signature_udf(num_hashes, shingle_k, seed, scheme)
     S = df.select(F.col(id_col).alias("doc_id"), sig(F.col(text_col)).alias("sig")).where(
         F.col("sig").isNotNull()
     )
@@ -170,6 +232,96 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
+
+
+def simhash_char_udf(shingle_k: int = 5, seed: int = 3):
+    """text -> struct(fp long, c0..c3 int): 64-bit simhash over distinct
+    character k-gram hashes, bit b voted by whether (A_b*s + B_b) mod p
+    lands in the upper half of [0, p) — every op BIGINT-safe, so a SQL
+    oracle reproduces the fingerprint exactly. c0..c3 are the 4x16-bit
+    pigeonhole band keys."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    A64, B64 = simhash_constants(64, seed)
+    A = A64.astype(np.uint64)
+    B = B64.astype(np.uint64)
+    P = np.uint64(_P31)
+    HALF = np.uint64((_P31 - 1) // 2)
+
+    @F.pandas_udf(StructType(
+        [StructField("fp", LongType())]
+        + [StructField(f"c{i}", LongType()) for i in range(4)]
+    ))
+    def sh(texts: pd.Series) -> pd.DataFrame:
+        n = len(texts)
+        fp = np.zeros(n, dtype=np.int64)
+        chunks = np.zeros((n, 4), dtype=np.int64)
+        na = np.zeros(n, dtype=bool)
+        for i, t in enumerate(texts):
+            if t is None:
+                na[i] = True
+                continue
+            shg = _char_shingles31(t, shingle_k)
+            if len(shg) == 0:
+                continue  # all-zero fingerprint
+            vals = (A[:, None] * shg[None, :] + B[:, None]) % P   # (64, m)
+            votes = np.where(vals > HALF, 1, -1).sum(axis=1)
+            bits = (votes > 0).astype(np.uint64)
+            v = np.uint64(0)
+            for b in np.nonzero(bits)[0]:
+                v |= np.uint64(1) << np.uint64(b)
+            fp[i] = np.array([v], dtype=np.uint64).view(np.int64)[0]
+            for c in range(4):
+                chunks[i, c] = int((v >> np.uint64(16 * c)) & np.uint64(0xFFFF))
+        out = pd.DataFrame({"fp": fp, **{f"c{i}": chunks[:, i] for i in range(4)}})
+        out = out.astype("Int64")
+        out[na] = pd.NA
+        return out
+
+    return sh
+
+
+def simhash_char_near_dups(df: DataFrame, text_col: str, id_col: str,
+                           max_hamming: int = 3, shingle_k: int = 5,
+                           seed: int = 3) -> DataFrame:
+    """Near-dup pairs by character-shingle simhash Hamming distance.
+
+    Same pigeonhole banding as `simhash_near_dups` (Hamming ≤ 3 implies an
+    exact match on ≥1 of the 4x16-bit chunks), but with the SQL-
+    reproducible poly31 bit votes. Output (id_a, id_b, hamming)."""
+    s = simhash_char_udf(shingle_k, seed)
+    S = df.select(F.col(id_col).alias("doc_id"), s(F.col(text_col)).alias("_s")).where(
+        F.col("_s.fp").isNotNull()
+    ).select("doc_id", "_s.fp", *[F.col(f"_s.c{i}").alias(f"c{i}") for i in range(4)])
+    chunks = S.select(
+        "doc_id", "fp",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"), F.col(f"c{c}").alias("ckey"))
+            for c in range(4)
+        ])).alias("cc"),
+    ).select("doc_id", "fp", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .drop("fp_a", "fp_b")
+    )
 
 
 def simhash_udf(seed: int = 3):
@@ -298,47 +450,56 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str, id_col: 
 
 
 def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
-                           threshold: float = 0.95, planes: int = 16,
-                           seed: int = 9, dim: Optional[int] = None) -> DataFrame:
+                           threshold: float = 0.95, planes: int = 8,
+                           bands: int = 8, seed: int = 9,
+                           dim: Optional[int] = None) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold.
 
-    Random-hyperplane LSH: sign-signature bucket join (high-cosine pairs
-    collide with prob (1 - θ/π)^planes), then exact JVM-side cosine verify.
-    For guaranteed recall lower `planes`; for 10^12 rows raise it."""
+    MULTI-BAND random-hyperplane LSH (OR-amplification): `bands`
+    independent sign-signatures of `planes` hyperplanes each; a pair is a
+    candidate iff it collides in ≥1 band, then exact JVM-side cosine
+    verify. Recall at cosine c is 1 - (1 - (1-acos(c)/π)^planes)^bands —
+    the defaults give ≈0.99 at c=0.95. The round-1 build used ONE 16-plane
+    band (≈0.6 recall at the advertised threshold, VERDICT item 5)."""
     if dim is None:
         first = df.select(F.size(vec_col)).first()
         dim = int(first[0])
     rng = np.random.default_rng(seed)
-    H = rng.normal(size=(planes, dim)).astype(np.float64)
+    H = rng.normal(size=(bands, planes, dim)).astype(np.float64)
 
-    @F.pandas_udf(LongType())
-    def bucket(vecs: pd.Series) -> pd.Series:
-        out = np.zeros(len(vecs), dtype=np.int64)
-        na = np.zeros(len(vecs), dtype=bool)
-        for i, v in enumerate(vecs):
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        out = []
+        pw = 1 << np.arange(planes, dtype=np.uint64)
+        for v in vecs:
             if v is None:
-                na[i] = True
+                out.append(None)
                 continue
-            proj = H @ np.asarray(v, dtype=np.float64)
+            x = np.asarray(v, dtype=np.float64)
+            proj = H @ x                       # (bands, planes)
             bits = (proj > 0).astype(np.uint64)
-            out[i] = int((bits << np.arange(planes, dtype=np.uint64)).sum())
-        res = pd.Series(out, dtype="Int64")
-        res[na] = pd.NA
-        return res
+            out.append((bits * pw[None, :]).sum(axis=1).astype(np.int64).tolist())
+        return pd.Series(out, dtype=object)
 
     S = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")).withColumn(
-        "bucket", bucket(F.col("vec"))
+        "_bks", buckets(F.col("vec"))
+    ).where(F.col("_bks").isNotNull())
+    S = S.select(
+        "doc_id", "vec",
+        F.posexplode("_bks").alias("band", "bucket"),
     )
     a, b = S.alias("a"), S.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.col("a.doc_id").alias("id_a"),
         F.col("b.doc_id").alias("id_b"),
         F.col("a.vec").alias("vec_a"),
         F.col("b.vec").alias("vec_b"),
-    )
+    ).dropDuplicates(["id_a", "id_b"])
     dot = F.aggregate(
         F.zip_with("vec_a", "vec_b", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

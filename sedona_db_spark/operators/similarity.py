@@ -119,11 +119,28 @@ def ivf_topk(
     train_sample: int = 10_000,
     train_iters: int = 5,
     seed: int = 13,
+    centroids: str = "kmeans",
 ) -> DataFrame:
     """IVF approximate cosine top-k. Recall < 1 by design (probes
-    nprobe/nlists of the corpus); raise nprobe toward nlists for exactness."""
+    nprobe/nlists of the corpus); raise nprobe toward nlists for exactness.
+
+    centroids:
+    * "kmeans"  — driver-sample k-means-lite training (default, better
+      recall per probe);
+    * "first_n" — the `nlists` corpus vectors with the smallest ids,
+      normalized. Fully deterministic and recomputable in plain SQL, which
+      upgrades the ivf query from rows-only to a full value-hash oracle
+      (VERDICT item 7)."""
     spark = corpus.sparkSession
-    C = _train_centroids(corpus, corpus_vec, nlists, train_sample, train_iters, seed)
+    if centroids == "first_n":
+        rows = (
+            corpus.select(F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_v"))
+            .orderBy("_cid").limit(nlists).collect()
+        )
+        C = np.array([r["_v"] for r in rows], dtype=np.float64)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    else:
+        C = _train_centroids(corpus, corpus_vec, nlists, train_sample, train_iters, seed)
     bc = spark.sparkContext.broadcast(C)
 
     @F.pandas_udf(IntegerType())

@@ -159,3 +159,43 @@ def test_fingerprint_normalizes(spark):
     rows = {r["id"]: r["f"] for r in df.select("id", T.doc_fingerprint(F.col("text")).alias("f")).collect()}
     assert rows[0] == rows[1]
     assert rows[0] != rows[2]
+
+
+def test_embedding_cosine_recall_multiband(spark):
+    """Multi-band OR-amplification: ≥0.95 empirical recall at cosine≈0.95
+    (the round-1 single-band build missed ~40% — VERDICT item 5)."""
+    rng = np.random.default_rng(11)
+    n_pairs, dim = 60, 32
+    base = rng.normal(size=(n_pairs, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows, planted = [], []
+    vid = 0
+    for i in range(n_pairs):
+        # partner at cosine ~0.95-0.98
+        noise = rng.normal(size=dim)
+        noise -= (noise @ base[i]) * base[i]
+        noise /= np.linalg.norm(noise)
+        theta = np.arccos(rng.uniform(0.95, 0.98))
+        partner = np.cos(theta) * base[i] + np.sin(theta) * noise
+        rows.append((vid, [float(x) for x in base[i]]))
+        rows.append((vid + 1, [float(x) for x in partner]))
+        planted.append((vid, vid + 1))
+        vid += 2
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = D.embedding_cosine_pairs(df, "embedding", "vec_id", threshold=0.95)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    truly_above = 0
+    found = 0
+    for a, b in planted:
+        va = np.array(rows[a][1]); vb = np.array(rows[b][1])
+        cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        if cos >= 0.95:
+            truly_above += 1
+            if (a, b) in got:
+                found += 1
+    assert truly_above >= 20
+    assert found / truly_above >= 0.95
+    # precision: every returned pair really is >= threshold (exact verify)
+    for a, b in got:
+        va = np.array(dict(rows)[a]); vb = np.array(dict(rows)[b])
+        assert va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)) >= 0.95 - 1e-9

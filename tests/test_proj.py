@@ -1,0 +1,85 @@
+"""UTM transform tests (geometry/proj.py — Krüger/Karney 6th-order series,
+replacing the reference's PROJ-backed arbitrary ST_Transform for the UTM
+family, c/sedona-proj/src/st_transform.rs)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from sedona_db_spark.geometry import proj, wkb
+
+
+class TestKernels:
+    def test_central_meridian_exact(self):
+        # on the CM: easting is exactly false-easting, northing equals
+        # k0 x meridian arc (independent numeric quadrature)
+        for lat in (0.0, 30.0, 45.0, 70.0):
+            E, N = proj.utm_forward(15.0, lat, zone=33)
+            assert float(E) == 500000.0
+            assert float(N) == pytest.approx(0.9996 * proj.meridian_arc(lat), abs=1e-4)
+
+    def test_roundtrip_machine_precision(self):
+        rng = np.random.default_rng(1)
+        lon = 15 + rng.uniform(-6, 6, 5000)
+        lat = rng.uniform(-80, 84, 5000)
+        E, N = proj.utm_forward(lon, lat, 33)
+        lon2, lat2 = proj.utm_inverse(E, N, 33)
+        assert np.abs(lon2 - lon).max() < 1e-11
+        assert np.abs(lat2 - lat).max() < 1e-11
+
+    def test_southern_hemisphere_false_northing(self):
+        E, N = proj.utm_forward(15.0, -30.0, 33, north=False)
+        assert float(N) > 6_000_000  # 10M false northing applied
+        lon, lat = proj.utm_inverse(E, N, 33, north=False)
+        assert float(lat) == pytest.approx(-30.0, abs=1e-11)
+
+    def test_scale_factor_on_cm(self):
+        # local scale on the CM must be k0 = 0.9996 (definition of UTM)
+        lat = 40.0
+        eps = 1e-6
+        _, N1 = proj.utm_forward(15.0, lat - eps, 33)
+        _, N2 = proj.utm_forward(15.0, lat + eps, 33)
+        darc = proj.meridian_arc(lat + eps) - proj.meridian_arc(lat - eps)
+        assert (N2 - N1) / darc == pytest.approx(0.9996, abs=1e-6)
+
+    def test_parse_epsg(self):
+        assert proj.parse_utm_epsg("EPSG:32633") == (33, True)
+        assert proj.parse_utm_epsg("EPSG:32733") == (33, False)
+        assert proj.parse_utm_epsg("EPSG:32661") is None
+        assert proj.parse_utm_epsg("EPSG:4326") is None
+
+
+class TestStTransform:
+    def test_utm_roundtrip_through_sql(self, spark):
+        from sedona_db_spark.functions import st
+
+        rng = np.random.default_rng(2)
+        x = 9 + rng.uniform(-3, 3, 50)
+        y = rng.uniform(-60, 60, 50)
+        rows = [(int(i), bytes(b)) for i, b in enumerate(wkb.encode_points_xy(x, y))]
+        df = spark.createDataFrame(rows, "id LONG, geometry BINARY")
+        # zone 32 covers lon 6..12
+        utm = df.withColumn(
+            "g2", st.ST_Transform(F.col("geometry"), F.lit("EPSG:4326"), F.lit("EPSG:32632"))
+        )
+        back = utm.withColumn(
+            "g3", st.ST_Transform(F.col("g2"), F.lit("EPSG:32632"), F.lit("EPSG:4326"))
+        )
+        out = back.select("id", st.ST_X(F.col("g3")).alias("x"), st.ST_Y(F.col("g3")).alias("y")).collect()
+        for r in out:
+            assert r["x"] == pytest.approx(float(x[r["id"]]), abs=1e-9)
+            assert r["y"] == pytest.approx(float(y[r["id"]]), abs=1e-9)
+
+    def test_utm_to_webmercator_chain(self, spark):
+        from sedona_db_spark.functions import st
+
+        E, N = proj.utm_forward(9.5, 48.0, 32)
+        df = spark.createDataFrame(
+            [(0, bytes(wkb.encode_points_xy(np.array([float(E)]), np.array([float(N)]))[0]))],
+            "id LONG, geometry BINARY",
+        )
+        wm = df.select(
+            st.ST_X(st.ST_Transform(F.col("geometry"), F.lit("EPSG:32632"), F.lit("EPSG:3857"))).alias("mx")
+        ).collect()[0]["mx"]
+        assert wm == pytest.approx(np.radians(9.5) * 6378137.0, rel=1e-12)
