@@ -748,28 +748,50 @@ def _point_y_expr(geom_col: str):
     return py(F.col(geom_col))
 
 
+_M_PER_DEG_LAT = 111194.9266  # pi/180 * mean earth radius
+
+
 def geography_dwithin_join(
     left: DataFrame,
     right: DataFrame,
     distance_m: float,
     left_geom: str = "geometry",
     right_geom: str = "geometry",
-    broadcast_right: bool = True,
+    broadcast_right: Optional[bool] = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Geography (spherical-edges) distance join.
 
     The reference's spatial-join optimizer only rewrites PLANAR joins —
     geography falls back to an exact nested-loop join
     (rust/sedona-spatial-join/src/optimizer.rs:1015-1055 in /root/reference).
-    We mirror that: broadcast nested-loop + vectorized haversine refine.
-    Longitudes wrap naturally through the trig (points at lon -190 and
-    lon 170 are 0 apart on the sphere), so antimeridian-straddling data
-    joins correctly where a planar join would find nothing."""
+    We improve on that fallback with a LATITUDE-BAND equi-join prefilter:
+    two points within ``distance_m`` on the sphere differ by at most
+    distance_m / 111.19 km in latitude (exactly — a degree of latitude is
+    never shorter than that), so banding by that height and joining each
+    left band against its 3 neighboring right bands keeps the join an
+    equi-join at any scale. The broadcast nested-loop variant remains for
+    small right sides (``strategy='broadcast'``). Longitudes wrap
+    naturally through the haversine refine (points at lon -190 and 170
+    are 0 apart on the sphere), so antimeridian-straddling data joins
+    correctly where a planar join would find nothing — bands are latitude-
+    only, which the antimeridian does not affect."""
     lcols, rcols = left.columns, right.columns
     L = left.select([F.col(c).alias(f"_l_{c}") for c in lcols])
     R = right.select([F.col(c).alias(f"_r_{c}") for c in rcols])
-    Rj = F.broadcast(R) if broadcast_right else R
-    cand = L.crossJoin(Rj)
+    lg, rg = f"_l_{left_geom}", f"_r_{right_geom}"
+
+    if strategy == "auto":
+        if broadcast_right is None:
+            try:
+                stats = R.agg(
+                    F.count("*").alias("n"), F.avg(F.length(F.col(rg))).alias("w")
+                ).collect()[0]
+                est = int(stats["n"] or 0) * (float(stats["w"] or 0.0) + 64.0)
+                broadcast_right = est <= BROADCAST_BYTES_CAP
+            except Exception:
+                broadcast_right = False
+        strategy = "broadcast" if broadcast_right else "banded"
 
     @F.pandas_udf(BooleanType())
     def refine(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -778,7 +800,24 @@ def geography_dwithin_join(
         d = algos.haversine_m(ax, ay, bx, by)
         return pd.Series(av & bv & (d <= distance_m))
 
-    out = cand.where(refine(F.col(f"_l_{left_geom}"), F.col(f"_r_{right_geom}")))
+    if strategy == "broadcast":
+        cand = L.crossJoin(F.broadcast(R))
+    else:
+        band_deg = max(distance_m / _M_PER_DEG_LAT, 1e-9)
+
+        def lat_band(geom_col):
+            y = _point_y_expr(geom_col)
+            return F.floor(y / F.lit(band_deg)).cast("long")
+
+        Lb = L.withColumn("_band", lat_band(lg))
+        Rb = R.withColumn(
+            "_rband0", lat_band(rg)
+        ).withColumn("_band", F.explode(F.array(
+            F.col("_rband0") - 1, F.col("_rband0"), F.col("_rband0") + 1
+        ))).drop("_rband0")
+        cand = Lb.join(Rb, on="_band", how="inner").drop("_band")
+
+    out = cand.where(refine(F.col(lg), F.col(rg)))
     return out.select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
         *[F.col(f"_r_{c}").alias(c) for c in rcols],

@@ -28,6 +28,7 @@ import os
 import shutil
 from typing import Dict, List, Optional
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -254,15 +255,75 @@ def read_geo_metadata(path: str) -> Optional[dict]:
     return json.loads(md[GEO_KEY])
 
 
+def _native_decode_udf(encoding: str):
+    """GeoParquet 1.1 native (GeoArrow separated) encodings -> WKB.
+
+    The reference decodes these at the format boundary
+    (`rust/sedona-geoparquet/src/metadata.rs:44-63`,
+    GeoParquetColumnEncoding point/linestring/...). Arriving in pandas:
+    point = {'x':..,'y':..} dict rows; linestring = list of point dicts;
+    polygon = list of rings; multi* = one more nesting level."""
+    import numpy as np
+
+    from pyspark.sql.types import BinaryType
+
+    from ..geometry import wkb as W
+
+    def pts(seq) -> "np.ndarray":
+        return np.array([[p["x"], p["y"]] for p in seq], dtype=np.float64)
+
+    def build(v):
+        if v is None:
+            return None
+        if encoding == "linestring":
+            return W.encode(W.Geometry(W.LINESTRING, pts(v)))
+        if encoding == "polygon":
+            return W.encode(W.Geometry(W.POLYGON, [pts(r) for r in v]))
+        if encoding == "multipoint":
+            return W.encode(W.Geometry(W.MULTIPOINT, [W.Geometry(W.POINT, pts([p])) for p in v]))
+        if encoding == "multilinestring":
+            return W.encode(W.Geometry(W.MULTILINESTRING, [W.Geometry(W.LINESTRING, pts(l)) for l in v]))
+        if encoding == "multipolygon":
+            return W.encode(
+                W.Geometry(W.MULTIPOLYGON, [W.Geometry(W.POLYGON, [pts(r) for r in pg]) for pg in v])
+            )
+        raise NotImplementedError(f"GeoParquet encoding {encoding!r}")
+
+    if encoding == "point":
+        # struct columns arrive as a pandas DataFrame -> fully vectorized
+        # numpy WKB assembly (the 21-byte fast path)
+        @F.pandas_udf(BinaryType())
+        def dec_pt(s: pd.DataFrame) -> pd.Series:
+            x = s["x"].to_numpy(dtype=np.float64, na_value=np.nan)
+            y = s["y"].to_numpy(dtype=np.float64, na_value=np.nan)
+            bufs = W.encode_points_xy(x, y)
+            out = pd.Series(list(bufs), dtype=object)
+            out[np.isnan(x)] = None
+            return out
+
+        return dec_pt
+
+    @F.pandas_udf(BinaryType())
+    def dec(s: pd.Series) -> pd.Series:
+        return pd.Series([build(v) for v in s], dtype=object)
+
+    return dec
+
+
 def read_geoparquet(spark: SparkSession, path: str) -> DataFrame:
     """Read GeoParquet: plain parquet scan + re-attach geometry column
     metadata from the `geo` footer key (the Spark analogue of the
-    reference's schema re-tagging, format.rs:63-149)."""
+    reference's schema re-tagging, format.rs:63-149). Columns written with
+    GeoParquet 1.1 NATIVE encodings (point/linestring/... separated
+    arrays) are decoded to the engine's WKB convention on read."""
     df = spark.read.parquet(path)
     meta = read_geo_metadata(path)
     if meta:
         for c, entry in meta.get("columns", {}).items():
             if c in df.columns:
+                enc = entry.get("encoding", "WKB")
+                if enc != "WKB":
+                    df = df.withColumn(c, _native_decode_udf(enc)(F.col(c)))
                 crs = crs_to_string(entry.get("crs")) or DEFAULT_CRS
                 df = with_geom_meta(df, c, crs=crs)
     return df

@@ -3,6 +3,7 @@ test_sjoin.py geography suite (FIXTURES.md §4): two point sets straddling
 the antimeridian join on the sphere but not on the plane."""
 
 import numpy as np
+import pytest
 
 from sedona_db_spark.geometry import wkb
 from sedona_db_spark.operators.spatial_join import geography_dwithin_join, spatial_join
@@ -33,3 +34,67 @@ def test_geography_close_pairs_only(spark):
     geo = geography_dwithin_join(A, B, distance_m=50_000.0)
     rows = {(r["aid"], r["bid"]) for r in geo.collect()}
     assert rows == {(0, 0)}  # ~11 km apart; everything else is far
+
+
+def test_banded_strategy_matches_broadcast(spark):
+    """The latitude-band equi-join prefilter (scale path) returns exactly
+    the broadcast nested-loop result."""
+    rng = np.random.default_rng(7)
+    ax = rng.uniform(-179, 179, 300); ay = rng.uniform(-85, 85, 300)
+    bx = rng.uniform(-179, 179, 300); by = rng.uniform(-85, 85, 300)
+    A = _pts(spark, ax, ay, "aid")
+    B = _pts(spark, bx, by, "bid")
+    d = 750_000.0
+    got_b = {(r["aid"], r["bid"]) for r in
+             geography_dwithin_join(A, B, d, strategy="broadcast").collect()}
+    got_band = {(r["aid"], r["bid"]) for r in
+                geography_dwithin_join(A, B, d, strategy="banded").collect()}
+    assert got_band == got_b
+    assert len(got_b) > 0
+
+
+def test_banded_antimeridian(spark):
+    A = _pts(spark, [-185.0, 179.5], [0.0, 10.0], "aid")
+    B = _pts(spark, [175.0, -179.5], [0.0, 10.0], "bid")
+    got = {(r["aid"], r["bid"]) for r in
+           geography_dwithin_join(A, B, 150_000.0, strategy="banded").collect()}
+    assert got == {(0, 0), (1, 1)}
+
+
+def test_geography_scalars_spherical(spark):
+    """Spherical area/length kernels (functions/geography.py): a 1-degree
+    box at the equator vs at 60N — the 60N box has ~half the area."""
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.functions import geography as G
+
+    eq = wkb.encode(wkb.box(0, 0, 1, 1))
+    hi = wkb.encode(wkb.box(0, 59.5, 1, 60.5))
+    df = spark.createDataFrame([(0, eq), (1, hi)], "id LONG, geometry BINARY")
+    out = {r["id"]: r for r in df.select(
+        "id",
+        G.ST_Area_Spherical(F.col("geometry")).alias("a"),
+        G.ST_Perimeter_Spherical(F.col("geometry")).alias("p"),
+    ).collect()}
+    deg_m = 111194.9266
+    assert out[0]["a"] == pytest.approx(deg_m * deg_m, rel=1e-4)
+    import math
+    assert out[1]["a"] == pytest.approx(out[0]["a"] * math.cos(math.radians(60.0)), rel=1e-3)
+    # perimeter of the equator box: ~2 lat edges + 2 lon edges (lon edge at
+    # lat 0/1 is ~cos-weighted); all four ≈ 111.19 km here
+    assert out[0]["p"] == pytest.approx(4 * deg_m, rel=1e-3)
+
+
+def test_geography_distance_vs_haversine(spark):
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.functions import geography as G
+    from sedona_db_spark.geometry import algos
+
+    a = wkb.encode(wkb.point(2.35, 48.85))   # Paris
+    b = wkb.encode(wkb.point(-0.13, 51.51))  # London
+    df = spark.createDataFrame([(a, b)], "g1 BINARY, g2 BINARY")
+    got = df.select(G.ST_Distance_Spherical(F.col("g1"), F.col("g2")).alias("d")).collect()[0]["d"]
+    want = float(algos.haversine_m(2.35, 48.85, -0.13, 51.51))
+    assert got == want
+    assert 330_000 < got < 360_000

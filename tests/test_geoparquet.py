@@ -92,3 +92,42 @@ def test_every_part_has_geo_footer_and_projjson(spark, tmp_path):
             "columns"]["geometry"]["bbox"][0]
         for p in parts
     )
+
+
+def test_native_point_encoding_read(spark, tmp_path):
+    """GeoParquet 1.1 native point encoding (GeoArrow separated struct) is
+    decoded to the engine's WKB convention on read — mirrors the
+    reference's GeoParquetColumnEncoding handling (metadata.rs:44-63)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = tmp_path / "native"
+    path.mkdir()
+    xs = [1.5, 2.5, -3.0]
+    ys = [10.0, -20.0, 30.5]
+    tbl = pa.table({
+        "id": pa.array([0, 1, 2], pa.int64()),
+        "geometry": pa.StructArray.from_arrays(
+            [pa.array(xs, pa.float64()), pa.array(ys, pa.float64())], ["x", "y"]
+        ),
+    })
+    geo = {
+        "version": "1.1.0",
+        "primary_column": "geometry",
+        "columns": {"geometry": {"encoding": "point", "geometry_types": ["Point"]}},
+    }
+    tbl = tbl.replace_schema_metadata({b"geo": json.dumps(geo).encode()})
+    pq.write_table(tbl, str(path / "part-0.parquet"))
+
+    back = GP.read_geoparquet(spark, str(path))
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.functions import st
+
+    rows = {r["id"]: (r["px"], r["py"]) for r in back.select(
+        "id", st.ST_X(F.col("geometry")).alias("px"), st.ST_Y(F.col("geometry")).alias("py")
+    ).collect()}
+    for i in range(3):
+        assert rows[i] == (xs[i], ys[i])
