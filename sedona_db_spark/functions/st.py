@@ -1382,6 +1382,25 @@ _UDFS: Dict[str, object] = {
 }
 
 
+def _register_geography_udfs() -> None:
+    # geography (spherical-edges) kernels — the reference exposes these as
+    # the same ST_ names dispatched on the column's Edges type
+    # (c/sedona-s2geography/src/register.rs); SQL has no column metadata,
+    # so the explicit *_Spherical names are the SQL-level surface while
+    # geography.fn_for_edges gives the metadata-dispatched DataFrame API.
+    from . import geography as _geog
+
+    _UDFS.update({
+        "ST_Area_Spherical": _geog.ST_Area_Spherical,
+        "ST_Length_Spherical": _geog.ST_Length_Spherical,
+        "ST_Perimeter_Spherical": _geog.ST_Perimeter_Spherical,
+        "ST_Distance_Spherical": _geog.ST_Distance_Spherical,
+    })
+
+
+_register_geography_udfs()
+
+
 def register_all(spark: SparkSession) -> None:
     """Register every ST_* function for SQL use (idempotent)."""
     for name, udf_obj in _UDFS.items():

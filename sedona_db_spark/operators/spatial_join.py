@@ -421,19 +421,29 @@ def spatial_join(
     rgeom = f"_r_{right_geom}"
     dist_col = "_dist" if predicate == "dwithin" else None
 
+    # --- ONE sampled collect of the right side drives every planner
+    # decision (grid level, dwithin expansion, rect detection, point
+    # detection) — the round-1 build issued a separate driver job per
+    # decision, which dominated small-join latency
+    rs_cols = [rgeom] + ([dist_col] if dist_col else [])
+    _rsample_rows = R.select(*rs_cols).limit(1000).collect()
+    rsample_geoms = [r[0] for r in _rsample_rows if r[0] is not None]
+
     # --- stats + grid level -------------------------------------------------
     if grid_level is None:
-        widths, heights, _ = estimate_env_stats(R, rgeom)
+        widths_l, heights_l = [], []
+        for v in rsample_geoms:
+            xmin, ymin, xmax, ymax = algos.bounds(wkb.parse(v))
+            if not np.isnan(xmin):
+                widths_l.append(xmax - xmin)
+                heights_l.append(ymax - ymin)
+        widths, heights = np.array(widths_l), np.array(heights_l)
         if dist_col is not None:
             # dwithin covers envelopes EXPANDED by the distance — size the
             # grid for the expanded envelope or point sides explode to
             # millions of cells (analogue of expand_rect_in_place,
             # rust/sedona-spatial-join/src/operand_evaluator.rs:307)
-            dsample = [
-                float(r[0])
-                for r in R.select("_dist").limit(1000).collect()
-                if r[0] is not None
-            ]
+            dsample = [float(r[1]) for r in _rsample_rows if r[1] is not None]
             dmed = float(np.median(dsample)) if dsample else 0.0
             widths = (widths if len(widths) else np.zeros(1)) + 2.0 * dmed
             heights = (heights if len(heights) else np.zeros(1)) + 2.0 * dmed
@@ -458,7 +468,7 @@ def spatial_join(
     if right_is_rects is None:
         right_is_rects = False
         if left_is_points and predicate in ("within", "covered_by", "intersects", "touches"):
-            rsample0 = [r[0] for r in R.select(rgeom).limit(200).collect() if r[0] is not None]
+            rsample0 = rsample_geoms[:200]
             if bool(rsample0) and all(_is_axis_rect_wkb(v) for v in rsample0):
                 @F.pandas_udf(BooleanType())
                 def _all_rect(s: pd.Series) -> pd.Series:
@@ -633,7 +643,7 @@ def spatial_join(
                 pip = _point_in_polygon_refine_udf(pred_map[predicate])
                 cand = cand.withColumn("_ok", pip(px, py, F.col(rgeom)))
     elif predicate == "dwithin":
-        rsample = [r[0] for r in R.select(rgeom).limit(200).collect() if r[0] is not None]
+        rsample = rsample_geoms[:200]
         right_is_points = bool(rsample) and all(
             len(bytes(v)) == 21 and bytes(v)[1] == wkb.POINT for v in rsample
         )

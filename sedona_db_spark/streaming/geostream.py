@@ -36,6 +36,109 @@ def geotag_stream(pages_stream: DataFrame, grid_level: int = 7) -> DataFrame:
     return geotag_pages(pages_stream, grid_level=grid_level)
 
 
+def streaming_exact_dedup(
+    pages_stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST page per content digest seen
+    within the watermark horizon. State is one digest per distinct
+    document, expired past the watermark — bounded, unlike a naive
+    global dropDuplicates (which at 10^12 rows would hold the whole
+    corpus's digests forever)."""
+    withd = pages_stream.withColumn("digest", F.md5(F.col(text_col)))
+    return withd.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        ["digest"]
+    )
+
+
+def streaming_pip_join(
+    tagged_stream: DataFrame,
+    zones: DataFrame,
+    zone_id: str = "zone_id",
+    zone_geom: str = "geometry",
+) -> DataFrame:
+    """Stream-static point-in-polygon join: the streaming geotagged pages
+    against a STATIC zone layer. Stream-static joins are stateless (each
+    micro-batch joins against the broadcast polygons), so this is the
+    always-on form of the batch two-phase join's broadcast path — the
+    shape a continuously-crawled pages firehose actually needs."""
+    from ..operators.spatial_join import spatial_join
+
+    pts = tagged_stream.where(F.col("lat").isNotNull())
+    # stream side must keep its streaming plan: use the explicit pure-column
+    # path (cell assignment + refine are deterministic column exprs)
+    return spatial_join(
+        pts,
+        zones.select(zone_id, zone_geom),
+        predicate="within",
+        left_geom="__unused__",
+        right_geom=zone_geom,
+        left_xy=("lon", "lat"),
+        broadcast_right=True,
+        grid_level=4,
+    )
+
+
+def hot_cell_tracker(
+    tagged_stream: DataFrame,
+    threshold: int = 100,
+    ts_col: str = "warc_ts",
+    watermark_delay: str = "2 hours",
+    state_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator via applyInPandasWithState:
+    tracks a running page count per quadkey cell and emits a row whenever
+    a cell crosses `threshold` (the skew/hotspot detector a web-scale
+    geotag pipeline runs continuously — feeds salting decisions, cf.
+    spatial_join.salt_hot_cells). State = one int per active cell, expired
+    by EVENT-TIME timeout `state_ttl_ms` past the watermark => bounded,
+    and no perpetual empty micro-batches (processing-time timeouts keep a
+    query busy forever)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType([
+        StructField("cell_id", LongType()),
+        StructField("total", LongType()),
+    ])
+    state_schema = StructType([StructField("count", LongType())])
+
+    def track(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"cell_id": [], "total": []})
+            return
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        (prev,) = state.get if state.exists else (0,)
+        total = prev + n
+        state.update((total,))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
+        if prev < threshold <= total:
+            yield pd.DataFrame({"cell_id": [key[0]], "total": [total]})
+        else:
+            yield pd.DataFrame({"cell_id": [], "total": []})
+
+    return (
+        tagged_stream.where(F.col("cell_id").isNotNull())
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy("cell_id")
+        .applyInPandasWithState(
+            track, out_schema, state_schema, "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def windowed_cell_counts(
     tagged_stream: DataFrame,
     window_duration: str = "1 hour",

@@ -50,3 +50,83 @@ def test_stream_geotag_and_window(spark, tmp_path):
     assert got_geo == want_geo
     got_cells = last.select("cell_id").distinct().count()
     assert got_cells == want_cells
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    src = str(tmp_path / "dedup_src")
+    df = P.synthesize_pages(spark, 600, partitions=3)
+    # plant exact duplicates: same text under different urls
+    dup = df.limit(50).withColumn("url", F.concat(F.col("url"), F.lit("?copy")))
+    df.union(dup).write.mode("overwrite").parquet(src)
+
+    stream = GS.stream_pages_from_dir(spark, src, max_files_per_trigger=2)
+    deduped = GS.streaming_exact_dedup(stream)
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT count(*) c, count(DISTINCT digest) d FROM dedup_out").collect()[0]
+    finally:
+        q.stop()
+    want = spark.read.parquet(src).select(F.md5("text")).distinct().count()
+    assert got["d"] == want
+    assert got["c"] == got["d"]  # exactly one survivor per digest
+
+
+def test_streaming_pip_join_matches_batch(spark, tmp_path):
+    from sedona_db_spark.geometry import wkb
+    from sedona_db_spark.operators.spatial_join import spatial_join
+
+    src = str(tmp_path / "pip_src")
+    P.synthesize_pages(spark, 800, partitions=4).write.mode("overwrite").parquet(src)
+    zones = spark.createDataFrame(
+        [(i, wkb.encode(wkb.box(-180 + (i % 5) * 72.0, -90 + (i // 5) * 36.0,
+                                -180 + (i % 5 + 1) * 72.0, -90 + (i // 5 + 1) * 36.0)))
+         for i in range(25)],
+        "zone_id LONG, geometry BINARY",
+    )
+    stream = GS.geotag_stream(GS.stream_pages_from_dir(spark, src, 2), grid_level=4)
+    joined = GS.streaming_pip_join(stream, zones)
+    q = (
+        joined.select("url", "zone_id").writeStream.format("memory")
+        .queryName("pip_out").outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r["url"], r["zone_id"]) for r in spark.sql("SELECT * FROM pip_out").collect()}
+    finally:
+        q.stop()
+    batch_tagged = P.geotag_pages(spark.read.parquet(src), grid_level=4).where(
+        F.col("lat").isNotNull()
+    )
+    want_df = spatial_join(
+        batch_tagged, zones, predicate="within", left_geom="__unused__",
+        right_geom="geometry", left_xy=("lon", "lat"), broadcast_right=True,
+        grid_level=4,
+    )
+    want = {(r["url"], r["zone_id"]) for r in want_df.select("url", "zone_id").collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_hot_cell_tracker(spark, tmp_path):
+    src = str(tmp_path / "hot_src")
+    P.synthesize_pages(spark, 1200, partitions=3).write.mode("overwrite").parquet(src)
+    tagged_batch = P.geotag_pages(spark.read.parquet(src), grid_level=3)
+    counts = {r["cell_id"]: r["c"] for r in tagged_batch.where(F.col("cell_id").isNotNull())
+              .groupBy("cell_id").agg(F.count("*").alias("c")).collect()}
+    threshold = 50
+    want_hot = {c for c, n in counts.items() if n >= threshold}
+    assert want_hot  # Zipf-skewed geotags guarantee hot cells
+
+    stream = GS.geotag_stream(GS.stream_pages_from_dir(spark, src, 1), grid_level=3)
+    hot = GS.hot_cell_tracker(stream, threshold=threshold)
+    q = hot.writeStream.format("memory").queryName("hot_out").outputMode("update").start()
+    try:
+        q.processAllAvailable()
+        got = {r["cell_id"] for r in spark.sql("SELECT DISTINCT cell_id FROM hot_out").collect()}
+    finally:
+        q.stop()
+    assert got == want_hot
