@@ -427,6 +427,19 @@ def _q_geography_area(spark, sf_dir):
     ).orderBy("n_nationkey")
 
 
+def _q_knn_geog_k3(spark, sf_dir):
+    """Geography kNN join: 3 nearest suppliers per customer by HAVERSINE
+    meters (the reference's Haversine metric choice, index.rs:34-37) —
+    the spherical-distance formula is reproduced verbatim in SQL."""
+    from sedona_db_spark.operators.knn_join import knn_join
+
+    pts = _cust_pts(spark, sf_dir).select("c_custkey", "geom")
+    sup = _supp_pts(spark, sf_dir).select("s_suppkey", "geom")
+    j = knn_join(pts, sup, k=3, probe_geom="geom", build_geom="geom",
+                 build_id="s_suppkey", use_spheroid=True)
+    return j.select("c_custkey", "s_suppkey", F.col("knn_rank").cast("int").alias("knn_rank"))
+
+
 def _q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -504,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats_raster": _q_zonal_stats_raster,
         "knn_rect_k3": _q_knn_rect_k3,
         "geography_area": _q_geography_area,
+        "knn_geog_k3": _q_knn_geog_k3,
     }
 
 
@@ -834,4 +848,15 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_oracle(),
         "simhash_pairs": _simhash_oracle(),
         "ivf_ann": _ivf_oracle(),
+        "knn_geog_k3": (
+            # haversine with the same op structure as algos.haversine_m
+            f"SELECT c_custkey, s_suppkey, knn_rank FROM ("
+            f" SELECT c.c_custkey AS c_custkey, s.s_suppkey AS s_suppkey, "
+            f" CAST(row_number() OVER (PARTITION BY c.c_custkey ORDER BY "
+            f"  2.0*CAST(6371008.8 AS DOUBLE)*asin(sqrt(least(CAST(1.0 AS DOUBLE), "
+            f"  pow(sin((radians({_SY})-radians({_CY}))/2),2) + "
+            f"  cos(radians({_CY}))*cos(radians({_SY}))*"
+            f"  pow(sin((radians({_SX})-radians({_CX}))/2),2)))), s.s_suppkey) AS INTEGER) AS knn_rank "
+            f" FROM customer c CROSS JOIN supplier s) WHERE knn_rank <= 3"
+        ),
     }

@@ -780,16 +780,79 @@ def _clip_convex(subject: "wkb.Geometry", clip_ring: np.ndarray):
     )
 
 
+def _type_dim(g) -> int:
+    """Structural dimension (2 areal / 1 lineal / 0 puntal) of a geometry,
+    including its declared type when empty."""
+    if g is None:
+        return 0
+    if g.polygons() or g.type_id in (wkb.POLYGON, wkb.MULTIPOLYGON):
+        return 2
+    if g.lines() or g.type_id in (wkb.LINESTRING, wkb.MULTILINESTRING):
+        return 1
+    return 0
+
+
+def _empty_of_dim(d: int):
+    """Typed EMPTY results, like GEOS (intersection of disjoint polygons is
+    POLYGON EMPTY, of disjoint lines LINESTRING EMPTY, of distinct points
+    POINT EMPTY — reference behavior pinned by
+    python/sedonadb/tests/functions/test_overlay.py)."""
+    import numpy as _np
+
+    if d >= 2:
+        return wkb.Geometry(wkb.POLYGON, [])
+    if d == 1:
+        return wkb.Geometry(wkb.LINESTRING, _np.empty((0, 2)))
+    return wkb.Geometry(wkb.POINT, _np.empty((0, 2)))
+
+
+def _is_mixed_collection(g) -> bool:
+    kinds = sum(1 for part in (g.points(), g.lines(), g.polygons()) if part)
+    return kinds > 1
+
+
+def _merge_parts(parts, empty_dim: int):
+    """Merge overlay sub-results into one geometry (GEOS collection rules:
+    drop empties, singleton passes through, same-type -> MULTI, else GC)."""
+    flat = []
+    for p in parts:
+        if p is None or p.is_empty:
+            continue
+        if p.type_id in (wkb.MULTIPOINT, wkb.MULTILINESTRING, wkb.MULTIPOLYGON, wkb.GEOMETRYCOLLECTION):
+            flat.extend(s for s in p.coords if not s.is_empty)
+        else:
+            flat.append(p)
+    if not flat:
+        return _empty_of_dim(empty_dim)
+    if len(flat) == 1:
+        return flat[0]
+    types = {p.type_id for p in flat}
+    if types == {wkb.POINT}:
+        return wkb.Geometry(wkb.MULTIPOINT, flat)
+    if types == {wkb.LINESTRING}:
+        return wkb.Geometry(wkb.MULTILINESTRING, flat)
+    if types == {wkb.POLYGON}:
+        return wkb.Geometry(wkb.MULTIPOLYGON, flat)
+    return wkb.Geometry(wkb.GEOMETRYCOLLECTION, flat)
+
+
 def _intersection(a, b):
     """Geometry intersection. The reference delegates to GEOS
     (`c/sedona-geos/src/overlay.rs` in /root/reference); here areal×areal
     routes through the from-scratch exact snap-rounded subdivision overlay
     (geometry/overlay.py), lineal×areal clips lines at polygon boundaries,
-    lineal×lineal nodes the arrangement; puntal cases test membership."""
+    lineal×lineal nodes the arrangement; puntal cases test membership;
+    mixed collections decompose per part. Semantics pinned by the
+    reference's python/sedonadb/tests/functions/test_overlay.py cases."""
     if a is None or b is None:
         return None
+    edim = min(_type_dim(a), _type_dim(b))
     if a.is_empty or b.is_empty or not algos.intersects(a, b):
-        return wkb.Geometry(wkb.GEOMETRYCOLLECTION, [])
+        return _empty_of_dim(edim)
+    if _is_mixed_collection(a):
+        return _merge_parts([_intersection(p, b) for p in a.geometries()], edim)
+    if _is_mixed_collection(b):
+        return _merge_parts([_intersection(a, q) for q in b.geometries()], edim)
     for pts, other in ((a, b), (b, a)):
         if pts.points() and not pts.lines() and not pts.polygons():
             keep = [
@@ -797,16 +860,20 @@ def _intersection(a, b):
                 for p in pts.points()
                 if algos.intersects(p, other)
             ]
+            if not keep:
+                return _empty_of_dim(0)
             if len(keep) == 1:
                 return keep[0]
             return wkb.Geometry(wkb.MULTIPOINT, keep)
     if a.polygons() and b.polygons():
-        return overlay.polygon_overlay(a, b, "intersection")
+        out = overlay.polygon_overlay(a, b, "intersection")
+        return _empty_of_dim(2) if (out.is_empty and out.type_id == wkb.GEOMETRYCOLLECTION) else out
     for lines, poly in ((a, b), (b, a)):
         if lines.lines() and not lines.polygons() and poly.polygons():
             return overlay.clip_lines_by_polygon(lines, poly, "intersection")
     if a.lines() and b.lines():
-        return overlay.line_line_intersection(a, b)
+        out = overlay.line_line_intersection(a, b)
+        return _empty_of_dim(1) if (out.is_empty and out.type_id == wkb.GEOMETRYCOLLECTION) else out
     raise NotImplementedError(
         "intersection of mixed geometry collections is not supported"
     )
@@ -840,61 +907,86 @@ _st_intersection = _make_overlay_udf(_intersection)
 
 
 def _union(a, b):
-    """Union. Areal×areal DISSOLVES through the exact overlay engine
-    (matching GEOS); puntal unions dedupe coincident points; mixed inputs
-    merge into a collection."""
+    """Union. Areal×areal DISSOLVES through the exact overlay engine and
+    lineal×lineal NODES (pieces split at intersections/original endpoints,
+    shared parts deduped), both matching GEOS; puntal unions dedupe
+    coincident points; points lying on higher-dimensional parts are
+    absorbed (POINT ∪ LINESTRING-through-it = the LINESTRING). Semantics
+    pinned by the reference's test_overlay.py union cases."""
     if a is None or b is None:
         return None
+    if a.is_empty:
+        return b
+    if b.is_empty:
+        return a
     if a.polygons() and b.polygons() and not a.lines() and not b.lines() and not a.points() and not b.points():
         return overlay.polygon_overlay(a, b, "union")
-    parts = []
-    for g in (a, b):
-        if g.is_empty:
+    if a.lines() and b.lines() and not a.polygons() and not b.polygons() and not a.points() and not b.points():
+        return overlay.lineal_union(a, b)
+    # puntal x higher-dim: absorb covered points
+    for pts, other in ((a, b), (b, a)):
+        if pts.points() and not pts.lines() and not pts.polygons() and _type_dim(other) > 0:
+            outside = [p for p in pts.points() if not algos.intersects(p, other)]
+            if not outside:
+                return other
+            return _merge_parts([other] + outside, _type_dim(other))
+    # general (mixed collections): dimension-wise union — areal parts
+    # dissolve, lineal parts node, puntal parts dedupe and are absorbed by
+    # higher-dimensional results (GC ∪ identical GC = itself, per the
+    # reference's test_overlay.py union rows)
+    merged = []
+    polys = a.polygons() + b.polygons()
+    if polys:
+        merged.append(overlay.union_all(polys))
+    la, lb = a.lines(), b.lines()
+    if la or lb:
+        ml_a = wkb.Geometry(wkb.MULTILINESTRING, la)
+        ml_b = wkb.Geometry(wkb.MULTILINESTRING, lb)
+        merged.append(overlay.lineal_union(ml_a, ml_b))
+    seen, uniq = set(), []
+    for p in a.points() + b.points():
+        if not len(p.coords):
             continue
-        if g.type_id in (wkb.MULTIPOINT, wkb.MULTILINESTRING, wkb.MULTIPOLYGON, wkb.GEOMETRYCOLLECTION):
-            parts.extend(g.coords)
-        else:
-            parts.append(g)
-    types = {p.type_id for p in parts}
-    if types == {wkb.POINT}:
-        # dedupe coincident points like GEOS
-        seen, uniq = set(), []
-        for p in parts:
-            key = (p.coords[0, 0], p.coords[0, 1])
-            if key not in seen:
-                seen.add(key)
+        key = (p.coords[0, 0], p.coords[0, 1])
+        if key not in seen:
+            seen.add(key)
+            if not any(algos.intersects(p, m) for m in merged):
                 uniq.append(p)
-        return uniq[0] if len(uniq) == 1 else wkb.Geometry(wkb.MULTIPOINT, uniq)
-    if types == {wkb.LINESTRING}:
-        return parts[0] if len(parts) == 1 else wkb.Geometry(wkb.MULTILINESTRING, parts)
-    if len(parts) == 1:
-        return parts[0]
-    return wkb.Geometry(wkb.GEOMETRYCOLLECTION, parts)
+    return _merge_parts(merged + uniq, max(_type_dim(a), _type_dim(b)))
 
 
 _st_union = _make_overlay_udf(_union)
 
 
 def _difference(a, b):
+    """a − b. Mixed collections decompose per part of `a`; empty results
+    are typed after `a` (POINT EMPTY etc.), matching GEOS via the
+    reference's test_overlay.py difference cases."""
     if a is None or b is None:
         return None
+    if b.is_empty:
+        return a
+    if _is_mixed_collection(a):
+        return _merge_parts([_difference(p, b) for p in a.geometries()], _type_dim(a))
     if a.points() and not a.lines() and not a.polygons():
         keep = [p for p in a.points() if not algos.intersects(p, b)]
         if not keep:
-            return wkb.Geometry(wkb.GEOMETRYCOLLECTION, [])
+            return _empty_of_dim(0)
         return keep[0] if len(keep) == 1 else wkb.Geometry(wkb.MULTIPOINT, keep)
     if not algos.intersects(a, b):
         return a
     if a.polygons():
         if b.polygons():
-            return overlay.polygon_overlay(a, b, "difference")
+            out = overlay.polygon_overlay(a, b, "difference")
+            return _empty_of_dim(2) if (out.is_empty and out.type_id == wkb.GEOMETRYCOLLECTION) else out
         return a  # subtracting lower-dimensional geometry leaves a unchanged
     if a.lines():
         if b.polygons():
             return overlay.clip_lines_by_polygon(a, b, "difference")
         if b.lines():
-            return overlay.line_line_difference(a, b)
-        return a
+            out = overlay.line_line_difference(a, b)
+            return _empty_of_dim(1) if (out.is_empty and out.type_id == wkb.GEOMETRYCOLLECTION) else out
+        return a  # points subtract nothing of positive measure
     raise NotImplementedError("difference of mixed geometry collections is not supported")
 
 
@@ -912,13 +1004,20 @@ def _symdifference(a, b):
         sym = sorted(sa ^ sb)
         pts = [wkb.point(x, y) for x, y in sym]
         if not pts:
-            return wkb.Geometry(wkb.GEOMETRYCOLLECTION, [])
+            return _empty_of_dim(0)
         return pts[0] if len(pts) == 1 else wkb.Geometry(wkb.MULTIPOINT, pts)
     if not algos.intersects(a, b):
         return _union(a, b)
-    if a.polygons() and b.polygons():
-        return overlay.polygon_overlay(a, b, "symdifference")
-    raise NotImplementedError("symdifference of mixed-dimension geometries is not supported")
+    if a.polygons() and b.polygons() and not _is_mixed_collection(a) and not _is_mixed_collection(b):
+        out = overlay.polygon_overlay(a, b, "symdifference")
+        return _empty_of_dim(2) if (out.is_empty and out.type_id == wkb.GEOMETRYCOLLECTION) else out
+    # general fallback (mixed dims / collections): (a − b) ∪ (b − a) —
+    # exactly the OGC definition; covers point-on-line, partial lineal
+    # overlap, and GC inputs (reference test_overlay.py symdifference rows)
+    return _merge_parts(
+        [_difference(a, b), _difference(b, a)],
+        max(_type_dim(a), _type_dim(b)),
+    )
 
 
 _st_symdifference = _make_overlay_udf(_symdifference)

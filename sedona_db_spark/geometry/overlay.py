@@ -641,6 +641,79 @@ def line_line_intersection(a: Geometry, b: Geometry) -> Geometry:
     return pts[0] if len(pts) == 1 else Geometry(MULTIPOINT, pts)
 
 
+def lineal_union(a: Geometry, b: Geometry) -> Geometry:
+    """Noded union of two lineal geometries (GEOS semantics: pieces split
+    at intersections AND at original endpoints, shared parts deduped —
+    e.g. (0 0,1 1) ∪ (0.5 0.5,1 1) = MULTILINESTRING((0 0,0.5 0.5),
+    (0.5 0.5,1 1)))."""
+    coords = []
+    for g in (a, b):
+        c = g.all_coords()
+        if len(c):
+            coords.append(np.max(np.abs(c[:, :2])))
+    quantum = _pick_quantum(float(max(coords)) if coords else 1.0)
+
+    segs: List[_Seg] = []
+    endpoints = set()
+    for g in (a, b):
+        for line in g.lines():
+            pts = _quantize_open(line.coords, quantum)
+            if pts:
+                endpoints.add(pts[0])
+                endpoints.add(pts[-1])
+            for u, v in zip(pts[:-1], pts[1:]):
+                if u != v:
+                    segs.append(_Seg(u, v, 0, 0))
+    _node_segments(segs)
+    edge_set = set()
+    order = []
+    for s in segs:
+        for u, v, _, _ in _subdivide(s):
+            key = (u, v) if u < v else (v, u)
+            if key not in edge_set:
+                edge_set.add(key)
+                order.append(key)
+    if not order:
+        return Geometry(MULTILINESTRING, [])
+    # chain consecutive edges, breaking at junctions (degree != 2) and at
+    # original endpoints
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for u, v in order:
+        adj[u].append(v)
+        adj[v].append(u)
+
+    def is_break(p):
+        return len(adj[p]) != 2 or p in endpoints
+
+    unused = set(order)
+    chains = []
+    starts = [e for e in order if is_break(e[0]) or is_break(e[1])] + order
+    for u0, v0 in starts:
+        key = (u0, v0) if u0 < v0 else (v0, u0)
+        if key not in unused:
+            continue
+        # orient from a break vertex if possible
+        if is_break(v0) and not is_break(u0):
+            u0, v0 = v0, u0
+        unused.discard(key)
+        chain = [u0, v0]
+        while not is_break(chain[-1]):
+            nxts = [w for w in adj[chain[-1]]
+                    if ((chain[-1], w) if chain[-1] < w else (w, chain[-1])) in unused]
+            if not nxts:
+                break
+            w = nxts[0]
+            unused.discard((chain[-1], w) if chain[-1] < w else (w, chain[-1]))
+            chain.append(w)
+        chains.append(chain)
+    lines = [
+        Geometry(LINESTRING, np.array(c, dtype=np.float64) * quantum) for c in chains
+    ]
+    return lines[0] if len(lines) == 1 else Geometry(MULTILINESTRING, lines)
+
+
 def line_line_difference(a: Geometry, b: Geometry) -> Geometry:
     """Lineal difference: a's subsegments minus the collinear-shared ones."""
     coords = []
