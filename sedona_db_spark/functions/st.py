@@ -505,14 +505,45 @@ def _ring_simple(ring: np.ndarray) -> bool:
     return True
 
 
+def _segs_collinear_overlap(sa: np.ndarray, sb: np.ndarray) -> bool:
+    """True iff any segment of sa shares a POSITIVE-length collinear piece
+    with any segment of sb (exact orientation arithmetic)."""
+    for x0, y0, x1, y1 in sa:
+        for u0, v0, u1, v1 in sb:
+            d1 = (x1 - x0) * (v0 - y0) - (y1 - y0) * (u0 - x0)
+            d2 = (x1 - x0) * (v1 - y0) - (y1 - y0) * (u1 - x0)
+            if d1 != 0 or d2 != 0:
+                continue
+            # collinear: 1-D overlap test along the dominant axis
+            if abs(x1 - x0) >= abs(y1 - y0):
+                lo = max(min(x0, x1), min(u0, u1))
+                hi = min(max(x0, x1), max(u0, u1))
+            else:
+                lo = max(min(y0, y1), min(v0, v1))
+                hi = min(max(y0, y1), max(v0, v1))
+            if hi > lo:
+                return True
+    return False
+
+
 def _is_valid(g) -> bool:
-    """From-scratch OGC validity: finite coords, closed rings (>=4 pts),
-    EXACT ring simplicity (no size cutoff — reference: GEOS IsValidOp,
-    c/sedona-geos/src/st_isvalid.rs), holes contained in their shell."""
+    """From-scratch OGC validity (reference: GEOS IsValidOp via
+    c/sedona-geos/src/st_isvalid.rs, semantics pinned by the reference's
+    test_functions.py ST_IsValid rows): finite coords, linestrings with
+    ≥2 distinct points, closed simple rings (exact, no size cutoff),
+    holes inside their shell and never sharing an edge with it,
+    multipolygon parts with non-overlapping interiors."""
     c = g.all_coords()
     if len(c) and not np.isfinite(c[:, :2]).all():
         return False
-    for poly in g.polygons():
+    for line in g.lines():
+        arr = line.coords
+        if len(arr) == 0:
+            continue
+        if len(arr) < 2 or bool(np.all(arr[:, :2] == arr[0, :2])):
+            return False  # degenerate: fewer than 2 distinct points
+    polys = g.polygons()
+    for poly in polys:
         if not poly.coords:
             continue
         for ring in poly.coords:
@@ -521,11 +552,20 @@ def _is_valid(g) -> bool:
             if len(ring) >= 4 and not _ring_simple(ring):
                 return False
         shell = poly.coords[0]
+        shell_segs = np.hstack([shell[:-1, :2], shell[1:, :2]]) if len(shell) >= 2 else np.empty((0, 4))
         for hole in poly.coords[1:]:
             if len(hole) == 0:
                 continue
             inside, on = algos.locate_points_in_ring(hole[:, 0], hole[:, 1], shell)
             if np.any(~inside & ~on):
+                return False
+            hole_segs = np.hstack([hole[:-1, :2], hole[1:, :2]])
+            if _segs_collinear_overlap(hole_segs, shell_segs):
+                return False  # hole shares an edge with the shell
+    # multipolygon / collection: part interiors must not overlap
+    for i in range(len(polys)):
+        for j in range(i + 1, len(polys)):
+            if algos._areal_interiors_overlap(polys[i], polys[j]):
                 return False
     return True
 
@@ -543,18 +583,98 @@ def _st_isvalidreason(s: pd.Series) -> pd.Series:
     return pd.Series([reason(v) for v in s], dtype=object)
 
 
-def _is_simple(g) -> bool:
-    for line in g.lines():
-        arr = line.coords[:, :2]
-        segs = np.hstack([arr[:-1], arr[1:]])
-        n = len(segs)
-        closed = len(arr) >= 2 and (arr[0] == arr[-1]).all()
-        for i in range(n):
-            for j in range(i + 2, n):
-                if closed and i == 0 and j == n - 1:
-                    continue
-                if algos.segments_intersect_any(segs[i : i + 1], segs[j : j + 1]):
+def _line_self_simple(arr: np.ndarray) -> bool:
+    """One linestring: no self-contact except the closing point of a ring,
+    and no immediate backtracking (collinear reversal at a vertex)."""
+    arr = arr[:, :2]
+    # drop consecutive duplicates for the segment tests (zero-length
+    # segments are allowed by GEOS: LINESTRING (1 1, 1 1) is simple)
+    keep = np.ones(len(arr), dtype=bool)
+    keep[1:] = ~np.all(arr[1:] == arr[:-1], axis=1)
+    pts = arr[keep]
+    if len(pts) < 2:
+        return True
+    segs = np.hstack([pts[:-1], pts[1:]])
+    n = len(segs)
+    closed = (pts[0] == pts[-1]).all()
+    for i in range(n):
+        # adjacent backtrack: next segment reverses along the same line
+        if i + 1 < n or closed:
+            j2 = (i + 1) % n
+            if j2 != i:
+                d0 = segs[i, 2:] - segs[i, :2]
+                d1 = segs[j2, 2:] - segs[j2, :2]
+                if d0[0] * d1[1] - d0[1] * d1[0] == 0 and d0 @ d1 < 0:
                     return False
+        for j in range(i + 2, n):
+            if closed and i == 0 and j == n - 1:
+                continue
+            if algos.segments_intersect_any(segs[i : i + 1], segs[j : j + 1]):
+                return False
+    return True
+
+
+def _lines_contact_only_at_shared_endpoints(la, lb) -> bool:
+    """Two linestrings of one MULTILINESTRING: every contact point must be
+    an ENDPOINT of both (OGC multi-line simplicity)."""
+    a, b = la.coords[:, :2], lb.coords[:, :2]
+    if len(a) < 2 or len(b) < 2:
+        return True
+    sa = np.hstack([a[:-1], a[1:]])
+    sb = np.hstack([b[:-1], b[1:]])
+    if algos._has_proper_crossing(sa, sb):
+        return False
+    if _segs_collinear_overlap(sa, sb):
+        return False
+    allowed = {tuple(a[0]), tuple(a[-1])} & {tuple(b[0]), tuple(b[-1])}
+    # vertex-on-other-line contacts: the touch point must be a shared line
+    # endpoint
+    for pts_arr, segs in ((a, sb), (b, sa)):
+        for x, y in pts_arr:
+            cross = (segs[:, 2] - segs[:, 0]) * (y - segs[:, 1]) - (segs[:, 3] - segs[:, 1]) * (x - segs[:, 0])
+            within = (
+                (np.minimum(segs[:, 0], segs[:, 2]) <= x)
+                & (x <= np.maximum(segs[:, 0], segs[:, 2]))
+                & (np.minimum(segs[:, 1], segs[:, 3]) <= y)
+                & (y <= np.maximum(segs[:, 1], segs[:, 3]))
+            )
+            if bool(np.any((cross == 0) & within)) and (x, y) not in allowed:
+                return False
+    return True
+
+
+def _is_simple(g) -> bool:
+    """OGC simplicity (semantics pinned by the reference's
+    test_functions.py ST_IsSimple rows): multipoints have no duplicates;
+    lines have no self-contact (except ring closure) and multi-line
+    elements touch only at shared endpoints; polygon rings are simple and
+    non-degenerate; collection = every component simple independently."""
+    if g.type_id == wkb.GEOMETRYCOLLECTION:
+        return all(_is_simple(p) for p in g.coords)
+    pts = g.points()
+    if pts and not g.lines() and not g.polygons():
+        coords = [tuple(p.coords[0, :2]) for p in pts if len(p.coords)]
+        return len(coords) == len(set(coords))
+    if g.polygons():
+        for poly in g.polygons():
+            for ring in poly.coords:
+                if len(ring) < 4:
+                    return False
+                if abs(algos._ring_area(ring)) == 0:
+                    return False  # degenerate zero-area ring
+                if not _ring_simple(ring):
+                    return False
+                if not _line_self_simple(ring):
+                    return False
+        return True
+    lines = g.lines()
+    for line in lines:
+        if not _line_self_simple(line.coords):
+            return False
+    for i in range(len(lines)):
+        for j in range(i + 1, len(lines)):
+            if not _lines_contact_only_at_shared_endpoints(lines[i], lines[j]):
+                return False
     return True
 
 
