@@ -419,7 +419,13 @@ def contains(a: Optional[Geometry], b: Optional[Geometry]) -> bool:
             mloc = locate_points_in_geometry(mids[:, 0], mids[:, 1], a)
             if np.any(mloc == OUTSIDE):
                 return False
-            return bool(np.any(mloc == INTERIOR) or np.any(loc == INTERIOR))
+            if np.any(mloc == INTERIOR) or np.any(loc == INTERIOR):
+                return True
+            # every sample sits ON a's boundary (e.g. identical polygons):
+            # areal b still counts if the interiors genuinely overlap
+            if b.polygons():
+                return _areal_interiors_overlap(a, b)
+            return False
         return bool(np.any(loc == INTERIOR))
     if a.lines():
         # line contains point(s)/line
@@ -432,8 +438,14 @@ def contains(a: Optional[Geometry], b: Optional[Geometry]) -> bool:
             # point must not sit only on a's boundary endpoints
             return all(not _is_line_endpoint(p, a) for p in b.points())
         return _line_covers_line(a, b) and not b.is_empty
-    # a puntal
-    return equals(a, b)
+    # a puntal: contains = every point of b is a member of a (points have
+    # empty boundary, so membership alone implies interior contact —
+    # PostGIS: POINT (0 0) within MULTIPOINT ((0 0), (1 1)) is true)
+    if b.points() and not b.lines() and not b.polygons():
+        sa = {tuple(c[:2]) for c in a.all_coords()}
+        sb = {tuple(c[:2]) for c in b.all_coords()}
+        return bool(sb) and sb <= sa
+    return False
 
 
 def _is_line_endpoint(p: Geometry, g: Geometry) -> bool:
@@ -513,7 +525,12 @@ def covers(a: Optional[Geometry], b: Optional[Geometry]) -> bool:
         if b.points() and not b.lines():
             return all(_point_on_lines(p, a) or _point_equals_any(p, a) for p in b.points())
         return _line_covers_line(a, b)
-    return equals(a, b)
+    # a puntal: covers = membership (points have empty boundary)
+    if b.points() and not b.lines() and not b.polygons():
+        sa = {tuple(c[:2]) for c in a.all_coords()}
+        sb = {tuple(c[:2]) for c in b.all_coords()}
+        return bool(sb) and sb <= sa
+    return False
 
 
 def covered_by(a, b) -> bool:
@@ -540,21 +557,10 @@ def touches(a: Optional[Geometry], b: Optional[Geometry]) -> bool:
         if len(p.coords) and locate_points_in_geometry(p.coords[:1, 0], p.coords[:1, 1], a)[0] == INTERIOR:
             return False
     if a.polygons() and b.polygons():
-        if _has_proper_crossing(_segments(a), _segments(b)):
-            return False
-        for g1, g2 in ((a, b), (b, a)):
-            mids = _segment_midpoints(g2)
-            if len(mids):
-                if np.any(locate_points_in_geometry(mids[:, 0], mids[:, 1], g1) == INTERIOR):
-                    return False
-        # overlapping interiors without boundary crossing (one inside other)
-        c = b.all_coords()
-        if len(c) and np.any(locate_points_in_geometry(c[:, 0], c[:, 1], a) == INTERIOR):
-            return False
-        c = a.all_coords()
-        if len(c) and np.any(locate_points_in_geometry(c[:, 0], c[:, 1], b) == INTERIOR):
-            return False
-        return True
+        # touches = contact without interior-interior overlap (exact via
+        # the overlay fallback inside _areal_interiors_overlap — identical
+        # polygons are NOT touching)
+        return not _areal_interiors_overlap(a, b)
     if a.polygons() or b.polygons():
         poly, other = (a, b) if a.polygons() else (b, a)
         if other.points() and not other.lines():
@@ -584,6 +590,11 @@ def touches(a: Optional[Geometry], b: Optional[Geometry]) -> bool:
 def _lines_touch_only(a: Geometry, b: Geometry) -> bool:
     if _has_proper_crossing(_segments(a), _segments(b)):
         return False
+    # any collinear shared piece of positive length is interior contact
+    from . import overlay as _ov  # lazy: overlay imports algos
+
+    if length(_ov.line_line_intersection(a, b)) > 0:
+        return False
     # touching = all contact points are boundary (endpoints) of at least one
     for p_geom, other in ((a, b), (b, a)):
         for line in p_geom.lines():
@@ -606,10 +617,29 @@ def crosses(a: Optional[Geometry], b: Optional[Geometry]) -> bool:
     if da == 1 and db == 1:
         return _has_proper_crossing(_segments(a), _segments(b))
     if {da, db} == {1, 2}:
+        # interior contact decided on the CLIPPED pieces (vertex/midpoint
+        # sampling misses lines entering through a vertex, e.g.
+        # (-1 -1, 1 1) × the unit square)
         line, poly = (a, b) if da == 1 else (b, a)
+        from . import overlay as _ov  # lazy: overlay imports algos
+
+        clip = _ov.clip_lines_by_polygon(line, poly, "intersection")
+        interior_contact = False
+        for piece in clip.lines():
+            arr = piece.coords
+            if len(arr) >= 2:
+                mx = (arr[:-1, 0] + arr[1:, 0]) / 2.0
+                my = (arr[:-1, 1] + arr[1:, 1]) / 2.0
+                if np.any(locate_points_in_geometry(mx, my, poly) == INTERIOR):
+                    interior_contact = True
+                    break
+        if not interior_contact:
+            return False
         mids = np.vstack([line.all_coords()[:, :2], _segment_midpoints(line)])
         loc = locate_points_in_geometry(mids[:, 0], mids[:, 1], poly)
-        return bool(np.any(loc == INTERIOR) and np.any(loc == OUTSIDE))
+        if np.any(loc == OUTSIDE):
+            return True
+        return bool(length(line) - length(clip) > 1e-12 * max(1.0, length(line)))
     if {da, db} == {0, 1} or {da, db} == {0, 2}:
         pts, other = (a, b) if da == 0 else (b, a)
         ins = out = False
@@ -640,12 +670,18 @@ def overlaps(a: Optional[Geometry], b: Optional[Geometry]) -> bool:
         # need interior-interior overlap plus exterior on both sides
         return _areal_interiors_overlap(a, b) and not covers(a, b) and not covers(b, a)
     if d == 1:
-        # collinear overlap of positive length, but not crossing
+        # lineal overlaps: the shared part must have POSITIVE length and
+        # each line must keep a remainder outside the other (exact noded
+        # intersection, not midpoint sampling — midpoints miss the case
+        # where one segment's midpoint lies on the other but the overlap is
+        # still partial, e.g. (0 0,2 2) vs (1 1,3 3))
         if _has_proper_crossing(_segments(a), _segments(b)):
             return False
-        mids = _segment_midpoints(a)
-        on = np.array([_point_on_lines(wkb.point(float(x), float(y)), b) for x, y in mids])
-        return bool(np.any(on) and not np.all(on))
+        from . import overlay as _ov  # lazy: overlay imports algos
+
+        shared = _ov.line_line_intersection(a, b)
+        ls = length(shared)
+        return bool(ls > 0 and ls < length(a) - 1e-12 * max(1.0, ls) and ls < length(b) - 1e-12 * max(1.0, ls))
     # puntal
     sa = {tuple(c[:2]) for c in a.all_coords()}
     sb = {tuple(c[:2]) for c in b.all_coords()}
@@ -663,6 +699,12 @@ def _areal_interiors_overlap(a: Geometry, b: Geometry) -> bool:
         mids = _segment_midpoints(g2)
         if len(mids) and np.any(locate_points_in_geometry(mids[:, 0], mids[:, 1], g1) == INTERIOR):
             return True
+    # all boundary samples coincide (identical / boundary-sharing shapes):
+    # decide exactly with the overlay engine's intersection area
+    if not _bbox_disjoint(a, b):
+        from . import overlay as _ov  # lazy: overlay imports algos
+
+        return area(_ov.polygon_overlay(a, b, "intersection")) > 0.0
     return False
 
 
