@@ -911,10 +911,10 @@ def simplify_dp(g: Optional[Geometry], tol: float) -> Optional[Geometry]:
     if g is None:
         return None
 
-    def dp(arr: np.ndarray) -> np.ndarray:
-        if len(arr) < 3:
-            return arr
+    def dp_mask(arr: np.ndarray) -> np.ndarray:
         keep = np.zeros(len(arr), dtype=bool)
+        if len(arr) == 0:
+            return keep
         keep[0] = keep[-1] = True
         stack = [(0, len(arr) - 1)]
         while stack:
@@ -931,7 +931,37 @@ def simplify_dp(g: Optional[Geometry], tol: float) -> Optional[Geometry]:
                 keep[mid] = True
                 stack.append((i, mid))
                 stack.append((mid, j))
-        return arr[keep]
+        return keep
+
+    def dp(arr: np.ndarray) -> np.ndarray:
+        if len(arr) < 3:
+            return arr
+        return arr[dp_mask(arr)]
+
+    def dp_ring(ring: np.ndarray) -> np.ndarray:
+        """Ring simplification keeps >= 4 points (closure incl.) by adding
+        back the largest-deviation vertices — GEOS
+        SimplifyPreserveTopology's minimal-valid-ring behavior, pinned by
+        the reference's test_functions.py simplify rows."""
+        if len(ring) < 3:
+            return ring
+        keep = dp_mask(ring)
+        while keep.sum() < 4 and keep.sum() < len(ring):
+            kept_idx = np.nonzero(keep)[0]
+            best, bestd = -1, -1.0
+            for i in range(1, len(ring) - 1):
+                if keep[i]:
+                    continue
+                p = int(kept_idx[kept_idx < i].max())
+                q = int(kept_idx[kept_idx > i].min())
+                seg = np.array([[ring[p, 0], ring[p, 1], ring[q, 0], ring[q, 1]]])
+                d = float(_pt_seg_dist(ring[i, 0], ring[i, 1], seg)[0])
+                if d > bestd:
+                    best, bestd = i, d
+            if best < 0:
+                break
+            keep[best] = True
+        return ring[keep]
 
     def walk(geom: Geometry) -> Geometry:
         if geom.type_id == LINESTRING:
@@ -939,11 +969,22 @@ def simplify_dp(g: Optional[Geometry], tol: float) -> Optional[Geometry]:
         if geom.type_id == POLYGON:
             rings = []
             for ring in geom.coords:
-                r = dp(ring)
+                r = dp_ring(ring)
                 if len(r) >= 4:
                     rings.append(r)
                 else:
                     rings.append(ring)  # preserve-topology fallback
+            # PRESERVE TOPOLOGY: if simplifying the shell lets any hole
+            # escape it, keep the original shell (GEOS
+            # TopologyPreservingSimplifier behavior)
+            if len(rings) > 1 and len(rings[0]) >= 4:
+                for hole in rings[1:]:
+                    if len(hole) == 0:
+                        continue
+                    inside, on = locate_points_in_ring(hole[:, 0], hole[:, 1], rings[0])
+                    if np.any(~inside & ~on):
+                        rings[0] = geom.coords[0]
+                        break
             return Geometry(POLYGON, rings, geom.has_z, geom.has_m)
         if geom.type_id in (MULTIPOINT, POINT):
             return geom

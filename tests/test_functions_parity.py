@@ -162,3 +162,42 @@ class TestIsValidParity:
     @pytest.mark.parametrize("wkt", FALSE_CASES)
     def test_invalid(self, wkt):
         assert _is_valid(P(wkt)) is False
+
+
+class TestCentroidParity:
+    """ST_Centroid rows, test_functions.py:315-345."""
+
+    @pytest.mark.parametrize(("wkt", "expected"), [
+        ("POINT (0 0)", "POINT (0 0)"),
+        ("LINESTRING (0 0, 1 1)", "POINT (0.5 0.5)"),
+        ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "POINT (0.5 0.5)"),
+        ("MULTIPOINT ((0 0), (1 1))", "POINT (0.5 0.5)"),
+        ("MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))", "POINT (1 1)"),
+        ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((0 0, 1 0, 1 1, 0 1, 0 0)))",
+         "POINT (0.5 0.5)"),
+        ("GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (0 0, 1 1), "
+         "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)))", "POINT (0.5 0.5)"),
+    ])
+    def test_centroid(self, wkt, expected):
+        assert wkb.to_wkt(algos.centroid(P(wkt))) == expected
+
+
+class TestSimplifyParity:
+    """ST_SimplifyPreserveTopology rows, test_functions.py:1913-1950."""
+
+    @pytest.mark.parametrize(("wkt", "tol", "expected"), [
+        ("LINESTRING (0 0, 0 10, 0 51, 50 20, 30 20, 7 32)", 2,
+         "LINESTRING (0 0, 0 51, 50 20, 30 20, 7 32)"),
+        ("LINESTRING (0 0, 0 10)", 20, "LINESTRING (0 0, 0 10)"),
+        ("LINESTRING EMPTY", 2, "LINESTRING EMPTY"),
+        ("POLYGON EMPTY", 2, "POLYGON EMPTY"),
+        # inner ring reduced to the minimal valid ring
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (5 5, 5 6, 6 6, 8 5, 5 5))", 20,
+         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (5 5, 5 6, 8 5, 5 5))"),
+        ("MULTIPOLYGON (((100 100, 100 130, 130 130, 130 100, 100 100)), "
+         "((0 0, 10 0, 10 10, 0 10, 0 0), (5 5, 5 6, 6 6, 8 5, 5 5)))", 20,
+         "MULTIPOLYGON (((100 100, 100 130, 130 130, 130 100, 100 100)), "
+         "((0 0, 10 0, 10 10, 0 10, 0 0), (5 5, 5 6, 8 5, 5 5)))"),
+    ])
+    def test_simplify(self, wkt, tol, expected):
+        assert wkb.to_wkt(algos.simplify_dp(P(wkt), tol)) == expected
