@@ -769,6 +769,7 @@ def geography_dwithin_join(
     right_geom: str = "geometry",
     broadcast_right: Optional[bool] = None,
     strategy: str = "auto",
+    how: str = "inner",
 ) -> DataFrame:
     """Geography (spherical-edges) distance join.
 
@@ -828,10 +829,25 @@ def geography_dwithin_join(
         cand = Lb.join(Rb, on="_band", how="inner").drop("_band")
 
     out = cand.where(refine(F.col(lg), F.col(rg)))
-    return out.select(
-        *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        *[F.col(f"_r_{c}").alias(c) for c in rcols],
-    )
+    out_l = [F.col(f"_l_{c}").alias(c) for c in lcols]
+    out_r = [F.col(f"_r_{c}").alias(c) for c in rcols]
+    how = how.lower()
+    if how == "inner":
+        return out.select(*out_l, *out_r)
+    # outer variants mirror spatial_join: content-derived ids so the
+    # anti-join side re-derives identical keys under recomputation
+    Lk = L.withColumn("_lid", F.xxhash64(F.lit(11), *[F.col(f"_l_{c}") for c in lcols]))
+    Rk = R.withColumn("_rid", F.xxhash64(F.lit(12), *[F.col(f"_r_{c}") for c in rcols]))
+    outk = out.withColumn(
+        "_lid", F.xxhash64(F.lit(11), *[F.col(f"_l_{c}") for c in lcols])
+    ).withColumn("_rid", F.xxhash64(F.lit(12), *[F.col(f"_r_{c}") for c in rcols]))
+    if how == "left":
+        pairs = outk.select("_lid", *[F.col(f"_r_{c}") for c in rcols])
+        return Lk.join(pairs, "_lid", "left").select(*out_l, *out_r)
+    if how == "right":
+        pairs = outk.select("_rid", *[F.col(f"_l_{c}") for c in lcols])
+        return Rk.join(pairs, "_rid", "left").select(*out_l, *out_r)
+    raise ValueError(f"unsupported how={how!r}")
 
 
 def salt_hot_cells(df: DataFrame, cell_col: str, hot_threshold: int, replicas: int) -> DataFrame:

@@ -98,3 +98,21 @@ def test_geography_distance_vs_haversine(spark):
     want = float(algos.haversine_m(2.35, 48.85, -0.13, 51.51))
     assert got == want
     assert 330_000 < got < 360_000
+
+
+def test_geography_outer_joins(spark):
+    """INNER/LEFT/RIGHT geography joins (reference: test_sjoin.py
+    test_spatial_join_geography parametrizes the same three types)."""
+    A = _pts(spark, [0.0, 50.0], [0.0, 50.0], "aid")
+    B = _pts(spark, [0.1, -120.0, 0.2], [0.0, -40.0, 0.1], "bid")
+    d = 50_000.0
+    inner = {(r["aid"], r["bid"]) for r in geography_dwithin_join(A, B, d).collect()}
+    assert inner == {(0, 0), (0, 2)}
+    left = [(r["aid"], r["bid"]) for r in
+            geography_dwithin_join(A, B, d, how="left").collect()]
+    assert set(left) == {(0, 0), (0, 2), (1, None)}
+    assert len(left) == 3
+    right = [(r["aid"], r["bid"]) for r in
+             geography_dwithin_join(A, B, d, how="right").collect()]
+    assert set(right) == {(0, 0), (0, 2), (None, 1)}
+    assert len(right) == 3
