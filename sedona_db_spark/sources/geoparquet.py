@@ -150,6 +150,7 @@ def write_geoparquet(
     geom_cols: Optional[List[str]] = None,
     crs: Optional[str] = DEFAULT_CRS,
     version: str = "1.1",
+    overwrite_bbox_columns: bool = False,
 ) -> dict:
     """Write df as GeoParquet in ONE distributed pass.
 
@@ -163,10 +164,21 @@ def write_geoparquet(
     geom_cols = geom_cols or ["geometry"]
     if crs is None:
         raise ValueError("GeoParquet requires a CRS (reference writer.rs refuses null CRS)")
+    if not (version.startswith("1.0") or version.startswith("1.1")):
+        # reference: "Unexpected GeoParquet version string" (writer.rs)
+        raise ValueError(f"Unexpected GeoParquet version string {version!r}")
     out = df
     if version.startswith("1.1"):
         for c in geom_cols:
-            out = out.withColumn(f"{c}_bbox", bounds_struct(F.col(c)))
+            bname = f"{c}_bbox"
+            if bname in df.columns and not overwrite_bbox_columns:
+                # reference refuses to clobber an existing covering column
+                # unless opted in (io/test_parquet.py:311-323)
+                raise ValueError(
+                    f"Can't overwrite GeoParquet 1.1 bbox column {bname!r}; "
+                    f"pass overwrite_bbox_columns=True to allow it"
+                )
+            out = out.withColumn(bname, bounds_struct(F.col(c)))
 
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)

@@ -131,3 +131,23 @@ def test_native_point_encoding_read(spark, tmp_path):
     ).collect()}
     for i in range(3):
         assert rows[i] == (xs[i], ys[i])
+
+
+def test_write_refuses_bbox_overwrite_and_bad_version(spark, tmp_path):
+    """Reference parity (io/test_parquet.py): rewriting a frame that
+    already carries the v1.1 bbox covering column fails unless opted in;
+    unknown version strings are rejected."""
+    import pytest
+
+    df, _, _ = _pts_df(spark, 20)
+    p1 = str(tmp_path / "a")
+    GP.write_geoparquet(df, p1, ["geometry"])
+    back = GP.read_geoparquet(spark, p1)  # carries geometry_bbox
+    assert "geometry_bbox" in back.columns
+    with pytest.raises(ValueError, match="Can't overwrite GeoParquet 1.1 bbox"):
+        GP.write_geoparquet(back, str(tmp_path / "b"), ["geometry"])
+    # opt-in succeeds and round-trips
+    GP.write_geoparquet(back, str(tmp_path / "b"), ["geometry"], overwrite_bbox_columns=True)
+    assert GP.read_geoparquet(spark, str(tmp_path / "b")).count() == 20
+    with pytest.raises(ValueError, match="Unexpected GeoParquet version"):
+        GP.write_geoparquet(df, str(tmp_path / "c"), ["geometry"], version="not supported")
