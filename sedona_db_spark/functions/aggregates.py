@@ -95,9 +95,17 @@ def _finish_udf(kind: str):
             geoms = [wkb.parse(bytes(v)) for v in items if v is not None] if items is not None else []
             geoms = [g for g in geoms if g is not None and not g.is_empty]
             if not geoms:
-                out.append(wkb.encode(wkb.Geometry(wkb.GEOMETRYCOLLECTION, [])))
+                # all-null group -> NULL (reference: test_aggregate.py
+                # test_st_collect_all_null)
+                out.append(None if kind == "collect"
+                           else wkb.encode(wkb.Geometry(wkb.GEOMETRYCOLLECTION, [])))
                 continue
             if kind == "collect":
+                # reference raises on mixed coordinate dimensions
+                # (test_st_collect_mixed_dimensions)
+                dims = {(g.has_z, g.has_m) for g in geoms}
+                if len(dims) > 1:
+                    raise ValueError("ST_Collect does not support mixed dimension geometries")
                 types = {g.type_id for g in geoms}
                 if types == {wkb.POINT}:
                     g = wkb.Geometry(wkb.MULTIPOINT, geoms)

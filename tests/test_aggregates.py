@@ -92,3 +92,28 @@ def test_analyze_aggr(df):
     assert b["count"] == 2  # null excluded
     assert b["polygonal_count"] == 1
     assert (b["xmin"], b["xmax"]) == (0, 10)
+
+
+def test_collect_aggr_reference_semantics(spark):
+    """Reference test_aggregate.py rows: mixed TYPES -> GC, all-null ->
+    NULL, mixed coordinate DIMENSIONS -> error."""
+    import pytest
+
+    from sedona_db_spark.geometry import wkb as W
+
+    # mixed types -> GEOMETRYCOLLECTION
+    rows = [(0, W.encode(W.point(1, 2))),
+            (0, W.encode(W.Geometry(W.LINESTRING, __import__("numpy").array([[3.0, 4.0], [5.0, 6.0]]))))]
+    df = spark.createDataFrame(rows, "grp INT, geometry BINARY")
+    out = agg.collect_aggr(df, "geometry", ["grp"]).collect()[0]
+    assert W.to_wkt(W.parse(bytes(out["collected"]))) == (
+        "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (3 4, 5 6))"
+    )
+    # all null -> NULL
+    df2 = spark.createDataFrame([(0, None), (0, None)], "grp INT, geometry BINARY")
+    assert agg.collect_aggr(df2, "geometry", ["grp"]).collect()[0]["collected"] is None
+    # mixed dims -> error
+    rows3 = [(0, W.encode(W.point(1, 2))), (0, W.encode(W.point(3, 4, z=5)))]
+    df3 = spark.createDataFrame(rows3, "grp INT, geometry BINARY")
+    with pytest.raises(Exception, match="mixed dimension"):
+        agg.collect_aggr(df3, "geometry", ["grp"]).collect()
