@@ -256,14 +256,14 @@ def zonal_stats(tiles: DataFrame, zones: DataFrame, zone_id: str,
     """Zonal statistics: pixels of `tiles` aggregated per zone polygon.
     raster explode (map-side) -> point-in-polygon spatial join (two-phase,
     pure-column when zones are boxes) -> groupBy(zone)."""
-    from .functions import st
     from .operators.spatial_join import spatial_join
 
     pts = raster_to_points(tiles, raster_col, band=band)
-    pts = pts.withColumn("_pxgeom", st.ST_Point(F.col("px_x"), F.col("px_y")))
+    # left_xy drives the whole pixel side through pure column math — no
+    # geometry column is ever materialized on the (100 TB) raster side
     joined = spatial_join(
         pts, zones.select(zone_id, zone_geom), predicate="within",
-        left_geom="_pxgeom", right_geom=zone_geom, left_xy=("px_x", "px_y"),
+        left_geom="__unused__", right_geom=zone_geom, left_xy=("px_x", "px_y"),
     )
     stats = stats or ["count", "sum", "mean", "min", "max"]
     aggs = []
