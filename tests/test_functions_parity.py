@@ -239,3 +239,32 @@ class TestBufferStyleParity:
 
         assert _parse_buffer_style("quad_segs=4 endcap=flat join=mitre") == {
             "quad_segs": 4, "endcap": "flat", "join": "mitre"}
+
+
+class TestAccessorParity:
+    """flip/geometrytype rows (test_functions.py:804-869)."""
+
+    @pytest.mark.parametrize(("wkt", "expected"), [
+        ("POINT (0 1)", "POINT (1 0)"),
+        ("LINESTRING (0 1, 2 3)", "LINESTRING (1 0, 3 2)"),
+        ("MULTIPOINT (0 1, 2 3)", "MULTIPOINT ((1 0), (3 2))"),
+        ("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (3 4, 5 6), "
+         "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0)))",
+         "GEOMETRYCOLLECTION (POINT (2 1), LINESTRING (4 3, 6 5), "
+         "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)))"),
+        ("POLYGON EMPTY", "POLYGON EMPTY"),
+        ("LINESTRING EMPTY", "LINESTRING EMPTY"),
+    ])
+    def test_flip(self, wkt, expected):
+        assert wkb.to_wkt(algos.flip_coordinates(P(wkt))) == expected
+
+    @pytest.mark.parametrize(("wkt", "expected"), [
+        ("POINT EMPTY", "ST_Point"),
+        ("POLYGON EMPTY", "ST_Polygon"),
+        ("GEOMETRYCOLLECTION EMPTY", "ST_GeometryCollection"),
+        ("POINT (0 0)", "ST_Point"),
+        ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((0 0, 1 0, 1 1, 0 1, 0 0)))",
+         "ST_MultiPolygon"),
+    ])
+    def test_geometrytype(self, wkt, expected):
+        assert wkb.TYPE_NAMES[P(wkt).type_id] == expected
