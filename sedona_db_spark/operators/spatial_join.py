@@ -491,7 +491,12 @@ def spatial_join(
         )
 
     # --- cover both sides -----------------------------------------------------
-    if left_is_points and predicate != "dwithin":
+    # point left sides NEVER explode — for dwithin the distance expansion
+    # lives entirely on the right side's covered envelope, so a point's own
+    # cell is always matched (round 1 needlessly exploded points for
+    # dwithin, which also dragged the PBSM dedup's bounds UDFs into the
+    # candidate stream)
+    if left_is_points:
         if left_xy is not None:
             px0 = F.col(f"_l_{left_xy[0]}").cast("double")
             py0 = F.col(f"_l_{left_xy[1]}").cast("double")
