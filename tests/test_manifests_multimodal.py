@@ -113,3 +113,32 @@ def test_video_frame_sampling(spark):
     n_video = media.where(F.col("kind") == "video").count()
     assert len(rows) == n_video * 5  # 5000 ms / 1000 ms
     assert all(r["frame"] is not None for r in rows)
+
+
+def test_real_pnm_wav_decode_pipeline(spark):
+    """The codec-free REAL decode path: P6 PPM images decode->resize->
+    re-encode, PCM16 WAV audio decodes to float PCM — no fake mode."""
+    import numpy as np
+
+    from sedona_db_spark.sources import multimodal as M
+
+    media = M.synthesize_media(spark, 30, payload_format="pnm_wav")
+    # real image pipeline
+    thumbs = M.decode_resize_images(media, out_w=8, out_h=6).collect()
+    assert len(thumbs) == 10  # every 3rd row is an image
+    for t in thumbs:
+        arr, w, h, ch = M.decode_pnm(bytes(t["thumb"]))
+        assert (w, h, ch) == (8, 6, 3)
+        assert t["width"] == 16 and t["height"] == 12
+    # strict (real) feature extraction works for PPM + WAV rows
+    feats = M.extract_features(
+        media.where(media.kind != "video"), decode="strict"
+    ).collect()
+    assert len(feats) == 20
+    for f in feats:
+        v = np.array(f["feature"])
+        assert len(v) == M.FEATURE_DIM and np.isfinite(v).all()
+    # round-trip exactness of the PNM codec itself
+    img = np.arange(12 * 16 * 3, dtype=np.uint8).reshape(12, 16, 3)
+    arr, w, h, ch = M.decode_pnm(M.encode_ppm(img))
+    assert (arr == img).all()
