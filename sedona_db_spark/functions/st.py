@@ -573,12 +573,54 @@ def _is_valid(g) -> bool:
 _st_isvalid = _make_bool_udf(_is_valid)
 
 
+def _invalid_reason(g) -> str:
+    """GEOS-style reason strings (reference test_functions.py
+    test_st_isvalidreason LIKE-matches 'Ring Self-intersection%' for a
+    ring touching itself at a vertex vs 'Self-intersection%' for a proper
+    edge crossing)."""
+    for line in g.lines():
+        arr = line.coords
+        if len(arr) and (len(arr) < 2 or bool(np.all(arr[:, :2] == arr[0, :2]))):
+            return "Too few points in geometry component"
+    for poly in g.polygons():
+        for ring in poly.coords:
+            if not _ring_is_valid(ring):
+                return "Too few points in geometry component"
+            # repeated interior vertex => ring self-touch
+            pts = [tuple(p) for p in ring[:-1, :2]]
+            seen = {}
+            for p in pts:
+                if p in seen:
+                    return f"Ring Self-intersection at or near point {p[0]} {p[1]}"
+                seen[p] = True
+            if not _ring_simple(ring):
+                return "Self-intersection"
+        shell = poly.coords[0] if poly.coords else None
+        if shell is not None:
+            shell_segs = np.hstack([shell[:-1, :2], shell[1:, :2]]) if len(shell) >= 2 else np.empty((0, 4))
+            for hole in poly.coords[1:]:
+                if not len(hole):
+                    continue
+                inside, on = algos.locate_points_in_ring(hole[:, 0], hole[:, 1], shell)
+                if np.any(~inside & ~on):
+                    return "Hole lies outside shell"
+                if _segs_collinear_overlap(np.hstack([hole[:-1, :2], hole[1:, :2]]), shell_segs):
+                    return "Self-intersection"
+    polys = g.polygons()
+    for i in range(len(polys)):
+        for j in range(i + 1, len(polys)):
+            if algos._areal_interiors_overlap(polys[i], polys[j]):
+                return "Nested shells"
+    return "Invalid geometry"
+
+
 @pandas_udf(StringType())
 def _st_isvalidreason(s: pd.Series) -> pd.Series:
     def reason(v):
         if v is None:
             return None
-        return "Valid Geometry" if _is_valid(wkb.parse(v)) else "Self-intersection or unclosed ring"
+        g = wkb.parse(v)
+        return "Valid Geometry" if _is_valid(g) else _invalid_reason(g)
 
     return pd.Series([reason(v) for v in s], dtype=object)
 

@@ -268,3 +268,19 @@ class TestAccessorParity:
     ])
     def test_geometrytype(self, wkt, expected):
         assert wkb.TYPE_NAMES[P(wkt).type_id] == expected
+
+
+class TestIsValidReasonParity:
+    """test_st_isvalidreason rows (test_functions.py:1891-1902)."""
+
+    def test_reasons(self):
+        from sedona_db_spark.functions.st import _invalid_reason
+
+        assert _is_valid(P("POINT (0 0)"))
+        assert _is_valid(P("POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))"))
+        bow = P("POLYGON ((0 0, 1 1, 0 1, 1 0, 0 0))")
+        assert not _is_valid(bow)
+        assert _invalid_reason(bow).startswith("Self-intersection")
+        fig8 = P("Polygon((0 0, 2 0, 1 1, 2 2, 0 2, 1 1, 0 0))")
+        assert not _is_valid(fig8)
+        assert _invalid_reason(fig8).startswith("Ring Self-intersection")
