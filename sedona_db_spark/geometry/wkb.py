@@ -381,15 +381,16 @@ def to_wkt(g: Optional[Geometry]) -> Optional[str]:
     if g.type_id == POLYGON:
         rings = ", ".join(f"({_coords_wkt(r)})" for r in g.coords)
         return f"{name}{zm} ({rings})"
-    if g.type_id == MULTIPOINT:
-        parts = ", ".join(f"({_coords_wkt(p.coords)})" for p in g.coords)
-        return f"{name}{zm} ({parts})"
-    if g.type_id == MULTILINESTRING:
-        parts = ", ".join(f"({_coords_wkt(p.coords)})" for p in g.coords)
+    if g.type_id in (MULTIPOINT, MULTILINESTRING):
+        parts = ", ".join(
+            "EMPTY" if p.is_empty else f"({_coords_wkt(p.coords)})" for p in g.coords
+        )
         return f"{name}{zm} ({parts})"
     if g.type_id == MULTIPOLYGON:
         parts = ", ".join(
-            "(" + ", ".join(f"({_coords_wkt(r)})" for r in p.coords) + ")" for p in g.coords
+            "EMPTY" if p.is_empty
+            else "(" + ", ".join(f"({_coords_wkt(r)})" for r in p.coords) + ")"
+            for p in g.coords
         )
         return f"{name}{zm} ({parts})"
     parts = ", ".join(to_wkt(sub) for sub in g.coords)
@@ -506,6 +507,15 @@ def _wkt_geom(r: _WktReader) -> Geometry:
         r.expect("(")
         subs = []
         while True:
+            save_sub = r.pos
+            if r.word() == "EMPTY":
+                # EMPTY sub-element, e.g. MULTILINESTRING ((1 1, 2 2), EMPTY)
+                subs.append(_empty(sub_type, has_z, has_m))
+                if r.peek() == ",":
+                    r.expect(",")
+                    continue
+                break
+            r.pos = save_sub
             if sub_type == POINT:
                 if r.peek() == "(":
                     arr = _wkt_coordseq(r, ndim)

@@ -91,3 +91,16 @@ def test_empty_point_roundtrip_nan_convention():
     vals = struct.unpack_from("<dd", enc, 5)
     assert all(v != v for v in vals)
     assert wkb.parse(enc).is_empty
+
+
+def test_wkt_multi_with_empty_elements():
+    """EMPTY sub-elements inside MULTI* parse (reference ST_Dump cases:
+    MULTILINESTRING ((1 1, 2 2), EMPTY, (3 3, 4 4)))."""
+    from sedona_db_spark.geometry import wkb
+
+    g = wkb.from_wkt("MULTILINESTRING ((1 1, 2 2), EMPTY, (3 3, 4 4))")
+    assert len(g.coords) == 3
+    assert g.coords[1].is_empty
+    assert wkb.to_wkt(g) == "MULTILINESTRING ((1 1, 2 2), EMPTY, (3 3, 4 4))"
+    g2 = wkb.from_wkt("MULTIPOLYGON (((1 1, 2 2, 2 1, 1 1)), EMPTY)")
+    assert len(g2.coords) == 2 and g2.coords[1].is_empty
