@@ -284,3 +284,20 @@ class TestIsValidReasonParity:
         fig8 = P("Polygon((0 0, 2 0, 1 1, 2 2, 0 2, 1 1, 0 0))")
         assert not _is_valid(fig8)
         assert _invalid_reason(fig8).startswith("Ring Self-intersection")
+
+
+class TestDimensionParity:
+    """ST_Dimension rows (test_functions.py:599-632) — all exact."""
+
+    @pytest.mark.parametrize(("wkt", "expected"), [
+        ("POINT EMPTY", 0), ("LINESTRING EMPTY", 1), ("POLYGON EMPTY", 2),
+        ("MULTIPOINT EMPTY", 0), ("MULTILINESTRING EMPTY", 1), ("MULTIPOLYGON EMPTY", 2),
+        ("GEOMETRYCOLLECTION EMPTY", 0),
+        ("POINT (0 0)", 0), ("LINESTRING (0 0, 1 1)", 1),
+        ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", 2),
+        ("GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (0 0, 1 1))", 1),
+        ("GEOMETRYCOLLECTION (POINT (0 0), GEOMETRYCOLLECTION (LINESTRING (0 0, 1 1)))", 1),
+        ("POINT ZM (0 0 0 0)", 0),
+    ])
+    def test_dimension(self, wkt, expected):
+        assert algos.dimension(P(wkt)) == expected
