@@ -1410,13 +1410,15 @@ _CRS_ALIASES = {"EPSG:4326": "LL", "OGC:CRS84": "LL", "CRS84": "LL", "EPSG:3857"
 
 
 def _crs_tag(code: str):
-    """'LL' | 'WM' | ('UTM', zone, north) | None."""
+    """'LL' | 'WM' | 'LAEA' | ('UTM', zone, north) | None."""
     from ..geometry import proj as _proj
 
     up = str(code).upper()
     tag = _CRS_ALIASES.get(up)
     if tag is not None:
         return tag
+    if up == "EPSG:3035":
+        return "LAEA"
     utm = _proj.parse_utm_epsg(up)
     if utm is not None:
         return ("UTM",) + utm
@@ -1430,6 +1432,14 @@ def _to_lonlat_fn(tag):
         return lambda a: a
     if tag == "WM":
         return _webmercator_to_lonlat
+    if tag == "LAEA":
+
+        def fl(arr):
+            out = arr.copy()
+            out[:, 0], out[:, 1] = _proj.laea_inverse(arr[:, 0], arr[:, 1])
+            return out
+
+        return fl
 
     def f(arr, _z=tag[1], _n=tag[2]):
         out = arr.copy()
@@ -1446,6 +1456,14 @@ def _from_lonlat_fn(tag):
         return lambda a: a
     if tag == "WM":
         return _lonlat_to_webmercator
+    if tag == "LAEA":
+
+        def fl(arr):
+            out = arr.copy()
+            out[:, 0], out[:, 1] = _proj.laea_forward(arr[:, 0], arr[:, 1])
+            return out
+
+        return fl
 
     def f(arr, _z=tag[1], _n=tag[2]):
         out = arr.copy()

@@ -17,6 +17,8 @@ All kernels are vectorized numpy over coordinate arrays.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 # WGS84
@@ -127,6 +129,80 @@ def meridian_arc(lat_deg: float, steps: int = 200_000) -> float:
     e2 = _E * _E
     M = _A * (1 - e2) / np.power(1 - e2 * np.sin(phi) ** 2, 1.5)
     return float(np.trapezoid(M, phi)) if hasattr(np, "trapezoid") else float(np.trapz(M, phi))
+
+
+# --- Lambert Azimuthal Equal-Area (ellipsoidal, Snyder 1987 §24) ------------
+# EPSG:3035 (ETRS89-extended / LAEA Europe): lat0=52, lon0=10,
+# FE=4321000, FN=3210000. Formulas are public (Snyder, "Map Projections —
+# A Working Manual", USGS PP 1395, pp. 187-190), the same PROJ `laea` uses.
+
+_QP = None  # q at the pole, lazy
+
+
+def _q_auth(phi):
+    e = _E
+    s = np.sin(phi)
+    return (1 - e * e) * (s / (1 - e * e * s * s)
+                          - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s)))
+
+
+def laea_forward(lon, lat, lon0=10.0, lat0=52.0, fe=4_321_000.0, fn=3_210_000.0):
+    """(lon°, lat°) -> LAEA (easting, northing) meters, vectorized."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lam = np.radians(lon) - math.radians(lon0)
+    phi = np.radians(lat)
+    phi0 = math.radians(lat0)
+    e = _E
+    qp = _q_auth(np.pi / 2)
+    q = _q_auth(phi)
+    q0 = _q_auth(phi0)
+    beta = np.arcsin(np.clip(q / qp, -1, 1))
+    beta0 = math.asin(min(max(q0 / qp, -1), 1))
+    Rq = _A * np.sqrt(qp / 2)
+    D = _A * (math.cos(phi0) / math.sqrt(1 - e * e * math.sin(phi0) ** 2)) / (
+        Rq * math.cos(beta0)
+    )
+    B = Rq * np.sqrt(
+        2 / (1 + math.sin(beta0) * np.sin(beta) + math.cos(beta0) * np.cos(beta) * np.cos(lam))
+    )
+    E_ = fe + B * D * np.cos(beta) * np.sin(lam)
+    N_ = fn + (B / D) * (math.cos(beta0) * np.sin(beta) - math.sin(beta0) * np.cos(beta) * np.cos(lam))
+    return E_, N_
+
+
+def laea_inverse(E_, N_, lon0=10.0, lat0=52.0, fe=4_321_000.0, fn=3_210_000.0):
+    """LAEA meters -> (lon°, lat°), vectorized (Snyder eqs. 24-16..24-21 +
+    authalic-to-geodetic series 3-18)."""
+    E_ = np.asarray(E_, dtype=np.float64) - fe
+    N_ = np.asarray(N_, dtype=np.float64) - fn
+    e = _E
+    phi0 = math.radians(lat0)
+    qp = _q_auth(np.pi / 2)
+    q0 = _q_auth(phi0)
+    beta0 = math.asin(min(max(q0 / qp, -1), 1))
+    Rq = _A * math.sqrt(qp / 2)
+    D = _A * (math.cos(phi0) / math.sqrt(1 - e * e * math.sin(phi0) ** 2)) / (
+        Rq * math.cos(beta0)
+    )
+    rho = np.sqrt((E_ / D) ** 2 + (D * N_) ** 2)
+    ce = 2 * np.arcsin(np.clip(rho / (2 * Rq), -1, 1))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        beta = np.arcsin(np.clip(
+            np.cos(ce) * math.sin(beta0) + (D * N_ * np.sin(ce) * math.cos(beta0)) / np.where(rho == 0, 1, rho),
+            -1, 1,
+        ))
+        lam = np.arctan2(E_ * np.sin(ce),
+                         D * rho * math.cos(beta0) * np.cos(ce) - D * D * N_ * math.sin(beta0) * np.sin(ce))
+    beta = np.where(rho == 0, beta0, beta)
+    lam = np.where(rho == 0, 0.0, lam)
+    e2 = e * e
+    # authalic -> geodetic latitude series (Snyder 3-18)
+    phi = (beta
+           + (e2 / 3 + 31 * e2**2 / 180 + 517 * e2**3 / 5040) * np.sin(2 * beta)
+           + (23 * e2**2 / 360 + 251 * e2**3 / 3780) * np.sin(4 * beta)
+           + (761 * e2**3 / 45360) * np.sin(6 * beta))
+    return np.degrees(lam) + lon0, np.degrees(phi)
 
 
 def parse_utm_epsg(code: str):

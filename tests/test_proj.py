@@ -83,3 +83,52 @@ class TestStTransform:
             st.ST_X(st.ST_Transform(F.col("geometry"), F.lit("EPSG:32632"), F.lit("EPSG:3857"))).alias("mx")
         ).collect()[0]["mx"]
         assert wm == pytest.approx(np.radians(9.5) * 6378137.0, rel=1e-12)
+
+
+class TestLAEA:
+    """EPSG:3035 (ETRS-LAEA Europe) — VERDICT item: 'any UTM/LAEA workload
+    fails today'. Snyder ellipsoidal LAEA, validated by three independent
+    properties (no PROJ available to compare against)."""
+
+    def test_center_maps_to_false_origin(self):
+        E, N = proj.laea_forward(10.0, 52.0)
+        assert (float(E), float(N)) == (4_321_000.0, 3_210_000.0)
+
+    def test_roundtrip(self):
+        rng = np.random.default_rng(3)
+        lon = rng.uniform(-10, 30, 2000)
+        lat = rng.uniform(35, 70, 2000)
+        E, N = proj.laea_forward(lon, lat)
+        lon2, lat2 = proj.laea_inverse(E, N)
+        assert np.abs(lon2 - lon).max() < 1e-9
+        assert np.abs(lat2 - lat).max() < 1e-7
+
+    def test_equal_area_property(self):
+        import math
+        d = 1e-4
+        for LO, LA in [(10, 52), (25, 60), (-5, 40)]:
+            E0, N0 = proj.laea_forward(LO, LA)
+            E1, N1 = proj.laea_forward(LO + d, LA)
+            E2, N2 = proj.laea_forward(LO, LA + d)
+            area_m = abs((E1 - E0) * (N2 - N0) - (E2 - E0) * (N1 - N0))
+            a, f = 6378137.0, 1 / 298.257223563
+            e2 = f * (2 - f)
+            phi = math.radians(LA)
+            M = a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+            Nr = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+            true = M * math.radians(d) * Nr * math.cos(phi) * math.radians(d)
+            assert area_m / true == pytest.approx(1.0, abs=1e-6)
+
+    def test_st_transform_laea(self, spark):
+        from pyspark.sql import functions as F
+
+        from sedona_db_spark.functions import st
+
+        df = spark.createDataFrame(
+            [(0, bytes(wkb.encode_points_xy(np.array([10.0]), np.array([52.0]))[0]))],
+            "id LONG, geometry BINARY",
+        )
+        out = df.select(
+            st.ST_X(st.ST_Transform(F.col("geometry"), F.lit("EPSG:4326"), F.lit("EPSG:3035"))).alias("x")
+        ).collect()[0]["x"]
+        assert out == 4_321_000.0
