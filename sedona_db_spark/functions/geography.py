@@ -125,6 +125,78 @@ def ST_Distance_Spherical(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+def _lonlat_to_xyz(lon_deg, lat_deg):
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    cl = np.cos(lat)
+    return np.stack([cl * np.cos(lon), cl * np.sin(lon), np.sin(lat)], axis=-1)
+
+
+def locate_points_in_spherical_polygon(px, py, poly) -> np.ndarray:
+    """0=outside 1=boundary 2=interior for points vs a polygon whose edges
+    are GREAT CIRCLES (geography semantics, the reference's s2 predicate
+    kernels, c/sedona-s2geography/src/register.rs).
+
+    Method: gnomonic projection about the polygon's vertex-mean direction —
+    great-circle arcs map to STRAIGHT line segments under gnomonic
+    projection, so the planar exact ray-cast kernel gives exact spherical
+    edge semantics for any polygon contained in the open hemisphere around
+    the center (admin polygons always are). Points outside that hemisphere
+    are OUTSIDE by construction. Longitudes wrap naturally (vectors don't
+    care), so antimeridian-straddling rings need no special casing."""
+    from ..geometry import algos as _algos
+    from ..geometry.wkb import Geometry, POLYGON
+
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    out = np.zeros(len(px), dtype=np.int8)
+    for part in poly.polygons():
+        if not part.coords:
+            continue
+        rings_xyz = [_lonlat_to_xyz(r[:, 0], r[:, 1]) for r in part.coords]
+        center = rings_xyz[0][:-1].mean(axis=0)
+        nrm = np.linalg.norm(center)
+        if nrm == 0:
+            continue  # degenerate (ring spans a great circle symmetrically)
+        center = center / nrm
+        # orthonormal basis of the tangent plane at center
+        ref = np.array([0.0, 0.0, 1.0]) if abs(center[2]) < 0.9 else np.array([1.0, 0.0, 0.0])
+        e1 = np.cross(center, ref)
+        e1 /= np.linalg.norm(e1)
+        e2 = np.cross(center, e1)
+
+        def gnomonic(xyz):
+            d = xyz @ center
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u = (xyz @ e1) / d
+                v = (xyz @ e2) / d
+            return u, v, d
+
+        proj_rings = []
+        ok_poly = True
+        for rxyz in rings_xyz:
+            u, v, d = gnomonic(rxyz)
+            if np.any(d <= 1e-12):
+                ok_poly = False  # ring leaves the hemisphere — unsupported
+                break
+            proj_rings.append(np.column_stack([u, v]))
+        if not ok_poly:
+            raise NotImplementedError(
+                "spherical polygon spans more than a hemisphere around its "
+                "vertex-mean center"
+            )
+        pxyz = _lonlat_to_xyz(px, py)
+        up, vp, dp = gnomonic(pxyz)
+        in_hemi = dp > 1e-12
+        flat_poly = Geometry(POLYGON, proj_rings)
+        loc = np.zeros(len(px), dtype=np.int8)
+        idx = np.nonzero(in_hemi)[0]
+        if len(idx):
+            loc[idx] = _algos.locate_points_in_polygon(up[idx], vp[idx], flat_poly)
+        out = np.maximum(out, loc)
+    return out
+
+
 def fn_for_edges(df: DataFrame, geom_col: str, name: str):
     """Edges-dispatched kernel lookup: spherical columns get the geography
     kernel, planar columns the planar one — mirroring the reference's

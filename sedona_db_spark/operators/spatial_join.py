@@ -855,6 +855,106 @@ def geography_dwithin_join(
     raise ValueError(f"unsupported how={how!r}")
 
 
+def geography_pip_join(
+    left: DataFrame,
+    right: DataFrame,
+    predicate: str = "intersects",
+    left_geom: str = "geometry",
+    right_geom: str = "geometry",
+    band_deg: float = 10.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Geography RELATION join: point left side vs polygon right side with
+    GREAT-CIRCLE edge semantics (the reference's geography joins run s2
+    predicates through the NLJ fallback, optimizer.rs:1015-1055; here the
+    refine is the exact gnomonic spherical-PIP kernel and the prefilter is
+    a latitude-band equi-join — scale-safe on both sides).
+
+    predicate: within (interior only) | intersects/covered_by (boundary
+    counts). Bands are latitude-only, so antimeridian-straddling data
+    joins correctly. Each polygon's band range is padded by half its
+    longest edge arc — a great-circle edge cannot stray farther in
+    latitude from its endpoints than half its own length."""
+    predicate = predicate.lower()
+    if predicate not in ("within", "intersects", "covered_by"):
+        raise ValueError(f"unsupported geography predicate {predicate!r}")
+    from ..functions import geography as G
+
+    lcols, rcols = left.columns, right.columns
+    L = left.select([F.col(c).alias(f"_l_{c}") for c in lcols])
+    R = right.select([F.col(c).alias(f"_r_{c}") for c in rcols])
+    lg, rg = f"_l_{left_geom}", f"_r_{right_geom}"
+
+    from pyspark.sql.types import ArrayType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def poly_bands(s: pd.Series) -> pd.Series:
+        out = []
+        for v in s:
+            if v is None:
+                out.append(None)
+                continue
+            g = wkb.parse(v)
+            lats = g.all_coords()[:, 1]
+            if not len(lats):
+                out.append(None)
+                continue
+            # margin: half the longest edge's angular length (degrees)
+            margin = 0.0
+            for poly in g.polygons():
+                for ring in poly.coords:
+                    if len(ring) >= 2:
+                        d = algos.haversine_m(ring[:-1, 0], ring[:-1, 1],
+                                              ring[1:, 0], ring[1:, 1])
+                        if len(d):
+                            margin = max(margin, float(np.max(d)) / _M_PER_DEG_LAT / 2.0)
+            lo = int(np.floor((float(np.min(lats)) - margin) / band_deg))
+            hi = int(np.floor((float(np.max(lats)) + margin) / band_deg))
+            out.append(list(range(lo, hi + 1)))
+        return pd.Series(out, dtype=object)
+
+    Lb = L.withColumn("_band", F.floor(_point_y_expr(lg) / F.lit(band_deg)).cast("long"))
+    Rb = (
+        R.withColumn("_bands", poly_bands(F.col(rg)))
+        .where(F.col("_bands").isNotNull())
+        .withColumn("_band", F.explode("_bands"))
+        .drop("_bands")
+    )
+    cand = Lb.join(F.broadcast(Rb), on="_band", how="inner").drop("_band")
+
+    want_interior_only = predicate == "within"
+
+    @F.pandas_udf(BooleanType())
+    def refine(a: pd.Series, b: pd.Series) -> pd.Series:
+        n = len(a)
+        out = np.zeros(n, dtype=bool)
+        ax, ay, av = wkb.decode_points_xy(list(a))
+        groups: dict = {}
+        for i, v in enumerate(b):
+            if v is not None:
+                groups.setdefault(bytes(v), []).append(i)
+        for v, idxs in groups.items():
+            g = wkb.parse(v)
+            ii = np.array(idxs)
+            loc = G.locate_points_in_spherical_polygon(ax[ii], ay[ii], g)
+            out[ii] = (loc == 2) if want_interior_only else (loc != 0)
+        out &= av
+        return pd.Series(out)
+
+    out = cand.where(refine(F.col(lg), F.col(rg)))
+    out_l = [F.col(f"_l_{c}").alias(c) for c in lcols]
+    out_r = [F.col(f"_r_{c}").alias(c) for c in rcols]
+    how = how.lower()
+    if how == "inner":
+        return out.select(*out_l, *out_r)
+    Lk = L.withColumn("_lid", F.xxhash64(F.lit(21), *[F.col(f"_l_{c}") for c in lcols]))
+    outk = out.withColumn("_lid", F.xxhash64(F.lit(21), *[F.col(f"_l_{c}") for c in lcols]))
+    if how == "left":
+        pairs = outk.select("_lid", *[F.col(f"_r_{c}") for c in rcols])
+        return Lk.join(pairs, "_lid", "left").select(*out_l, *out_r)
+    raise ValueError(f"unsupported how={how!r}")
+
+
 def salt_hot_cells(df: DataFrame, cell_col: str, hot_threshold: int, replicas: int) -> DataFrame:
     """Skew mitigation: split cells whose row count exceeds `hot_threshold`
     into `replicas` salted sub-keys. Join the other side after exploding its

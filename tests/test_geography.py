@@ -116,3 +116,59 @@ def test_geography_outer_joins(spark):
              geography_dwithin_join(A, B, d, how="right").collect()]
     assert set(right) == {(0, 0), (0, 2), (None, 1)}
     assert len(right) == 3
+
+
+def test_spherical_pip_kernel():
+    """Gnomonic spherical point-in-polygon: great-circle edge semantics,
+    verified against known geometry (equatorial box + polar cap +
+    antimeridian ring)."""
+    import numpy as np
+
+    from sedona_db_spark.functions.geography import locate_points_in_spherical_polygon
+    from sedona_db_spark.geometry import wkb as W
+
+    # antimeridian-straddling ring lon 170..190 (i.e. 170..-170)
+    ring = np.array([[170.0, -10], [190.0, -10], [190.0, 10], [170.0, 10], [170.0, -10]])
+    g = W.Geometry(W.POLYGON, [ring])
+    loc = locate_points_in_spherical_polygon(
+        np.array([180.0, -175.0, 150.0, 0.0]), np.array([0.0, 5.0, 0.0, 0.0]), g)
+    assert list(loc) == [2, 2, 0, 0]
+
+    # polar cap: ring at lat 80 all around -> contains the pole
+    lons = np.arange(0, 360, 30, dtype=float)
+    cap = np.column_stack([lons, np.full_like(lons, 80.0)])
+    cap = np.vstack([cap, cap[:1]])
+    gcap = W.Geometry(W.POLYGON, [cap])
+    loc2 = locate_points_in_spherical_polygon(
+        np.array([13.0, 0.0]), np.array([89.0, 0.0]), gcap)
+    assert list(loc2) == [2, 0]
+
+    # great-circle edge bulge: edge from (0,45) to (90,45) passes NORTH of
+    # lat 45 midway (planar semantics would put (45,46) outside)
+    tri = np.array([[0.0, 45.0], [90.0, 45.0], [45.0, 80.0], [0.0, 45.0]])
+    gt = W.Geometry(W.POLYGON, [tri])
+    # the great circle between the two lat-45 vertices reaches ~54.7N at
+    # lon 45, so points BELOW that (even above planar lat 45) are OUTSIDE
+    # — exactly the spherical-vs-planar edge difference
+    loc3 = locate_points_in_spherical_polygon(
+        np.array([45.0, 45.0, 45.0]), np.array([46.0, 50.0, 60.0]), gt)
+    assert list(loc3) == [0, 0, 2]
+
+
+def test_geography_pip_join_antimeridian(spark):
+    import numpy as np
+
+    from sedona_db_spark.geometry import wkb as W
+    from sedona_db_spark.operators.spatial_join import geography_pip_join
+
+    ring = np.array([[170.0, -10], [190.0, -10], [190.0, 10], [170.0, 10], [170.0, -10]])
+    zones = spark.createDataFrame(
+        [(0, W.encode(W.Geometry(W.POLYGON, [ring])))], "zone_id LONG, geometry BINARY")
+    pts = _pts(spark, [180.0, -175.0, 150.0, 0.0], [0.0, 5.0, 0.0, 0.0], "pid")
+    got = {(r["pid"], r["zone_id"]) for r in
+           geography_pip_join(pts, zones, predicate="within").collect()}
+    assert got == {(0, 0), (1, 0)}
+    # left join keeps unmatched points
+    left = geography_pip_join(pts, zones, predicate="within", how="left").collect()
+    assert len(left) == 4
+    assert {r["pid"] for r in left if r["zone_id"] is None} == {2, 3}
