@@ -27,9 +27,10 @@ Submodules:
     tiling                        — quadkey grid (cell ids, covers, rings)
 """
 
+from .context import SedonaContext, connect
 from .functions.st import register_all
 from .operators.knn_join import knn_join
 from .operators.spatial_join import spatial_join
 
-__all__ = ["register_all", "spatial_join", "knn_join"]
+__all__ = ["connect", "SedonaContext", "register_all", "spatial_join", "knn_join"]
 __version__ = "0.1.0"
