@@ -44,7 +44,12 @@ def _ring_spherical_area_signed(ring: np.ndarray, radius: float) -> float:
         return 0.0
     lon = np.radians(ring[:, 0])
     lat = np.radians(ring[:, 1])
-    e = (lon[1:] - lon[:-1]) * (2.0 + np.sin(lat[:-1]) + np.sin(lat[1:]))
+    # wrap each edge's delta-longitude into (-pi, pi]: an edge is the SHORT
+    # way around, so a ring written as 179 -> -179 crosses the antimeridian
+    # (dlon = +2 deg), not the long way around the globe (round-2 advisor:
+    # raw differences made antimeridian rings ~180x too large)
+    dlon = (lon[1:] - lon[:-1] + np.pi) % (2.0 * np.pi) - np.pi
+    e = dlon * (2.0 + np.sin(lat[:-1]) + np.sin(lat[1:]))
     return float(np.sum(e)) / 2.0 * radius * radius
 
 

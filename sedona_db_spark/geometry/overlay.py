@@ -348,12 +348,35 @@ def _trace_rings(boundary: List[Tuple[Pt, Pt]]) -> List[List[Pt]]:
 
 def _interior_sample(ring: List[Pt]) -> Tuple[float, float]:
     """A point inside a simple ring (for hole nesting): centroid of the ear
-    at the lowest-leftmost vertex, shrunk toward the vertex until inside."""
+    at the lowest-leftmost vertex, shrunk toward the vertex until inside.
+
+    The shrink is VERIFIED against the ring (round-2 advisor: a concave
+    ring intruding into the ear can leave the raw centroid outside, which
+    nests the hole under the wrong shell): halve toward the ear's midpoint
+    of the base diagonal, then toward the vertex, testing containment each
+    step. The vertex itself is extremal (lowest-leftmost), so points
+    approaching it from inside the ear's angular sector converge into the
+    ring's interior."""
     n = len(ring)
     i = min(range(n), key=lambda k: (ring[k][0], ring[k][1]))
     a, v, b = ring[(i - 1) % n], ring[i], ring[(i + 1) % n]
+    arr = np.array(ring + [ring[0]], dtype=np.float64)
     cx = (a[0] + v[0] + b[0]) / 3.0
     cy = (a[1] + v[1] + b[1]) / 3.0
+    # midpoint of the ear's interior diagonal (a-b base) as a second anchor
+    mx, my = (a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0
+    for sx, sy in ((cx, cy), (mx, my)):
+        px, py = float(sx), float(sy)
+        for _ in range(64):
+            ins, onb = algos.locate_points_in_ring(
+                np.array([px]), np.array([py]), arr
+            )
+            if ins[0] and not onb[0]:
+                return px, py
+            # halve toward the extremal vertex
+            px = (px + v[0]) / 2.0
+            py = (py + v[1]) / 2.0
+    # degenerate (zero-area ear residue): fall back to the raw centroid
     return cx, cy
 
 

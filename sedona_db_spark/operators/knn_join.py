@@ -195,7 +195,7 @@ def _broadcast_knn(spark, P: DataFrame, B: DataFrame, k: int, pcols, bcols,
                 keep_idx.append(i)
                 payload.append(b)
         keep_idx = np.array(keep_idx, dtype=np.int64)
-    bid = np.array([r["_bid"] for r in brows], dtype=np.int64)[keep_idx]
+    bid = np.array([r["_bid"] for r in brows], dtype=object)[keep_idx]
     tie = np.array([brows[int(i)][tie_col] for i in keep_idx])
     order0 = np.argsort(tie, kind="stable")
     bid = bid[order0]
@@ -211,7 +211,7 @@ def _broadcast_knn(spark, P: DataFrame, B: DataFrame, k: int, pcols, bcols,
     out_schema = StructType(
         list(P.schema.fields)
         + [
-            StructField("_bid_m", LongType()),
+            StructField("_bid_m", StringType()),
             StructField("knn_distance", DoubleType()),
             StructField("knn_rank", IntegerType()),
         ]
@@ -322,6 +322,10 @@ def _broadcast_knn(spark, P: DataFrame, B: DataFrame, k: int, pcols, bcols,
     drop_cols = [c for c in ("_bx", "_by", "_bx0", "_by0", "_bx1", "_by1") if c in B.columns]
     Bj = F.broadcast(B.withColumnRenamed("_bid", "_bid_m").drop(*drop_cols))
     joined = res.join(Bj, "_bid_m")
+    # re-expand collapsed duplicate probe rows to their input multiplicity
+    joined = joined.withColumn(
+        "_dup", F.explode(F.sequence(F.lit(1), F.col("_pmult").cast("int")))
+    )
     out_cols = (
         [F.col(f"_p_{c}").alias(c) for c in pcols]
         + [F.col(f"_b_{c}").alias(c) for c in bcols]
@@ -356,13 +360,42 @@ def knn_join(
 
     # prefix both sides so duplicate column names can't collide (same
     # contract as spatial_join; output restores original names)
+    #
+    # Row ids are CONTENT-DERIVED (round-2 VERDICT item 3: the mii ids the
+    # round-1 build used are recomputation-dependent, so cache eviction
+    # between the escalation loop's jobs could silently mis-rank). The
+    # probe side COLLAPSES exact-duplicate rows first (identical probes
+    # have identical kNN results — compute once, re-expand by multiplicity
+    # at the end), which makes the content hash row-unique by construction
+    # AND shrinks every downstream stage on duplicate-heavy corpora. The
+    # build side disambiguates duplicates with a row_number within each
+    # content-hash group: which physical copy gets which index is
+    # arbitrary, but copies are identical, so the (row, id) multiset is
+    # deterministic under recomputation — unlike mii.
     pcols, bcols = probe.columns, build.columns
-    P = probe.select([F.col(c).alias(f"_p_{c}") for c in pcols]).withColumn(
-        "_pid", F.monotonically_increasing_id()
+    P = probe.select([F.col(c).alias(f"_p_{c}") for c in pcols])
+    P = P.groupBy(P.columns).agg(F.count(F.lit(1)).alias("_pmult"))
+    P = P.withColumn(
+        "_pid",
+        F.concat_ws(
+            "|",
+            F.xxhash64(F.lit(7), *[F.col(f"_p_{c}") for c in pcols]).cast("string"),
+            F.xxhash64(F.lit(8), *[F.col(f"_p_{c}") for c in pcols]).cast("string"),
+        ),
     )
-    B = build.select([F.col(c).alias(f"_b_{c}") for c in bcols]).withColumn(
-        "_bid", F.monotonically_increasing_id()
-    )
+    B = build.select([F.col(c).alias(f"_b_{c}") for c in bcols])
+    _bh = F.xxhash64(F.lit(9), *[F.col(c) for c in B.columns])
+    B = B.withColumn("_bh", _bh).withColumn(
+        "_bid",
+        F.concat_ws(
+            "|",
+            F.col("_bh").cast("string"),
+            F.xxhash64(F.lit(10), *[F.col(f"_b_{c}") for c in bcols]).cast("string"),
+            F.row_number()
+            .over(Window.partitionBy("_bh").orderBy(F.lit(0)))
+            .cast("string"),
+        ),
+    ).drop("_bh")
     # probe side must be puntal: sampled check raises loudly instead of the
     # round-1 silent drop; a full scan of the 10^12-row probe side just to
     # type-check would double the job, so the guard is a 1k sample + the
@@ -589,6 +622,10 @@ def knn_join(
         result = result.join(ok_ids, "_pid", "left_anti").unionByName(retry_res).cache()
         P1 = P1.join(ok_ids, "_pid", "left_anti").unionByName(P_retry).cache()
 
+    # re-expand collapsed duplicate probe rows to their input multiplicity
+    result = result.withColumn(
+        "_dup", F.explode(F.sequence(F.lit(1), F.col("_pmult").cast("int")))
+    )
     out_cols = (
         [F.col(f"_p_{c}").alias(c) for c in pcols]
         + [F.col(f"_b_{c}").alias(c) for c in bcols]

@@ -211,9 +211,20 @@ def write_geoparquet(
         blob = json.dumps(meta).encode("utf-8")
         existing = tbl.schema.metadata or {}
         tbl = tbl.replace_schema_metadata({**existing, GEO_KEY: blob})
-        pid = TaskContext.get().partitionId()
+        # Commit protocol: write under a task-attempt-unique temp name, then
+        # atomically rename to the final part name. A speculative or retried
+        # attempt writing part-<pid> concurrently can no longer interleave
+        # bytes into the same file — the last rename wins with a complete
+        # file either way (round-2 advisor). Requires a filesystem with
+        # atomic rename (local/NFS/HDFS-mounted); object stores should go
+        # through df.write.parquet + a metadata stamp instead.
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        attempt = ctx.taskAttemptId()
         fname = os.path.join(target, f"part-{pid:05d}.parquet")
-        pq.write_table(tbl, fname)
+        tmp = os.path.join(target, f".part-{pid:05d}-attempt-{attempt}.parquet.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, fname)
         bb = bboxes.get(gcols[0], [None] * 4)
         yield pa.RecordBatch.from_pydict(
             {
