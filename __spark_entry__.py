@@ -440,6 +440,28 @@ def _q_knn_geog_k3(spark, sf_dir):
     return j.select("c_custkey", "s_suppkey", F.col("knn_rank").cast("int").alias("knn_rank"))
 
 
+def _q_sql_sjoin_within(spark, sf_dir):
+    """SQL-surface spatial join: `JOIN ... ON ST_Within(...)` routed through
+    the two-phase spatial_join plan by the SQL pre-planner
+    (plans/sql_planner.py — analogue of the reference's
+    rust/sedona-spatial-join/src/optimizer.rs:131-420 rewrite rules)."""
+    import sedona_db_spark as sd
+
+    con = sd.connect(spark)
+    _cust_pts(spark, sf_dir).select("c_custkey", "geom").createOrReplaceTempView(
+        "__cust_pts_sql"
+    )
+    _nation_boxes(spark, sf_dir).select("n_nationkey", "geom").createOrReplaceTempView(
+        "__nation_boxes_sql"
+    )
+    return con.sql(
+        "SELECT n.n_nationkey AS n_nationkey, count(*) AS cnt "
+        "FROM __cust_pts_sql c JOIN __nation_boxes_sql n "
+        "ON ST_Within(c.geom, n.geom) "
+        "GROUP BY n.n_nationkey ORDER BY n_nationkey"
+    )
+
+
 def _q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -518,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_rect_k3": _q_knn_rect_k3,
         "geography_area": _q_geography_area,
         "knn_geog_k3": _q_knn_geog_k3,
+        "sql_sjoin_within": _q_sql_sjoin_within,
     }
 
 
@@ -858,5 +881,11 @@ def oracle_sql() -> dict[str, str]:
             f"  cos(radians({_CY}))*cos(radians({_SY}))*"
             f"  pow(sin((radians({_SX})-radians({_CX}))/2),2)))), s.s_suppkey) AS INTEGER) AS knn_rank "
             f" FROM customer c CROSS JOIN supplier s) WHERE knn_rank <= 3"
+        ),
+        "sql_sjoin_within": (
+            f"SELECT n.n_nationkey AS n_nationkey, count(*) AS cnt "
+            f"FROM customer c JOIN nation n ON {_CX} > {_NX0} AND {_CX} < {_NX0} + 72.0 "
+            f"AND {_CY} > {_NY0} AND {_CY} < {_NY0} + 36.0 "
+            f"GROUP BY 1 ORDER BY 1"
         ),
     }

@@ -80,7 +80,39 @@ class SedonaContext:
         return read_geoparquet(self.spark, str(paths))
 
     # -- sql (context.py:155-171) -------------------------------------------
-    def sql(self, sql: str) -> DataFrame:
+    def sql(self, sql: str, spatial_planning: bool = True) -> DataFrame:
+        """Run SQL with spatial-join planning.
+
+        Joins whose condition is a spatial predicate (``JOIN b ON
+        ST_Intersects(a.g, b.g)``, ``FROM a, b WHERE ST_DWithin(...)``,
+        ``ON ST_KNN(...)``) are routed through the two-phase
+        ``spatial_join``/``knn_join`` operators — the analogue of the
+        reference's logical/physical rewrite rules
+        (``rust/sedona-spatial-join/src/optimizer.rs:131-420``). Without
+        this, Catalyst executes such joins as a cartesian product with a
+        per-row UDF filter. Pass ``spatial_planning=False`` to bypass.
+        """
+        if spatial_planning:
+            from .plans.sql_planner import (
+                plan_spatial_sql,
+                spatial_joins_in_plain_sql,
+            )
+
+            planned = plan_spatial_sql(self.spark, sql)
+            if planned is not None:
+                return planned
+            if spatial_joins_in_plain_sql(sql):
+                import warnings
+
+                warnings.warn(
+                    "this SQL contains a spatial predicate over two tables "
+                    "in a shape the spatial planner does not rewrite; "
+                    "Catalyst will execute it as a cartesian product. "
+                    "Use sedona_db_spark.operators.spatial_join / knn_join "
+                    "directly, or simplify the join to "
+                    "'FROM a JOIN b ON ST_Pred(a.g, b.g) [AND ...]'.",
+                    stacklevel=2,
+                )
         return self.spark.sql(sql)
 
     # -- udfs (context.py:173-207) ------------------------------------------

@@ -1,0 +1,195 @@
+"""SQL-surface spatial join planning (round-2 VERDICT "What's missing" #1).
+
+`con.sql("... JOIN ... ON ST_Intersects(a.g, b.g)")` must produce the
+two-phase spatial-join plan (no CartesianProduct / BroadcastNestedLoopJoin),
+and its rows must equal the explicit spatial_join() API result.
+"""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+import sedona_db_spark as sd
+from sedona_db_spark.geometry import wkb
+from sedona_db_spark.operators.spatial_join import spatial_join
+
+
+@pytest.fixture(scope="module")
+def con(spark):
+    return sd.connect(spark)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-179, 179, 400)
+    y = rng.uniform(-89, 89, 400)
+    pts = spark.createDataFrame(
+        [
+            (int(i), float(a), float(b), bytes(w))
+            for i, (a, b, w) in enumerate(zip(x, y, wkb.encode_points_xy(x, y)))
+        ],
+        "pid LONG, lon DOUBLE, lat DOUBLE, geom BINARY",
+    )
+    boxes = []
+    for i in range(25):
+        x0 = -180.0 + (i % 5) * 72.0
+        y0 = -90.0 + (i // 5) * 36.0
+        boxes.append((i, f"box{i}", wkb.encode(wkb.box(x0, y0, x0 + 72.0, y0 + 36.0))))
+    admin = spark.createDataFrame(boxes, "bid INT, bname STRING, geometry BINARY")
+    pts.createOrReplaceTempView("pts_t")
+    admin.createOrReplaceTempView("admin_t")
+    return pts, admin
+
+
+def _expected_pairs(pts, admin):
+    j = spatial_join(
+        pts, admin, predicate="within", left_geom="geom", right_geom="geometry"
+    )
+    return {(r["pid"], r["bid"]) for r in j.select("pid", "bid").collect()}
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_join_on_intersects_rows_and_plan(con, tables):
+    pts, admin = tables
+    df = con.sql(
+        "SELECT p.pid AS pid, a.bid AS bid "
+        "FROM pts_t p JOIN admin_t a ON ST_Within(p.geom, a.geometry)"
+    )
+    got = {(r["pid"], r["bid"]) for r in df.collect()}
+    assert got == _expected_pairs(pts, admin)
+    plan = _plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_argument_order_inverts_predicate(con, tables):
+    pts, admin = tables
+    # ST_Contains(a.geometry, p.geom) == ST_Within(p.geom, a.geometry)
+    df = con.sql(
+        "SELECT p.pid AS pid, a.bid AS bid "
+        "FROM pts_t p JOIN admin_t a ON ST_Contains(a.geometry, p.geom)"
+    )
+    got = {(r["pid"], r["bid"]) for r in df.collect()}
+    assert got == _expected_pairs(pts, admin)
+
+
+def test_comma_join_where_form(con, tables):
+    pts, admin = tables
+    df = con.sql(
+        "SELECT pid, bid FROM pts_t p, admin_t a "
+        "WHERE ST_Within(p.geom, a.geometry) AND p.pid < 100"
+    )
+    got = {(r["pid"], r["bid"]) for r in df.collect()}
+    want = {(p, b) for p, b in _expected_pairs(pts, admin) if p < 100}
+    assert got == want
+
+
+def test_residual_conjunct_and_aggregation(con, tables):
+    pts, admin = tables
+    df = con.sql(
+        "SELECT a.bid AS bid, count(*) AS cnt "
+        "FROM pts_t p JOIN admin_t a "
+        "ON ST_Within(p.geom, a.geometry) AND p.pid % 2 = 0 "
+        "GROUP BY a.bid ORDER BY bid"
+    )
+    got = {(r["bid"], r["cnt"]) for r in df.collect()}
+    pairs = [(p, b) for p, b in _expected_pairs(pts, admin) if p % 2 == 0]
+    want = {}
+    for _, b in pairs:
+        want[b] = want.get(b, 0) + 1
+    assert got == set(want.items())
+
+
+def test_dwithin_literal_distance(con, tables, spark):
+    pts, admin = tables
+    df = con.sql(
+        "SELECT p.pid AS pid, q.pid AS qid FROM pts_t p JOIN pts_t q "
+        "ON ST_DWithin(p.geom, q.geom, 3.0)"
+    )
+    got = {(r["pid"], r["qid"]) for r in df.collect()}
+    j = spatial_join(
+        pts.select(F.col("pid"), F.col("geom")),
+        pts.select(F.col("pid").alias("qid"), F.col("geom")),
+        predicate="dwithin", distance=3.0,
+        left_geom="geom", right_geom="geom",
+    )
+    want = {(r["pid"], r["qid"]) for r in j.select("pid", "qid").collect()}
+    assert got == want
+
+
+def test_distance_lt_rewrites_to_dwithin(con, tables):
+    df1 = con.sql(
+        "SELECT p.pid AS pid, q.pid AS qid FROM pts_t p JOIN pts_t q "
+        "ON ST_Distance(p.geom, q.geom) < 3.0"
+    )
+    df2 = con.sql(
+        "SELECT p.pid AS pid, q.pid AS qid FROM pts_t p JOIN pts_t q "
+        "ON ST_DWithin(p.geom, q.geom, 3.0)"
+    )
+    assert {tuple(r) for r in df1.collect()} == {tuple(r) for r in df2.collect()}
+
+
+def test_knn_in_sql(con, tables):
+    pts, admin = tables
+    df = con.sql(
+        "SELECT p.pid AS pid, a.bid AS bid, knn_rank "
+        "FROM pts_t p JOIN admin_t a ON ST_KNN(p.geom, a.geometry, 2)"
+    )
+    rows = df.collect()
+    assert len(rows) == 400 * 2
+    from sedona_db_spark.operators.knn_join import knn_join
+
+    j = knn_join(pts, admin, k=2, probe_geom="geom", build_geom="geometry")
+    want = {(r["pid"], r["bid"], r["knn_rank"]) for r in
+            j.select("pid", "bid", "knn_rank").collect()}
+    assert {(r["pid"], r["bid"], r["knn_rank"]) for r in rows} == want
+
+
+def test_select_star_expansion(con, tables):
+    df = con.sql(
+        "SELECT a.* FROM pts_t p JOIN admin_t a "
+        "ON ST_Within(p.geom, a.geometry) WHERE p.pid = 0"
+    )
+    assert df.columns == ["bid", "bname", "geometry"]
+    assert df.count() >= 1
+
+
+def test_left_join_unmatched_preserved(con, spark, tables):
+    # a far-away point matches nothing; LEFT JOIN must keep it with NULL bid
+    pts, admin = tables
+    far = spark.createDataFrame(
+        [(999, bytes(wkb.encode_points_xy(np.array([500.0]), np.array([500.0]))[0]))],
+        "pid LONG, geom BINARY",
+    )
+    pts.select("pid", "geom").unionByName(far).createOrReplaceTempView("pts_far_t")
+    df = con.sql(
+        "SELECT p.pid AS pid, a.bid AS bid FROM pts_far_t p "
+        "LEFT JOIN admin_t a ON ST_Within(p.geom, a.geometry)"
+    )
+    rows = {(r["pid"], r["bid"]) for r in df.collect()}
+    assert (999, None) in rows
+    assert len([r for r in rows if r[0] != 999]) == len(_expected_pairs(pts, admin))
+
+
+def test_unsupported_shape_warns_and_falls_back(con, tables):
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        # NOT-ed predicate: planner can't index it; falls back with guidance
+        df = con.sql(
+            "SELECT count(*) AS cnt FROM pts_t p JOIN admin_t a "
+            "ON NOT ST_Within(p.geom, a.geometry)"
+        )
+        assert any("cartesian" in str(x.message).lower() for x in w)
+    assert df.collect()[0]["cnt"] == 400 * 25 - len(_expected_pairs(*tables))
+
+
+def test_non_spatial_sql_passthrough(con, tables):
+    df = con.sql("SELECT count(*) AS n FROM pts_t")
+    assert df.collect()[0]["n"] == 400
