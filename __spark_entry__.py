@@ -462,6 +462,50 @@ def _q_sql_sjoin_within(spark, sf_dir):
     )
 
 
+def _q_geog_centroid_nation(spark, sf_dir):
+    """Spherical true centroid (s2 st_centroid, register.rs:21-48) of each
+    nation's customer points: Σ unit vectors → lon/lat, reproduced in SQL
+    as sums of cos/sin terms + atan2."""
+    from sedona_db_spark.functions import geography as gg
+    from sedona_db_spark.functions import st
+    from sedona_db_spark.functions.aggregates import collect_aggr
+
+    pts = _cust_pts(spark, sf_dir).select("c_nationkey", "geom")
+    mp = collect_aggr(pts, "geom", ["c_nationkey"], out_col="mp")
+    cen = mp.withColumn("cen", gg.ST_Centroid_Spherical("mp"))
+    return cen.select(
+        "c_nationkey",
+        F.round(st.ST_X("cen"), 6).alias("cen_lon"),
+        F.round(st.ST_Y("cen"), 6).alias("cen_lat"),
+    ).orderBy("c_nationkey")
+
+
+def _q_geog_maxdist(spark, sf_dir):
+    """Spherical max distance (s2 st_maxdistance) from each nation-box
+    center to the nation's customers, in degrees of arc: the exact
+    point-set max great-circle distance, haversine-reproducible in SQL."""
+    import math
+
+    from sedona_db_spark.functions import geography as gg
+    from sedona_db_spark.functions import st
+    from sedona_db_spark.functions.aggregates import collect_aggr
+
+    pts = _cust_pts(spark, sf_dir).select("c_nationkey", "geom")
+    mp = collect_aggr(pts, "geom", ["c_nationkey"], out_col="mp")
+    n = _t(spark, sf_dir, "nation")
+    ncx = F.lit(-180.0) + (F.col("n_nationkey") % 5) * F.lit(72.0) + F.lit(36.0)
+    ncy = F.lit(-90.0) + F.floor(F.col("n_nationkey") / 5) * F.lit(36.0) + F.lit(18.0)
+    centers = n.select("n_nationkey", st.ST_Point(ncx, ncy).alias("cen"))
+    j = mp.join(centers, mp.c_nationkey == centers.n_nationkey)
+    deg = (
+        gg.ST_MaxDistance_Spherical(F.col("mp"), F.col("cen"))
+        / F.lit(gg.EARTH_RADIUS_M) * F.lit(180.0 / math.pi)
+    )
+    return j.select(
+        F.col("n_nationkey"), F.round(deg, 4).alias("maxdist_deg")
+    ).orderBy("n_nationkey")
+
+
 def _q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -541,6 +585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geography_area": _q_geography_area,
         "knn_geog_k3": _q_knn_geog_k3,
         "sql_sjoin_within": _q_sql_sjoin_within,
+        "geog_centroid_nation": _q_geog_centroid_nation,
+        "geog_maxdist": _q_geog_maxdist,
     }
 
 
@@ -887,5 +933,26 @@ def oracle_sql() -> dict[str, str]:
             f"FROM customer c JOIN nation n ON {_CX} > {_NX0} AND {_CX} < {_NX0} + 72.0 "
             f"AND {_CY} > {_NY0} AND {_CY} < {_NY0} + 36.0 "
             f"GROUP BY 1 ORDER BY 1"
+        ),
+        "geog_centroid_nation": (
+            f"SELECT c_nationkey, "
+            f"round(degrees(atan2(sy, sx)), 6) AS cen_lon, "
+            f"round(degrees(atan2(sz, sqrt(sx*sx + sy*sy))), 6) AS cen_lat "
+            f"FROM (SELECT c_nationkey, "
+            f"  sum(cos(radians({_CY}))*cos(radians({_CX}))) AS sx, "
+            f"  sum(cos(radians({_CY}))*sin(radians({_CX}))) AS sy, "
+            f"  sum(sin(radians({_CY}))) AS sz "
+            f"  FROM customer c GROUP BY 1) ORDER BY 1"
+        ),
+        "geog_maxdist": (
+            "SELECT c_nationkey AS n_nationkey, "
+            "round(max(2*degrees(asin(sqrt(least(CAST(1.0 AS DOUBLE), "
+            f"pow(sin((radians({_CY}) - radians(_ncy))/2), 2) + "
+            f"cos(radians(_ncy))*cos(radians({_CY}))*"
+            f"pow(sin((radians({_CX}) - radians(_ncx))/2), 2)))))), 4) AS maxdist_deg "
+            "FROM (SELECT c_custkey, c_nationkey, "
+            "  CAST(-180.0 AS DOUBLE) + (c_nationkey % 5)*CAST(72.0 AS DOUBLE) + CAST(36.0 AS DOUBLE) AS _ncx, "
+            "  CAST(-90.0 AS DOUBLE) + (c_nationkey // 5)*CAST(36.0 AS DOUBLE) + CAST(18.0 AS DOUBLE) AS _ncy "
+            "  FROM customer) c GROUP BY 1 ORDER BY 1"
         ),
     }
