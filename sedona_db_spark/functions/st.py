@@ -1410,7 +1410,8 @@ _CRS_ALIASES = {"EPSG:4326": "LL", "OGC:CRS84": "LL", "CRS84": "LL", "EPSG:3857"
 
 
 def _crs_tag(code: str):
-    """'LL' | 'WM' | 'LAEA' | ('UTM', zone, north) | None."""
+    """'LL' | 'WM' | 'LAEA' | ('UTM', zone, north) | ('CONIC', params) |
+    None."""
     from ..geometry import proj as _proj
 
     up = str(code).upper()
@@ -1419,6 +1420,9 @@ def _crs_tag(code: str):
         return tag
     if up == "EPSG:3035":
         return "LAEA"
+    conic = _proj.CONIC_CRS.get(up)
+    if conic is not None:
+        return ("CONIC", conic)
     utm = _proj.parse_utm_epsg(up)
     if utm is not None:
         return ("UTM",) + utm
@@ -1440,6 +1444,14 @@ def _to_lonlat_fn(tag):
             return out
 
         return fl
+    if tag[0] == "CONIC":
+
+        def fc(arr, _p=tag[1]):
+            out = arr.copy()
+            out[:, 0], out[:, 1] = _proj.conic_inverse(arr[:, 0], arr[:, 1], _p)
+            return out
+
+        return fc
 
     def f(arr, _z=tag[1], _n=tag[2]):
         out = arr.copy()
@@ -1464,6 +1476,14 @@ def _from_lonlat_fn(tag):
             return out
 
         return fl
+    if tag[0] == "CONIC":
+
+        def fc(arr, _p=tag[1]):
+            out = arr.copy()
+            out[:, 0], out[:, 1] = _proj.conic_forward(arr[:, 0], arr[:, 1], _p)
+            return out
+
+        return fc
 
     def f(arr, _z=tag[1], _n=tag[2]):
         out = arr.copy()
@@ -1487,8 +1507,10 @@ def _st_transform(s: pd.Series, from_crs: pd.Series, to_crs: pd.Series) -> pd.Se
         ta = _crs_tag(t)
         if fa is None or ta is None:
             raise NotImplementedError(
-                f"ST_Transform supports EPSG:4326/OGC:CRS84, EPSG:3857, and "
-                f"UTM EPSG:326xx/327xx in this build (no PROJ in env); "
+                f"ST_Transform supports EPSG:4326/OGC:CRS84, EPSG:3857, "
+                f"UTM EPSG:326xx/327xx, EPSG:3035 (LAEA), and the conic "
+                f"grids EPSG:2154/3978/3034 (Lambert Conformal Conic) / "
+                f"EPSG:5070 (Albers) in this build (no PROJ in env); "
                 f"got {f!r} -> {t!r}"
             )
         g = wkb.parse(v)

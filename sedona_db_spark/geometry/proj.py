@@ -205,6 +205,150 @@ def laea_inverse(E_, N_, lon0=10.0, lat0=52.0, fe=4_321_000.0, fn=3_210_000.0):
     return np.degrees(lam) + lon0, np.degrees(phi)
 
 
+# --- Lambert Conformal Conic, 2SP (ellipsoidal, Snyder 1987 §15) ------------
+# The most common CRS family after UTM (state-plane and national grids).
+# Formulas: Snyder, "Map Projections — A Working Manual", USGS PP 1395,
+# pp. 104-110 — the same math PROJ's `lcc` implements (the reference
+# delegates to PROJ, c/sedona-proj/src/st_transform.rs).
+
+
+def _m_snyder(phi):
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1 - _E * _E * s * s)
+
+
+def _t_snyder(phi):
+    s = np.sin(phi)
+    return np.tan(np.pi / 4 - phi / 2) / np.power(
+        (1 - _E * s) / (1 + _E * s), _E / 2
+    )
+
+
+def _lcc_constants(lat1, lat2, lat0):
+    p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+    m1, m2 = float(_m_snyder(p1)), float(_m_snyder(p2))
+    t1, t2, t0 = float(_t_snyder(p1)), float(_t_snyder(p2)), float(_t_snyder(p0))
+    if abs(lat1 - lat2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    Fc = m1 / (n * t1 ** n)
+    rho0 = _A * Fc * t0 ** n
+    return n, Fc, rho0
+
+
+def lcc_forward(lon, lat, lat1, lat2, lat0, lon0, fe=0.0, fn=0.0):
+    """(lon°, lat°) -> LCC-2SP (easting, northing) meters, vectorized
+    (Snyder eqs. 15-1..15-10)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n, Fc, rho0 = _lcc_constants(lat1, lat2, lat0)
+    t = _t_snyder(np.radians(lat))
+    rho = _A * Fc * np.power(t, n)
+    theta = n * (np.radians(lon) - math.radians(lon0))
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+
+def lcc_inverse(E_, N_, lat1, lat2, lat0, lon0, fe=0.0, fn=0.0):
+    """LCC-2SP meters -> (lon°, lat°), vectorized (Snyder 15-11..15-14 +
+    the iterative phi from t', eq. 7-9)."""
+    x = np.asarray(E_, dtype=np.float64) - fe
+    y = np.asarray(N_, dtype=np.float64) - fn
+    n, Fc, rho0 = _lcc_constants(lat1, lat2, lat0)
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = sgn * np.sqrt(x * x + (rho0 - y) ** 2)
+    theta = np.arctan2(sgn * x, sgn * (rho0 - y))
+    tp = np.power(rho / (_A * Fc), 1.0 / n)
+    phi = np.pi / 2 - 2 * np.arctan(tp)
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            tp * np.power((1 - _E * s) / (1 + _E * s), _E / 2)
+        )
+    return np.degrees(theta / n) + lon0, np.degrees(phi)
+
+
+# --- Albers Equal-Area Conic (ellipsoidal, Snyder 1987 §14) -----------------
+
+
+def _aea_constants(lat1, lat2, lat0):
+    p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+    m1, m2 = float(_m_snyder(p1)), float(_m_snyder(p2))
+    q1, q2, q0 = float(_q_auth(p1)), float(_q_auth(p2)), float(_q_auth(p0))
+    if abs(lat1 - lat2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = _A * math.sqrt(C - n * q0) / n
+    return n, C, rho0
+
+
+def aea_forward(lon, lat, lat1, lat2, lat0, lon0, fe=0.0, fn=0.0):
+    """(lon°, lat°) -> Albers (easting, northing), vectorized
+    (Snyder eqs. 14-1..14-5)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n, C, rho0 = _aea_constants(lat1, lat2, lat0)
+    q = _q_auth(np.radians(lat))
+    rho = _A * np.sqrt(C - n * q) / n
+    theta = n * (np.radians(lon) - math.radians(lon0))
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+
+def aea_inverse(E_, N_, lat1, lat2, lat0, lon0, fe=0.0, fn=0.0):
+    """Albers meters -> (lon°, lat°) (Snyder 14-8..14-11 + authalic
+    latitude series 3-18)."""
+    x = np.asarray(E_, dtype=np.float64) - fe
+    y = np.asarray(N_, dtype=np.float64) - fn
+    n, C, rho0 = _aea_constants(lat1, lat2, lat0)
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = np.sqrt(x * x + (rho0 - y) ** 2)
+    theta = np.arctan2(sgn * x, sgn * (rho0 - y))
+    q = (C - (rho * n / _A) ** 2) / n
+    qp = _q_auth(np.pi / 2)
+    beta = np.arcsin(np.clip(q / qp, -1, 1))
+    # exact phi by Newton on q(phi) = q (Snyder eq. 3-16) — the truncated
+    # authalic series leaves ~1e-8 deg; this converges to machine precision
+    e, e2 = _E, _E * _E
+    phi = beta
+    for _ in range(6):
+        s = np.sin(phi)
+        den = 1 - e2 * s * s
+        f = (q / (1 - e2)) - s / den + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        dphi = (den * den / (2 * np.cos(phi))) * f
+        phi = phi + dphi
+    return np.degrees(theta / n) + lon0, np.degrees(phi)
+
+
+# EPSG registry for the conic families: (kind, lat1, lat2, lat0, lon0, fe, fn)
+# Parameters are the published EPSG definitions; the underlying datums
+# (RGF93, NAD83, ETRS89) agree with WGS84 to well under a meter, matching
+# how PROJ treats them in the no-datum-shift path.
+CONIC_CRS = {
+    # RGF93 / Lambert-93 (France national grid)
+    "EPSG:2154": ("lcc", 49.0, 44.0, 46.5, 3.0, 700_000.0, 6_600_000.0),
+    # NAD83 / Canada Atlas Lambert
+    "EPSG:3978": ("lcc", 49.0, 77.0, 49.0, -95.0, 0.0, 0.0),
+    # ETRS89-extended / LCC Europe
+    "EPSG:3034": ("lcc", 35.0, 65.0, 52.0, 10.0, 4_000_000.0, 2_800_000.0),
+    # NAD83 / Conus Albers (USGS national products)
+    "EPSG:5070": ("aea", 29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+}
+
+
+def conic_forward(lon, lat, params):
+    kind, lat1, lat2, lat0, lon0, fe, fn = params
+    f = lcc_forward if kind == "lcc" else aea_forward
+    return f(lon, lat, lat1, lat2, lat0, lon0, fe, fn)
+
+
+def conic_inverse(E_, N_, params):
+    kind, lat1, lat2, lat0, lon0, fe, fn = params
+    f = lcc_inverse if kind == "lcc" else aea_inverse
+    return f(E_, N_, lat1, lat2, lat0, lon0, fe, fn)
+
+
 def parse_utm_epsg(code: str):
     """'EPSG:326xx'/'EPSG:327xx' -> (zone, north) or None."""
     code = code.upper().replace("EPSG:", "")

@@ -132,3 +132,119 @@ class TestLAEA:
             st.ST_X(st.ST_Transform(F.col("geometry"), F.lit("EPSG:4326"), F.lit("EPSG:3035"))).alias("x")
         ).collect()[0]["x"]
         assert out == 4_321_000.0
+
+
+class TestConic:
+    """Lambert Conformal Conic 2SP + Albers (Snyder §15/§14) — round-trip,
+    conformality/equal-area properties, and standard-parallel unit scale."""
+
+    DOMAINS = {
+        "EPSG:2154": (-5.0, 9.0, 41.0, 51.0),     # France
+        "EPSG:3978": (-140.0, -50.0, 40.0, 84.0), # Canada
+        "EPSG:3034": (-10.0, 30.0, 35.0, 70.0),   # Europe
+        "EPSG:5070": (-125.0, -65.0, 24.0, 50.0), # CONUS
+    }
+
+    def _grid(self, code, n=2000, seed=5):
+        rng = np.random.default_rng(seed)
+        x0, x1, y0, y1 = self.DOMAINS[code]
+        return rng.uniform(x0, x1, n), rng.uniform(y0, y1, n)
+
+    @pytest.mark.parametrize("code", list(DOMAINS))
+    def test_roundtrip(self, code):
+        lon, lat = self._grid(code)
+        p = proj.CONIC_CRS[code]
+        E, N = proj.conic_forward(lon, lat, p)
+        lon2, lat2 = proj.conic_inverse(E, N, p)
+        assert np.abs(lon2 - lon).max() < 1e-9
+        assert np.abs(lat2 - lat).max() < 1e-9
+
+    def test_lcc_central_meridian_is_false_easting(self):
+        p = proj.CONIC_CRS["EPSG:2154"]
+        E, N = proj.lcc_forward(3.0, 46.5, *p[1:])
+        assert float(E) == pytest.approx(700000.0, abs=1e-6)
+        assert float(N) == pytest.approx(6600000.0, abs=1e-6)
+
+    def test_lcc_unit_scale_at_standard_parallels(self):
+        # scale along a parallel: projected distance / ellipsoid distance
+        # equals 1 at lat1/lat2, > 1 outside the belt, < 1 inside
+        p = proj.CONIC_CRS["EPSG:2154"]
+        a, e2 = 6378137.0, 0.00669437999014132
+
+        def k_at(lat):
+            d = 1e-6
+            E1, N1 = proj.lcc_forward(3.0 - d, lat, *p[1:])
+            E2, N2 = proj.lcc_forward(3.0 + d, lat, *p[1:])
+            dproj = float(np.hypot(E2 - E1, N2 - N1))
+            phi = np.radians(lat)
+            nu = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+            dell = nu * np.cos(phi) * np.radians(2 * d)
+            return dproj / dell
+
+        assert k_at(49.0) == pytest.approx(1.0, abs=1e-9)
+        assert k_at(44.0) == pytest.approx(1.0, abs=1e-9)
+        assert k_at(46.5) < 1.0
+        assert k_at(52.0) > 1.0
+
+    def test_lcc_conformal(self):
+        # conformality: the numeric Jacobian's columns (scaled to the
+        # ellipsoid metric) have equal norms and are orthogonal
+        p = proj.CONIC_CRS["EPSG:2154"]
+        a, e2 = 6378137.0, 0.00669437999014132
+        for lon, lat in ((1.0, 43.0), (6.0, 48.5), (-3.0, 50.0)):
+            d = 1e-6
+            E0, N0 = proj.lcc_forward(lon, lat, *p[1:])
+            E1, N1 = proj.lcc_forward(lon + d, lat, *p[1:])
+            E2, N2 = proj.lcc_forward(lon, lat + d, *p[1:])
+            phi = np.radians(lat)
+            W = np.sqrt(1 - e2 * np.sin(phi) ** 2)
+            nu, rho = a / W, a * (1 - e2) / W**3
+            gx = np.array([float(E1 - E0), float(N1 - N0)]) / (
+                nu * np.cos(phi) * np.radians(d))
+            gy = np.array([float(E2 - E0), float(N2 - N0)]) / (rho * np.radians(d))
+            assert np.linalg.norm(gx) == pytest.approx(np.linalg.norm(gy), rel=1e-4)
+            cosang = gx @ gy / (np.linalg.norm(gx) * np.linalg.norm(gy))
+            assert abs(cosang) < 1e-4
+
+    def test_albers_preserves_area(self):
+        # Jacobian determinant wrt (lambda, phi) must equal the ellipsoid
+        # area element nu*rho*cos(phi) everywhere
+        p = proj.CONIC_CRS["EPSG:5070"]
+        a, e2 = 6378137.0, 0.00669437999014132
+        for lon, lat in ((-120.0, 35.0), (-96.0, 23.0), (-70.0, 45.0)):
+            d = 1e-6
+            E0, N0 = proj.aea_forward(lon, lat, *p[1:])
+            E1, N1 = proj.aea_forward(lon + d, lat, *p[1:])
+            E2, N2 = proj.aea_forward(lon, lat + d, *p[1:])
+            J = abs(float(E1 - E0) * float(N2 - N0) - float(E2 - E0) * float(N1 - N0))
+            J /= np.radians(d) ** 2
+            phi = np.radians(lat)
+            W = np.sqrt(1 - e2 * np.sin(phi) ** 2)
+            nu, rho = a / W, a * (1 - e2) / W**3
+            assert J == pytest.approx(nu * rho * np.cos(phi), rel=1e-4)
+
+    def test_st_transform_conic_end_to_end(self, spark):
+        from sedona_db_spark.functions import st
+
+        pts = wkb.encode_points_xy(np.array([2.3522]), np.array([48.8566]))
+        df = spark.createDataFrame([(bytes(pts[0]),)], "geom BINARY")
+        out = df.select(
+            st.ST_Transform("geom", F.lit("EPSG:4326"), F.lit("EPSG:2154")).alias("g")
+        ).collect()[0]["g"]
+        g = wkb.parse(bytes(out))
+        E, N = g.coords[0][0], g.coords[0][1]
+        p = proj.CONIC_CRS["EPSG:2154"]
+        Ek, Nk = proj.lcc_forward(2.3522, 48.8566, *p[1:])
+        assert E == pytest.approx(float(Ek), abs=1e-9)
+        assert N == pytest.approx(float(Nk), abs=1e-9)
+        # Paris in Lambert-93 is ~(652.5 km, 6.862 Mm) — coarse envelope
+        assert 600_000 < E < 700_000 and 6_800_000 < N < 6_900_000
+        back = df.select(
+            st.ST_Transform(
+                st.ST_Transform("geom", F.lit("EPSG:4326"), F.lit("EPSG:2154")),
+                F.lit("EPSG:2154"), F.lit("EPSG:4326"),
+            ).alias("g")
+        ).collect()[0]["g"]
+        gb = wkb.parse(bytes(back))
+        assert gb.coords[0][0] == pytest.approx(2.3522, abs=1e-9)
+        assert gb.coords[0][1] == pytest.approx(48.8566, abs=1e-9)
