@@ -181,10 +181,13 @@ def minhash_lsh_candidates(
 
         S = S.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # band key = hash of the band's slice — built-in functions only
+    # band key = hash of the band's slice — built-in functions only.
+    # Band rows carry ONLY (doc_id, band, bkey) — 3 longs — through the
+    # self-join shuffle; the 64-long signature arrays are re-joined by id
+    # AFTER candidate dedup (round-2 VERDICT plan audit: at 10^12 rows the
+    # band shuffle must not carry ~0.5 KB of signature per exploded row)
     band_rows = S.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(*[
                 F.struct(
@@ -195,11 +198,11 @@ def minhash_lsh_candidates(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
 
     a = band_rows.alias("a")
     b = band_rows.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -209,10 +212,15 @@ def minhash_lsh_candidates(
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # verify stage: fetch signatures by id (candidates ≪ corpus, and S is
+    # persisted, so these are two slim hash joins)
+    pairs = cand.join(
+        S.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(
+        S.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
     )
     # estimate = fraction of agreeing signature positions (JVM-side zip_with)
     est = (
@@ -223,7 +231,7 @@ def minhash_lsh_candidates(
         ).cast("double")
         / F.lit(num_hashes)
     )
-    return pairs.withColumn("est_jaccard", est).drop("sig_a", "sig_b")
+    return pairs.withColumn("est_jaccard", est).select("id_a", "id_b", "est_jaccard")
 
 
 def minhash_dedup(
