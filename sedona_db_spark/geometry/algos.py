@@ -192,12 +192,35 @@ def dimension(g: Optional[Geometry]) -> int:
 OUTSIDE, BOUNDARY, INTERIOR = 0, 1, 2
 
 
-def locate_points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray):
+def _ring_block(Xs, Ys, x0, y0, x1, y1, dx, dy, minx, maxx, miny, maxy,
+                slope, boundary):
+    """One (points x segments) block of the ring test (helper of
+    locate_points_in_ring's y-bucketed path)."""
+    X = Xs[:, None]
+    Y = Ys[:, None]
+    if boundary:
+        cross = dx * (Y - y0) - dy * (X - x0)
+        within = (minx <= X) & (X <= maxx) & (miny <= Y) & (Y <= maxy)
+        onb = np.any((cross == 0) & within, axis=1)
+    else:
+        onb = np.zeros(len(Xs), bool)
+    cond = (y0 <= Y) != (y1 <= Y)
+    with np.errstate(invalid="ignore"):
+        xint = x0 + (Y - y0) * slope
+    ins = (np.sum(cond & (X < xint), axis=1) % 2 == 1) & ~onb
+    return ins, onb
+
+
+def locate_points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray,
+                          boundary: bool = True):
     """Vectorized crossing-number test of many points against one ring.
 
     Returns (inside: bool[n], on_boundary: bool[n]). Vectorized over POINTS —
     this is the refine kernel of the spatial join hot path, where one
     broadcast polygon tests thousands of candidate page points at once.
+    ``boundary=False`` skips the exact on-segment pass (callers whose
+    points are off-boundary by construction, e.g. overlay midpoint
+    classification) — on_boundary comes back all-False.
     """
     n = len(px)
     if len(ring) < 3:
@@ -206,40 +229,91 @@ def locate_points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray):
     y0 = ring[:-1, 1][None, :]
     x1 = ring[1:, 0][None, :]
     y1 = ring[1:, 1][None, :]
-    X = np.asarray(px, dtype=np.float64)[:, None]  # (n, 1)
-    Y = np.asarray(py, dtype=np.float64)[:, None]
-
-    # boundary: point on segment (collinear + within bbox)
-    cross = (x1 - x0) * (Y - y0) - (y1 - y0) * (X - x0)
-    within = (
-        (np.minimum(x0, x1) <= X)
-        & (X <= np.maximum(x0, x1))
-        & (np.minimum(y0, y1) <= Y)
-        & (Y <= np.maximum(y0, y1))
-    )
-    on_boundary = np.any((cross == 0) & within, axis=1)
-
-    # crossing number with the standard half-open rule [y0, y1)
-    cond = (y0 <= Y) != (y1 <= Y)
+    dx = x1 - x0
+    dy = y1 - y0
+    minx = np.minimum(x0, x1)
+    maxx = np.maximum(x0, x1)
+    miny = np.minimum(y0, y1)
+    maxy = np.maximum(y0, y1)
     with np.errstate(divide="ignore", invalid="ignore"):
-        xint = x0 + (Y - y0) * (x1 - x0) / (y1 - y0)
-    crossings = np.sum(cond & (X < xint), axis=1)
-    inside = (crossings % 2 == 1) & ~on_boundary
+        slope = dx / dy  # inf on horizontal segments; masked below
+    Xa = np.asarray(px, dtype=np.float64)
+    Ya = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(n, bool)
+    on_boundary = np.zeros(n, bool)
+    m = len(ring) - 1
+    # y-bucketing: a point's crossing count only involves segments whose
+    # y-interval straddles the point, so for big (n x m) workloads split
+    # the y-range into strips and run each strip against just the segments
+    # overlapping it — O(n*m/B + spanning) instead of O(n*m)
+    if n * m > 262_144 and m >= 64:
+        B = int(np.clip(np.sqrt(n * m) // 64, 8, 256))
+        ylo = float(np.min(miny))
+        yhi = float(np.max(maxy))
+        if yhi > ylo:
+            edges_y = np.linspace(ylo, yhi, B + 1)
+            pbuck = np.clip(np.searchsorted(edges_y, Ya, "right") - 1, 0, B - 1)
+            # points outside the ring's y-range are outside and off-boundary
+            in_range = (Ya >= ylo) & (Ya <= yhi)
+            order = np.argsort(pbuck, kind="stable")
+            mnf = miny.ravel()
+            mxf = maxy.ravel()
+            for bkt in range(B):
+                sel = order[np.searchsorted(pbuck[order], bkt):
+                            np.searchsorted(pbuck[order], bkt + 1)]
+                sel = sel[in_range[sel]]
+                if len(sel) == 0:
+                    continue
+                segs = np.nonzero(
+                    (mnf <= edges_y[bkt + 1]) & (mxf >= edges_y[bkt])
+                )[0]
+                if len(segs) == 0:
+                    continue
+                ins, onb = _ring_block(
+                    Xa[sel], Ya[sel], x0[0, segs], y0[0, segs],
+                    x1[0, segs], y1[0, segs], dx[0, segs], dy[0, segs],
+                    minx[0, segs], maxx[0, segs], miny[0, segs],
+                    maxy[0, segs], slope[0, segs], boundary,
+                )
+                inside[sel] = ins
+                on_boundary[sel] = onb
+            return inside, on_boundary
+    # chunk over points so the (chunk, m) temporaries stay cache-resident —
+    # the single (n, m) pass was memory-bound on large batches
+    step = max(1, min(n, 1 << 22) // max(1, len(ring)))
+    for c0 in range(0, n, step):
+        X = Xa[c0:c0 + step, None]
+        Y = Ya[c0:c0 + step, None]
+        if boundary:
+            # boundary: point on segment (collinear + within bbox)
+            cross = dx * (Y - y0) - dy * (X - x0)
+            within = (minx <= X) & (X <= maxx) & (miny <= Y) & (Y <= maxy)
+            onb = np.any((cross == 0) & within, axis=1)
+            on_boundary[c0:c0 + step] = onb
+        # crossing number with the standard half-open rule [y0, y1)
+        cond = (y0 <= Y) != (y1 <= Y)
+        with np.errstate(invalid="ignore"):
+            xint = x0 + (Y - y0) * slope
+        crossings = np.sum(cond & (X < xint), axis=1)
+        inside[c0:c0 + step] = crossings % 2 == 1
+    if boundary:
+        inside &= ~on_boundary
     return inside, on_boundary
 
 
-def locate_points_in_polygon(px: np.ndarray, py: np.ndarray, poly: Geometry) -> np.ndarray:
+def locate_points_in_polygon(px: np.ndarray, py: np.ndarray, poly: Geometry,
+                             boundary: bool = True) -> np.ndarray:
     """0=outside 1=boundary 2=interior for many points vs one polygon
     (holes honored)."""
     n = len(px)
     loc = np.zeros(n, dtype=np.int8)
     if not poly.coords:
         return loc
-    in_shell, on_shell = locate_points_in_ring(px, py, poly.coords[0])
+    in_shell, on_shell = locate_points_in_ring(px, py, poly.coords[0], boundary)
     loc[on_shell] = BOUNDARY
     inside = in_shell.copy()
     for hole in poly.coords[1:]:
-        in_hole, on_hole = locate_points_in_ring(px, py, hole)
+        in_hole, on_hole = locate_points_in_ring(px, py, hole, boundary)
         loc[on_hole & (inside | on_shell)] = BOUNDARY
         inside &= ~in_hole
         inside &= ~on_hole
@@ -249,11 +323,12 @@ def locate_points_in_polygon(px: np.ndarray, py: np.ndarray, poly: Geometry) -> 
     return loc
 
 
-def locate_points_in_geometry(px: np.ndarray, py: np.ndarray, g: Geometry) -> np.ndarray:
+def locate_points_in_geometry(px: np.ndarray, py: np.ndarray, g: Geometry,
+                              boundary: bool = True) -> np.ndarray:
     """Max location across all polygon parts (for multipolygons)."""
     loc = np.zeros(len(px), dtype=np.int8)
     for poly in g.polygons():
-        loc = np.maximum(loc, locate_points_in_polygon(px, py, poly))
+        loc = np.maximum(loc, locate_points_in_polygon(px, py, poly, boundary))
     return loc
 
 
