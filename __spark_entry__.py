@@ -462,6 +462,24 @@ def _q_sql_sjoin_within(spark, sf_dir):
     )
 
 
+def _q_knn_rect_spheroid_k3(spark, sf_dir):
+    """Spheroid kNN with a RECT build side (round-2 VERDICT item 9): 3
+    nearest nation boxes per customer by exact spherical point->lat/lon-
+    rect distance (the s2 S2LatLngRect metric; reference Haversine metric
+    on any build geometry, index.rs:34-37). The closed-form candidate set
+    (clamped perpendicular-foot latitude + corners) is reproduced verbatim
+    in SQL."""
+    from sedona_db_spark.operators.knn_join import knn_join
+
+    pts = _cust_pts(spark, sf_dir).select("c_custkey", "geom")
+    boxes = _nation_boxes(spark, sf_dir).select("n_nationkey", "geom")
+    j = knn_join(pts, boxes, k=3, probe_geom="geom", build_geom="geom",
+                 build_id="n_nationkey", use_spheroid=True)
+    return j.select(
+        "c_custkey", "n_nationkey", F.col("knn_rank").cast("int").alias("knn_rank")
+    )
+
+
 def _q_geog_centroid_nation(spark, sf_dir):
     """Spherical true centroid (s2 st_centroid, register.rs:21-48) of each
     nation's customer points: Σ unit vectors → lon/lat, reproduced in SQL
@@ -587,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_sjoin_within": _q_sql_sjoin_within,
         "geog_centroid_nation": _q_geog_centroid_nation,
         "geog_maxdist": _q_geog_maxdist,
+        "knn_rect_spheroid_k3": _q_knn_rect_spheroid_k3,
     }
 
 
@@ -697,6 +716,40 @@ def _ivf_oracle() -> str:
         f" CAST(row_number() OVER (PARTITION BY c.qid ORDER BY {cos('q.qv', 'corp.cvv')} DESC, c.nid) AS INTEGER) AS rank "
         " FROM cand c JOIN q ON q.qid = c.qid JOIN corp ON corp.nid = c.nid) "
         "WHERE rank <= 5"
+    )
+
+
+def _knn_rect_spheroid_oracle() -> str:
+    """Exact spherical point->lat/lon-rect distance in SQL, with the same
+    op structure as sphere.points_to_latlon_rect_distance_m: candidates =
+    (lon_p, clamp(lat_p)) when lon in range, plus per meridian edge the
+    clamped perpendicular-foot latitude and both corners."""
+    def hav(x2, y2):
+        return (
+            f"2*CAST(6371008.8 AS DOUBLE)*asin(sqrt(least(CAST(1.0 AS DOUBLE), "
+            f"pow(sin((radians({y2})-radians({_CY}))/2),2) + "
+            f"cos(radians({_CY}))*cos(radians({y2}))*"
+            f"pow(sin((radians({x2})-radians({_CX}))/2),2))))"
+        )
+
+    nx1 = f"({_NX0} + CAST(72.0 AS DOUBLE))"
+    ny1 = f"({_NY0} + CAST(36.0 AS DOUBLE))"
+    cl_in = f"least(greatest({_CY}, {_NY0}), {ny1})"
+    cands = [
+        f"CASE WHEN {_CX} >= {_NX0} AND {_CX} <= {nx1} "
+        f"THEN {hav(_CX, cl_in)} ELSE CAST(1e18 AS DOUBLE) END"
+    ]
+    for e in (_NX0, nx1):
+        latf = f"degrees(atan(tan(radians({_CY}))/cos(radians({_CX} - {e}))))"
+        clf = f"least(greatest({latf}, {_NY0}), {ny1})"
+        cands += [hav(e, clf), hav(e, _NY0), hav(e, ny1)]
+    dist = "least(" + ", ".join(cands) + ")"
+    return (
+        f"SELECT c_custkey, n_nationkey, knn_rank FROM ("
+        f" SELECT c.c_custkey AS c_custkey, n.n_nationkey AS n_nationkey, "
+        f" CAST(row_number() OVER (PARTITION BY c.c_custkey "
+        f"   ORDER BY {dist}, n.n_nationkey) AS INTEGER) AS knn_rank "
+        f" FROM customer c CROSS JOIN nation n) WHERE knn_rank <= 3"
     )
 
 
@@ -944,6 +997,7 @@ def oracle_sql() -> dict[str, str]:
             f"  sum(sin(radians({_CY}))) AS sz "
             f"  FROM customer c GROUP BY 1) ORDER BY 1"
         ),
+        "knn_rect_spheroid_k3": _knn_rect_spheroid_oracle(),
         "geog_maxdist": (
             "SELECT c_nationkey AS n_nationkey, "
             "round(max(2*degrees(asin(sqrt(least(CAST(1.0 AS DOUBLE), "

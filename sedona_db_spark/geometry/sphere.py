@@ -371,6 +371,79 @@ def max_distance(a: Geometry, b: Geometry) -> float:
     return best
 
 
+def points_to_latlon_rect_distance_m(px, py, x0, y0, x1, y1,
+                                     radius: float = EARTH_RADIUS_M) -> np.ndarray:
+    """Exact great-circle distance (meters) from probe points to LAT/LON
+    rectangles (the s2 S2LatLngRect metric — envelope build sides in
+    spheroid kNN, reference index.rs:34-37 + geo-index HaversineDistance).
+
+    (n probes) x (m rects) -> (n, m). Closed form: the nearest rect point
+    is (lon_p, clamp(lat_p)) when lon_p is inside the lon interval, else
+    it lies on a meridian edge at either the perpendicular-foot latitude
+    tan(lat_f) = tan(lat_p)/cos(dlon) (clamped) or an edge corner; the
+    minimum over those candidates is exact because great-circle distance
+    along a meridian is unimodal in latitude. Every candidate is scored
+    with the same haversine op-structure as algos.haversine_m, so a SQL
+    oracle can reproduce the ranking bit-for-bit."""
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    x0 = np.asarray(x0, dtype=np.float64)[None, :]
+    y0 = np.asarray(y0, dtype=np.float64)[None, :]
+    x1 = np.asarray(x1, dtype=np.float64)[None, :]
+    y1 = np.asarray(y1, dtype=np.float64)[None, :]
+
+    def hav(lon1, lat1, lon2, lat2):
+        # identical op order to algos.haversine_m (oracle-reproducible);
+        # raw (unwrapped) deltas are fine: sin/cos are periodic
+        l1, p1, l2, p2 = (np.radians(v) for v in (lon1, lat1, lon2, lat2))
+        h = np.sin((p2 - p1) / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin((l2 - l1) / 2) ** 2
+        return 2 * radius * np.arcsin(np.sqrt(np.clip(h, 0, 1)))
+
+    clamp_lat = np.minimum(np.maximum(py, y0), y1)
+    in_lon = (px >= x0) & (px <= x1)
+    d = np.where(in_lon, hav(px, py, px, clamp_lat), np.inf)
+    for edge in (x0, x1):
+        dlam = px - edge
+        with np.errstate(divide="ignore", invalid="ignore"):
+            latf = np.degrees(np.arctan(
+                np.tan(np.radians(py)) / np.cos(np.radians(dlam))
+            ))
+        latf = np.minimum(np.maximum(latf, y0), y1)
+        # clamp(foot) covers the interior stationary point; the corners
+        # cover the boundary minima when the stationary point is a maximum
+        # (cos(dlam) < 0)
+        d = np.minimum(d, hav(px, py, edge, latf))
+        d = np.minimum(d, hav(px, py, edge, y0))
+        d = np.minimum(d, hav(px, py, edge, y1))
+    return d
+
+
+def points_to_geography_distance_m(px, py, g: Geometry,
+                                   radius: float = EARTH_RADIUS_M) -> np.ndarray:
+    """Exact great-circle distance (meters) from many probe points to one
+    geography: min over vertices and arc perpendicular feet, 0 inside
+    polygons (vectorized analogue of exact_distance for the point-probe
+    case — spheroid kNN general build sides)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    n = len(px)
+    if g is None or g.is_empty:
+        return np.full(n, np.nan)
+    Q = to_xyz(px, py)
+    V = _vertices_xyz(g)
+    d = angle_between(Q[:, None, :], V[None, :, :]).min(axis=1)
+    A, B = _arcs_of(g)
+    if len(A):
+        da, _ = _points_to_arcs(Q, A, B)
+        d = np.minimum(d, da)
+    if g.polygons():
+        from ..functions.geography import locate_points_in_spherical_polygon
+
+        loc = locate_points_in_spherical_polygon(px, py, g)
+        d = np.where(loc > 0, 0.0, d)
+    return d * radius
+
+
 # ---------------------------------------------------------------------------
 # true centroid (s2 GetCentroid semantics: highest dimension wins)
 # ---------------------------------------------------------------------------

@@ -173,9 +173,6 @@ def _broadcast_knn(spark, P: DataFrame, B: DataFrame, k: int, pcols, bcols,
                     if g is None or g.type_id != wkb.POINT:
                         mode = "general"
                         break
-    if mode != "point" and use_spheroid:
-        raise NotImplementedError("use_spheroid kNN supports point build sides only")
-
     keep_idx = []
     if mode == "point":
         x, y, valid = wkb.decode_points_xy(bufs)
@@ -252,23 +249,37 @@ def _broadcast_knn(spark, P: DataFrame, B: DataFrame, k: int, pcols, bcols,
                     np.add(dx, dy, out=d)  # squared rank key
             elif mode == "rect":
                 x0, y0, x1, y1 = payload_
-                np.subtract(x0[None, :], px[:, None], out=dx)
-                np.subtract(px[:, None], x1[None, :], out=d)
-                np.maximum(dx, d, out=dx)
-                np.maximum(dx, 0.0, out=dx)
-                np.subtract(y0[None, :], py[:, None], out=dy)
-                np.subtract(py[:, None], y1[None, :], out=d)
-                np.maximum(dy, d, out=dy)
-                np.maximum(dy, 0.0, out=dy)
-                np.multiply(dx, dx, out=dx)
-                np.multiply(dy, dy, out=dy)
-                np.add(dx, dy, out=d)
+                if use_spheroid:
+                    # exact spherical point -> lat/lon-rect metric (the s2
+                    # S2LatLngRect distance; reference Haversine metric on
+                    # any build geometry via rect distance, index.rs:34-37)
+                    from ..geometry import sphere
+
+                    d = sphere.points_to_latlon_rect_distance_m(px, py, x0, y0, x1, y1)
+                else:
+                    np.subtract(x0[None, :], px[:, None], out=dx)
+                    np.subtract(px[:, None], x1[None, :], out=d)
+                    np.maximum(dx, d, out=dx)
+                    np.maximum(dx, 0.0, out=dx)
+                    np.subtract(y0[None, :], py[:, None], out=dy)
+                    np.subtract(py[:, None], y1[None, :], out=d)
+                    np.maximum(dy, d, out=dy)
+                    np.maximum(dy, 0.0, out=dy)
+                    np.multiply(dx, dx, out=dx)
+                    np.multiply(dy, dy, out=dy)
+                    np.add(dx, dy, out=d)
             else:
                 if parsed[0] is None:
                     parsed[0] = [wkb.parse(v) for v in payload_]
-                for j, g in enumerate(parsed[0]):
-                    dj = algos.points_to_geometry_distance(px, py, g)
-                    d[:, j] = dj * dj
+                if use_spheroid:
+                    from ..geometry import sphere
+
+                    for j, g in enumerate(parsed[0]):
+                        d[:, j] = sphere.points_to_geography_distance_m(px, py, g)
+                else:
+                    for j, g in enumerate(parsed[0]):
+                        dj = algos.points_to_geometry_distance(px, py, g)
+                        d[:, j] = dj * dj
             # fully vectorized top-k: candidates within the k-th distance
             # (boundary ties included), globally lexsorted by (probe,
             # distance, tie-position), cut to k per probe by position —
@@ -307,7 +318,7 @@ def _broadcast_knn(spark, P: DataFrame, B: DataFrame, k: int, pcols, bcols,
             out = pdf.iloc[idx_rows].reset_index(drop=True)
             out["_bid_m"] = bid_[idx_cols]
             dd = dv[keep]
-            out["knn_distance"] = dd if (use_spheroid and mode == "point") else np.sqrt(dd)
+            out["knn_distance"] = dd if use_spheroid else np.sqrt(dd)
             out["knn_rank"] = ranks[keep].astype(np.int32)
             return out
 
@@ -431,13 +442,19 @@ def knn_join(
             build_geom_col=bgeom,
         )
     mode = _classify_build(B, bgeom)
-    if mode != "point" and use_spheroid:
-        raise NotImplementedError("use_spheroid kNN supports point build sides only")
-    if mode != "general" and n_build <= broadcast_threshold:
+    if n_build <= broadcast_threshold and (mode != "general" or use_spheroid):
         return _broadcast_knn(
             spark, P, B, k, pcols, bcols, build_id,
             use_spheroid=use_spheroid, include_ties=include_ties,
             build_geom_col=bgeom,
+        )
+    if mode != "point" and use_spheroid:
+        # the grid ring-escalation prune is planar; non-point spheroid kNN
+        # is served by the exact broadcast path above (the reference's
+        # single shared R-tree is likewise an in-memory structure)
+        raise NotImplementedError(
+            "use_spheroid kNN with a non-point build side is supported up "
+            f"to broadcast_threshold={broadcast_threshold} build rows"
         )
     if mode == "point":
         B = _points_xy(B, bgeom, "_bx", "_by").where(F.col("_bx").isNotNull())
