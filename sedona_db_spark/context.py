@@ -68,16 +68,11 @@ class SedonaContext:
     # -- io (context.py:122-154) --------------------------------------------
     def read_parquet(self, paths, options: Optional[dict] = None) -> DataFrame:
         """GeoParquet-aware parquet read (geometry metadata re-attached,
-        native encodings decoded — sources/geoparquet.py)."""
+        native encodings decoded — sources/geoparquet.py). A list of paths
+        becomes ONE multi-path scan (single plan node)."""
         from .sources.geoparquet import read_geoparquet
 
-        if isinstance(paths, (list, tuple)):
-            out = None
-            for p in paths:
-                df = read_geoparquet(self.spark, str(p))
-                out = df if out is None else out.unionByName(df, allowMissingColumns=True)
-            return out
-        return read_geoparquet(self.spark, str(paths))
+        return read_geoparquet(self.spark, paths)
 
     # -- sql (context.py:155-171) -------------------------------------------
     def sql(self, sql: str, spatial_planning: bool = True) -> DataFrame:
