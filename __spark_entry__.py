@@ -275,6 +275,25 @@ def _q_doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", T.doc_fingerprint(F.col("text")).alias("fp"))
 
 
+def _q_doc_repetition(spark, sf_dir):
+    # Gopher-style repetition/boilerplate metrics — pure Column algebra
+    # (the most-frequent-ngram count is a sorted-array run length via
+    # F.aggregate, O(n log n) per doc, zero shuffle / zero Python)
+    from sedona_db_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    s = T.repetition_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        s["n_words"].cast("bigint").alias("n_words"),
+        F.round(s["dup_word_frac"], 6).alias("dup_word_frac"),
+        F.round(s["top_word_frac"], 6).alias("top_word_frac"),
+        F.round(s["dup_bigram_frac"], 6).alias("dup_bigram_frac"),
+        F.round(s["top_bigram_frac"], 6).alias("top_bigram_frac"),
+        F.round(s["dup_trigram_frac"], 6).alias("dup_trigram_frac"),
+    )
+
+
 def _q_ann_topk(spark, sf_dir):
     from sedona_db_spark.operators.similarity import brute_force_topk
 
@@ -587,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "doc_langid": _q_doc_langid,
         "doc_fingerprint": _q_doc_fingerprint,
+        "doc_repetition": _q_doc_repetition,
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -885,6 +905,23 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_tokens": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, "
             "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe FROM documents"
+        ),
+        "doc_repetition": (
+            # most-frequent-count via O(n*d) list comprehension — fine for
+            # the small oracle docs; the Spark side uses the O(n log n)
+            # sorted-run-length form
+            "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w "
+            "FROM documents), g AS (SELECT doc_id, w, "
+            "  [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS b, "
+            "  [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] AS tg "
+            "FROM t) "
+            "SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, "
+            "round(CASE WHEN len(w) > 0 THEN CAST(len(w) - len(list_distinct(w)) AS DOUBLE)/len(w) ELSE 0.0 END, 6) AS dup_word_frac, "
+            "round(CASE WHEN len(w) > 0 THEN CAST(list_max(list_transform(list_distinct(w), y -> len(list_filter(w, x -> x = y)))) AS DOUBLE)/len(w) ELSE 0.0 END, 6) AS top_word_frac, "
+            "round(CASE WHEN len(b) > 0 THEN CAST(len(b) - len(list_distinct(b)) AS DOUBLE)/len(b) ELSE 0.0 END, 6) AS dup_bigram_frac, "
+            "round(CASE WHEN len(b) > 0 THEN CAST(list_max(list_transform(list_distinct(b), y -> len(list_filter(b, x -> x = y)))) AS DOUBLE)/len(b) ELSE 0.0 END, 6) AS top_bigram_frac, "
+            "round(CASE WHEN len(tg) > 0 THEN CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)/len(tg) ELSE 0.0 END, 6) AS dup_trigram_frac "
+            "FROM g"
         ),
         "embedding_norms": (
             "SELECT vec_id, round(sqrt(list_dot_product("

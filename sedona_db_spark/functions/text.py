@@ -111,6 +111,106 @@ def langid(text: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# repetition / boilerplate filters (Gopher-rules style)
+# ---------------------------------------------------------------------------
+#
+# The published web-corpus quality rules (Gopher §A1.1, C4) threshold on
+# "fraction of words in duplicated n-grams" and "fraction taken by the most
+# frequent n-gram". Everything below is pure Column algebra: the most-
+# frequent count is computed as the longest equal-run of the SORTED token
+# array via F.aggregate — O(n log n) per document, no explode, no shuffle,
+# so a 100 TB scan stays one codegen'd map stage. (The naive
+# distinct×filter counting is O(n^2) per doc and is only used in the DuckDB
+# oracle where docs are small.)
+
+
+def _max_equal_run(arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a SORTED
+    array == count of the most frequent element. Empty array -> 0."""
+    s = F.array_sort(arr)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("int").alias("best"),
+    )
+
+    def step(a, v):
+        run = F.when(v == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            v.alias("prev"), run.alias("run"),
+            F.greatest(a["best"], run).alias("best"),
+        )
+
+    return F.aggregate(s, init, step, lambda a: a["best"])
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams (array of size max(0, len-n+1))."""
+    if n == 1:
+        return toks
+    size = F.size(toks)
+    out = F.slice(toks, 1, F.greatest(size - (n - 1), F.lit(0)))
+    for k in range(1, n):
+        nxt = F.slice(toks, k + 1, F.greatest(size - (n - 1), F.lit(0)))
+        out = F.zip_with(out, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    return out
+
+
+def _dup_frac(arr: Column) -> Column:
+    n = F.size(arr)
+    return F.when(
+        n > 0,
+        (n - F.size(F.array_distinct(arr))).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def _top_frac(arr: Column) -> Column:
+    n = F.size(arr)
+    return F.when(
+        n > 0, _max_equal_run(arr).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_stats(text: Column) -> Dict[str, Column]:
+    """Gopher-style repetition metrics, all JVM-side:
+
+    - ``n_words``: whitespace token count
+    - ``dup_word_frac`` / ``dup_bigram_frac`` / ``dup_trigram_frac``:
+      fraction of n-grams that are repeats of an earlier occurrence
+      (1 - distinct/total)
+    - ``top_word_frac`` / ``top_bigram_frac``: fraction taken by the
+      single most frequent n-gram
+    """
+    toks = whitespace_tokens(text)
+    bi = _word_ngrams(toks, 2)
+    tri = _word_ngrams(toks, 3)
+    return {
+        "n_words": F.size(toks),
+        "dup_word_frac": _dup_frac(toks),
+        "top_word_frac": _top_frac(toks),
+        "dup_bigram_frac": _dup_frac(bi),
+        "top_bigram_frac": _top_frac(bi),
+        "dup_trigram_frac": _dup_frac(tri),
+    }
+
+
+def repetitive_flag(
+    text: Column,
+    max_dup_word_frac: float = 0.30,
+    max_top_word_frac: float = 0.20,
+    max_dup_bigram_frac: float = 0.20,
+) -> Column:
+    """True when any repetition metric crosses its (Gopher-like) threshold
+    — the document is boilerplate/spam-shaped and should be dropped from a
+    training corpus."""
+    s = repetition_stats(text)
+    return (
+        (s["dup_word_frac"] > max_dup_word_frac)
+        | (s["top_word_frac"] > max_top_word_frac)
+        | (s["dup_bigram_frac"] > max_dup_bigram_frac)
+    )
+
+
+# ---------------------------------------------------------------------------
 # fingerprinting
 # ---------------------------------------------------------------------------
 

@@ -199,3 +199,66 @@ def test_embedding_cosine_recall_multiband(spark):
     for a, b in got:
         va = np.array(dict(rows)[a]); vb = np.array(dict(rows)[b])
         assert va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)) >= 0.95 - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition metrics
+# ---------------------------------------------------------------------------
+
+def _py_rep_stats(text: str):
+    from collections import Counter
+
+    w = text.split()
+
+    def grams(n):
+        return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+
+    def dup(a):
+        return (len(a) - len(set(a))) / len(a) if a else 0.0
+
+    def top(a):
+        return max(Counter(a).values()) / len(a) if a else 0.0
+
+    b, t = grams(2), grams(3)
+    return {
+        "n_words": len(w),
+        "dup_word_frac": dup(w),
+        "top_word_frac": top(w),
+        "dup_bigram_frac": dup(b),
+        "top_bigram_frac": top(b),
+        "dup_trigram_frac": dup(t),
+    }
+
+
+def test_repetition_stats_matches_python(spark):
+    texts = [
+        "spam spam spam spam spam ham",
+        "the quick brown fox jumps over the lazy dog the quick brown fox",
+        "a b c d e f g",
+        "x",
+        "buy now buy now buy now buy now limited offer",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id LONG, text STRING")
+    s = T.repetition_stats(F.col("text"))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in s.items()]
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        exp = _py_rep_stats(t)
+        for k, v in exp.items():
+            assert got[i][k] == pytest.approx(v, abs=1e-12), (i, k, t)
+
+
+def test_repetitive_flag(spark):
+    df = spark.createDataFrame(
+        [(0, "spam spam spam spam spam spam spam spam"),
+         (1, "each word here is used exactly once without any repeats")],
+        "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r["bad"] for r in df.select(
+        "doc_id", T.repetitive_flag(F.col("text")).alias("bad")).collect()}
+    assert out[0] is True
+    assert out[1] is False
