@@ -294,6 +294,76 @@ def _q_doc_repetition(spark, sf_dir):
     )
 
 
+def _synth_url():
+    # deterministic per-doc URL covering the normalize cases: utm params +
+    # fragment, default ports, userinfo + explicit port. Mirrored verbatim
+    # in the oracle SQL.
+    d = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 3
+    return (
+        F.when(m == 0, F.concat(F.lit("HTTPS://Site"), d, F.lit(".Example.COM:443/p/"),
+                                d, F.lit("?utm_source=x&id="), d, F.lit("#frag")))
+        .when(m == 1, F.concat(F.lit("http://Host"), d, F.lit(".org:80/a/b?q="), d))
+        .otherwise(F.concat(F.lit("http://user:pw@site"), d, F.lit(".co.uk:8080/x?utm_a=1&utm_b=2")))
+    )
+
+
+def _q_url_parts(spark, sf_dir):
+    # URL parse + canonicalization — the url-level dedup key for a
+    # Common-Crawl-style corpus; pure regex Column algebra (one codegen
+    # stage, no Python)
+    from sedona_db_spark.functions import web as W
+
+    docs = _t(spark, sf_dir, "documents")
+    u = _synth_url()
+    return docs.select(
+        "doc_id",
+        W.url_scheme(u).alias("scheme"),
+        W.url_host(u).alias("host"),
+        W.url_port(u).alias("port"),
+        W.url_path(u).alias("path"),
+        W.url_domain(u).alias("domain"),
+        W.normalize_url(u).alias("norm_url"),
+    )
+
+
+def _q_domain_counts(spark, sf_dir):
+    # host-level rollup (per-site caps / host dedup): group by registrable
+    # domain of the canonical URL — one map-side-combined shuffle
+    from sedona_db_spark.functions import web as W
+
+    docs = _t(spark, sf_dir, "documents")
+    u = _synth_url()
+    return (
+        docs.select(W.url_domain(u).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("domain")
+    )
+
+
+def _q_doc_pii_redact(spark, sf_dir):
+    # PII scrub over text with deterministically planted email/IP/phone —
+    # counts + redacted text, hash-matched against the DuckDB twin
+    from sedona_db_spark.functions import web as W
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    planted = F.concat(
+        F.col("text"), F.lit(" contact user"), d, F.lit("@example.com ip 10.1."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".9 tel +1 555 010 "),
+        (F.col("doc_id") % 9000 + 1000).cast("string"),
+    )
+    c = W.pii_counts(planted)
+    return docs.select(
+        "doc_id",
+        c["n_emails"].cast("int").alias("n_emails"),
+        c["n_ipv4"].cast("int").alias("n_ipv4"),
+        c["n_phones"].cast("int").alias("n_phones"),
+        W.redact_pii(planted).alias("redacted"),
+    )
+
+
 def _q_ann_topk(spark, sf_dir):
     from sedona_db_spark.operators.similarity import brute_force_topk
 
@@ -607,6 +677,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": _q_doc_langid,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_repetition": _q_doc_repetition,
+        "url_parts": _q_url_parts,
+        "domain_counts": _q_domain_counts,
+        "doc_pii_redact": _q_doc_pii_redact,
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -627,6 +700,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geog_maxdist": _q_geog_maxdist,
         "knn_rect_spheroid_k3": _q_knn_rect_spheroid_k3,
     }
+
+
+_URL_SYNTH_SQL = (
+    "CASE doc_id % 3 "
+    "WHEN 0 THEN concat('HTTPS://Site', CAST(doc_id AS VARCHAR), '.Example.COM:443/p/', "
+    "CAST(doc_id AS VARCHAR), '?utm_source=x&id=', CAST(doc_id AS VARCHAR), '#frag') "
+    "WHEN 1 THEN concat('http://Host', CAST(doc_id AS VARCHAR), '.org:80/a/b?q=', CAST(doc_id AS VARCHAR)) "
+    "ELSE concat('http://user:pw@site', CAST(doc_id AS VARCHAR), '.co.uk:8080/x?utm_a=1&utm_b=2') END"
+)
+
+_HOST_SQL = r"lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))"
+
+# the same 6-step normalize chain as functions/web.normalize_url (RE2
+# backrefs are \1 where Java's are $1; behavior verified identical)
+_NORM_SQL = (
+    r"regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    r"concat(lower(regexp_extract(regexp_replace(url,'#.*$',''), '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),"
+    r" regexp_replace(regexp_replace(url,'#.*$',''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')),"
+    r" '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2'),"
+    r" '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2'),"
+    r" 'utm_[A-Za-z_]*=[^&#]*&', '', 'g'),"
+    r" '[?&]utm_[A-Za-z_]*=[^&#]*', '', 'g'),"
+    r" '\?&', '?'),"
+    r" '\?$', '')"
+)
+
+_EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_SQL = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_PHONE_SQL = r"\+?[0-9][0-9 ()\-]{7,13}[0-9]"
+
+
+def _url_parts_oracle() -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents) "
+        "SELECT doc_id, "
+        "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, "
+        f"{_HOST_SQL} AS host, "
+        "CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:([0-9]+)', 1) <> '' "
+        "THEN CAST(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:([0-9]+)', 1) AS INT) END AS port, "
+        "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path, "
+        f"regexp_extract({_HOST_SQL}, '([^.]+\\.[^.]+)$', 1) AS domain, "
+        f"{_NORM_SQL} AS norm_url "
+        "FROM t"
+    )
+
+
+def _domain_counts_oracle() -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents) "
+        f"SELECT regexp_extract({_HOST_SQL}, '([^.]+\\.[^.]+)$', 1) AS domain, "
+        "count(*) AS n_docs FROM t GROUP BY 1 ORDER BY 1"
+    )
+
+
+def _pii_oracle() -> str:
+    planted = (
+        "concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com ip 10.1.', "
+        "CAST(doc_id % 256 AS VARCHAR), '.9 tel +1 555 010 ', CAST(doc_id % 9000 + 1000 AS VARCHAR))"
+    )
+    return (
+        f"WITH t AS (SELECT doc_id, {planted} AS p FROM documents) "
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(p, '{_EMAIL_SQL}')) AS INT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(p, '{_IPV4_SQL}')) AS INT) AS n_ipv4, "
+        f"CAST(len(regexp_extract_all(p, '{_PHONE_SQL}')) AS INT) AS n_phones, "
+        "regexp_replace(regexp_replace(regexp_replace(p, "
+        f"'{_EMAIL_SQL}', '<EMAIL>', 'g'), "
+        f"'{_IPV4_SQL}', '<IP>', 'g'), "
+        f"'{_PHONE_SQL}', '<PHONE>', 'g') AS redacted "
+        "FROM t"
+    )
 
 
 def _horner5_sql() -> str:
@@ -923,6 +1067,9 @@ def oracle_sql() -> dict[str, str]:
             "round(CASE WHEN len(tg) > 0 THEN CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)/len(tg) ELSE 0.0 END, 6) AS dup_trigram_frac "
             "FROM g"
         ),
+        "url_parts": _url_parts_oracle(),
+        "domain_counts": _domain_counts_oracle(),
+        "doc_pii_redact": _pii_oracle(),
         "embedding_norms": (
             "SELECT vec_id, round(sqrt(list_dot_product("
             "CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm "
