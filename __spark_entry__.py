@@ -42,7 +42,12 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # the driver's parquet tables are written as ONE row group — an
+    # unsplittable single-task scan; fan_out round-robins to full width
+    # (no-op whenever the scan already has enough partitions)
+    from sedona_db_spark.operators.fanout import fan_out
+
+    return fan_out(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 # -- derived geometry columns (Spark side) -----------------------------------

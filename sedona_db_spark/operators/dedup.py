@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from ..sources.pages import _splitmix64
+from .fanout import fan_out
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _P31 = (1 << 31) - 1  # Mersenne prime 2^31-1: keeps every op in BIGINT range
@@ -168,6 +169,9 @@ def minhash_lsh_candidates(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signature_udf(num_hashes, shingle_k, seed, scheme)
+    # the signature UDF is the CPU bottleneck and runs pre-shuffle on the
+    # scan's partitioning — fan narrow scans out so it uses every core
+    df = fan_out(df)
     S = df.select(F.col(id_col).alias("doc_id"), sig(F.col(text_col)).alias("sig")).where(
         F.col("sig").isNotNull()
     )
@@ -308,6 +312,7 @@ def simhash_char_near_dups(df: DataFrame, text_col: str, id_col: str,
     exact match on ≥1 of the 4x16-bit chunks), but with the SQL-
     reproducible poly31 bit votes. Output (id_a, id_b, hamming)."""
     s = simhash_char_udf(shingle_k, seed)
+    df = fan_out(df)  # signature UDF runs pre-shuffle on the scan partitioning
     S = df.select(F.col(id_col).alias("doc_id"), s(F.col(text_col)).alias("_s")).where(
         F.col("_s.fp").isNotNull()
     ).select("doc_id", "_s.fp", *[F.col(f"_s.c{i}").alias(f"c{i}") for i in range(4)])
@@ -391,6 +396,7 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
     Banding: split the 64-bit hash into 4×16-bit chunks; any pair with
     Hamming ≤ 3 matches exactly on ≥1 chunk (pigeonhole), so the candidate
     join is an equi-join per chunk, then a JVM-side popcount verify."""
+    df = fan_out(df)  # signature UDF runs pre-shuffle on the scan partitioning
     S = df.select(F.col(id_col).alias("doc_id"), simhash_udf(seed)(F.col(text_col)).alias("sh")).where(
         F.col("sh").isNotNull()
     )
@@ -485,6 +491,7 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
     if dim is None:
         first = df.select(F.size(vec_col)).first()
         dim = int(first[0])
+    df = fan_out(df)  # bucket UDF runs pre-shuffle on the scan partitioning
     rng = np.random.default_rng(seed)
     H = rng.normal(size=(bands, planes, dim)).astype(np.float64)
 

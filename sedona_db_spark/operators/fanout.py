@@ -1,0 +1,88 @@
+"""Narrow-scan fan-out guard.
+
+A parquet file written as one row group is an UNSPLITTABLE scan: Spark
+can plan byte-range splits, but every row group is read by whichever
+split contains its midpoint, so a 1-row-group file is one task no matter
+what `maxPartitionBytes` says. Any shuffle-free pipeline downstream of
+such a scan (broadcast spatial join, signature UDFs, ANN scoring) then
+runs serially on one core while the rest of the cluster idles.
+
+`fan_out(df)` round-robin-repartitions to the session default parallelism
+IFF both hold:
+
+* the frame's planned partition count is below the default parallelism, AND
+* the scan carries at least `min_bytes_per_partition` (64 MB compressed)
+  per planned partition — i.e. the missing parallelism represents real
+  work, not a small table.
+
+The byte gate matters: measured on this engine, a 32-task pandas-UDF
+stage over a 10 MB input is ~3x SLOWER than the single-partition
+pipeline (per-task Arrow + Python-worker overhead dominates), while a
+single task chewing through >= 64 MB of compressed text/geometry is
+firmly in the regime where one extra shuffle buys back a
+cluster-width of idle cores. At real corpus scale scans carry thousands
+of partitions and the first condition already fails, so this is a
+zero-cost no-op on any healthy input.
+"""
+
+from __future__ import annotations
+
+import os
+from urllib.parse import unquote, urlparse
+
+from pyspark.sql import DataFrame
+
+MIN_BYTES_PER_PARTITION = 64 * 1024 * 1024
+
+
+def _local_input_bytes(df: DataFrame) -> int:
+    """Total size of the frame's input files, or 0 when unknown.
+
+    Only `file:` URIs are stat-able from the driver; object-store inputs
+    return 0 (unknown) and the guard declines to act — on those stores
+    writers emit many files/row groups, so the hazard this guard exists
+    for (one giant single-row-group local file) does not arise.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 0
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return 0
+        try:
+            total += os.path.getsize(unquote(u.path))
+        except OSError:
+            return 0
+    return total
+
+
+def fan_out(
+    df: DataFrame,
+    min_bytes_per_partition: int = MIN_BYTES_PER_PARTITION,
+) -> DataFrame:
+    """Repartition `df` to ``defaultParallelism`` when its planned
+    partition count is below it AND each planned partition carries at
+    least ``min_bytes_per_partition`` of input — i.e. only when the scan
+    genuinely cannot keep the cluster busy and the serial work is large
+    enough to amortize one small shuffle.
+
+    Deterministic-output safe: every caller computes content-derived keys
+    downstream, so row placement never affects results.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    # bytes first: if the whole input is under the threshold the guard can
+    # never fire (n >= 1), and we skip the costlier .rdd partition probe
+    nbytes = _local_input_bytes(df)
+    if nbytes < min_bytes_per_partition:
+        return df
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n >= target or nbytes / max(n, 1) < min_bytes_per_partition:
+        return df
+    return df.repartition(target)

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import IntegerType
 
+from .fanout import fan_out
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -59,7 +61,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv")
     )
-    c = corpus.select(
+    # the scoring cross-join is shuffle-free when queries broadcast — a
+    # narrow corpus scan would score serially on one core
+    c = fan_out(corpus).select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("_cv")
     )
     qj = F.broadcast(q) if broadcast_queries else q
@@ -175,7 +179,9 @@ def ivf_topk(
             out.append(np.argsort(-sim)[:nprobe].astype(np.int32).tolist())
         return pd.Series(out, dtype=object)
 
-    c = corpus.select(
+    # assignment UDF + broadcast probe join are shuffle-free — fan narrow
+    # corpus scans out so both use every core
+    c = fan_out(corpus).select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("_cv")
     ).withColumn("_list", assign_list(F.col("_cv")))
     q = (

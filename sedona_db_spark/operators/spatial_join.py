@@ -52,6 +52,7 @@ from pyspark.sql.types import (
 
 from ..geometry import algos, wkb
 from ..tiling import Grid, cell_expr, pick_level_for_envelopes
+from .fanout import fan_out
 
 # Byte cap for broadcasting the covered right side AND for the driver-side
 # id->WKB broadcast map (same ballpark as spark.sql.autoBroadcastJoinThreshold
@@ -401,6 +402,14 @@ def spatial_join(
     how = how.lower()
     if predicate != "dwithin" and predicate not in RELATION_FNS:
         raise ValueError(f"unknown predicate {predicate!r}")
+
+    # Narrow scans (single-row-group parquet = one unsplittable task) would
+    # run the whole broadcast-join pipeline — cell UDFs, refine, agg — on a
+    # single core while the rest of the cluster idles. No-op whenever the
+    # scan already carries >= defaultParallelism partitions (any real
+    # corpus), so at scale this costs nothing.
+    left = fan_out(left)
+    right = fan_out(right)
 
     # column-valued dwithin distance is evaluated against the ORIGINAL right
     # frame before prefixing (matches the reference's column-distance joins,
@@ -828,6 +837,7 @@ def geography_dwithin_join(
     are 0 apart on the sphere), so antimeridian-straddling data joins
     correctly where a planar join would find nothing — bands are latitude-
     only, which the antimeridian does not affect."""
+    left = fan_out(left)  # broadcast path is shuffle-free for the probe side
     lcols, rcols = left.columns, right.columns
     L = left.select([F.col(c).alias(f"_l_{c}") for c in lcols])
     R = right.select([F.col(c).alias(f"_r_{c}") for c in rcols])
@@ -927,6 +937,7 @@ def geography_pip_join(
         raise ValueError(f"unsupported geography predicate {predicate!r}")
     from ..functions import geography as G
 
+    left = fan_out(left)  # broadcast path is shuffle-free for the probe side
     lcols, rcols = left.columns, right.columns
     L = left.select([F.col(c).alias(f"_l_{c}") for c in lcols])
     R = right.select([F.col(c).alias(f"_r_{c}") for c in rcols])
