@@ -243,6 +243,46 @@ def _q_doc_exact_dedup(spark, sf_dir):
     return exact_dedup(docs, "text", "doc_id")
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: minhash LSH pairs -> alternating large/small-star
+    connected components (Kiveris et al. SoCC'14) -> canonical doc per
+    cluster. The oracle recomputes the transitive closure with a
+    recursive CTE over the same SQL-reproducible minhash pairs."""
+    from sedona_db_spark.operators.components import dedup_clusters
+    from sedona_db_spark.operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, "text", "doc_id", threshold=0.5, scheme="poly31")
+    out = dedup_clusters(docs, pairs, "doc_id")
+    return out.select("doc_id", "component", "is_canonical").orderBy("doc_id")
+
+
+def _q_docs_stratified(spark, sf_dir):
+    """Deterministic per-language sampling (hash-of-key keep rule, zero
+    shuffle, stable under retries/repartitioning — unlike df.sampleBy)."""
+    from sedona_db_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.25, "fr": 0.1}, "doc_id"
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def _q_source_top5(spark, sf_dir):
+    """Per-source document cap: keep the 5 longest docs per source
+    (quality-first corpus capping), rank included."""
+    from sedona_db_spark.operators.sampling import domain_top_k
+
+    docs = _t(spark, sf_dir, "documents")
+    out = domain_top_k(
+        docs, "source", 5, [F.col("n_chars").desc()], tiebreak_col="doc_id"
+    )
+    return out.select(
+        "source", "doc_id", "n_chars", F.col("rank_in_group").cast("int").alias("rank_in_group")
+    ).orderBy("source", "rank_in_group")
+
+
 def _q_doc_token_stats(spark, sf_dir):
     from sedona_db_spark.functions import text as T
 
@@ -704,6 +744,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geog_centroid_nation": _q_geog_centroid_nation,
         "geog_maxdist": _q_geog_maxdist,
         "knn_rect_spheroid_k3": _q_knn_rect_spheroid_k3,
+        "dedup_clusters": _q_dedup_clusters,
+        "docs_stratified": _q_docs_stratified,
+        "source_top5": _q_source_top5,
     }
 
 
@@ -1197,5 +1240,36 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(-180.0 AS DOUBLE) + (c_nationkey % 5)*CAST(72.0 AS DOUBLE) + CAST(36.0 AS DOUBLE) AS _ncx, "
             "  CAST(-90.0 AS DOUBLE) + (c_nationkey // 5)*CAST(36.0 AS DOUBLE) + CAST(18.0 AS DOUBLE) AS _ncy "
             "  FROM customer) c GROUP BY 1 ORDER BY 1"
+        ),
+        # transitive closure over the SAME SQL-reproducible minhash pairs
+        # (recursive CTE) = the engine's large/small-star components
+        "dedup_clusters": (
+            f"WITH RECURSIVE pairs AS (FROM ({_minhash_oracle()})), "
+            "edges AS (SELECT id_a AS s, id_b AS d FROM pairs "
+            "          UNION SELECT id_b, id_a FROM pairs), "
+            "reach(id, root) AS ( "
+            "  SELECT s, s FROM (SELECT DISTINCT s FROM edges) "
+            "  UNION "
+            "  SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.id), "
+            "comp AS (SELECT id AS doc_id, MIN(root) AS component FROM reach GROUP BY id) "
+            "SELECT d.doc_id AS doc_id, "
+            "  COALESCE(c.component, d.doc_id) AS component, "
+            "  (COALESCE(c.component, d.doc_id) = d.doc_id) AS is_canonical "
+            "FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id "
+            "ORDER BY d.doc_id"
+        ),
+        "docs_stratified": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE ((abs(doc_id) % 2147483647) * 2654435761 + 1) % 2147483647 % 1000000 "
+            " < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 "
+            "   WHEN 'fr' THEN 100000 ELSE 0 END "
+            "ORDER BY doc_id"
+        ),
+        "source_top5": (
+            "SELECT source, doc_id, n_chars, CAST(rank_in_group AS INTEGER) AS rank_in_group "
+            "FROM (SELECT source, doc_id, n_chars, "
+            "  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rank_in_group "
+            "  FROM documents) WHERE rank_in_group <= 5 "
+            "ORDER BY source, rank_in_group"
         ),
     }

@@ -1,0 +1,114 @@
+"""connected_components / dedup_clusters / sampling operators.
+
+Differential oracle: a driver-side union-find over the same edge list.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sedona_db_spark.operators.components import connected_components, dedup_clusters
+from sedona_db_spark.operators.sampling import (
+    domain_top_k,
+    sample_bucket,
+    stratified_sample,
+)
+
+
+def _union_find(n_nodes, edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id per component
+    return {x: find(x) for x in list(parent)}
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 30, 25), (2, 60, 80), (3, 12, 6)])
+def test_cc_random_graphs(spark, seed, n, m):
+    rng = random.Random(seed)
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)})
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    exp = _union_find(n, edges)
+    assert got == exp
+
+
+def test_cc_long_chain(spark):
+    # a path graph exercises multiple star rounds (diameter >> 1)
+    edges = [(i, i + 1) for i in range(64)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(65)}
+
+
+def test_cc_reversed_and_dup_edges(spark):
+    edges = [(5, 2), (2, 5), (9, 5)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {2: 2, 5: 2, 9: 2}
+
+
+def test_dedup_clusters_canonical(spark):
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(8)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 3), (3, 5), (6, 7)], "id_a long, id_b long")
+    out = dedup_clusters(docs, pairs, "doc_id").collect()
+    comp = {r["doc_id"]: r["component"] for r in out}
+    canon = {r["doc_id"]: r["is_canonical"] for r in out}
+    assert comp == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0, 6: 6, 7: 6}
+    assert canon == {0: True, 1: True, 2: True, 3: False, 4: True, 5: False, 6: True, 7: False}
+    # exactly one canonical per cluster
+    kept = [r["doc_id"] for r in out if r["is_canonical"]]
+    assert sorted(kept) == [0, 1, 2, 4, 6]
+
+
+def test_stratified_sample_deterministic_and_exactable(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "lang", {"en": 0.5, "de": 0.2}, "doc_id")
+    got = sorted(r["doc_id"] for r in out.collect())
+    # driver-side replica of the arithmetic
+    def bucket(key, seed=1):
+        return ((abs(key) % 2147483647) * 2654435761 + seed) % 2147483647 % 1000000
+    exp = [i for i, lang in rows
+           if bucket(i) < {"en": 500000, "de": 200000}.get(lang, 0)]
+    assert got == exp
+    # repartitioning must not change the kept set (determinism under retry)
+    got2 = sorted(r["doc_id"] for r in
+                  stratified_sample(df.repartition(7), "lang", {"en": 0.5, "de": 0.2}, "doc_id").collect())
+    assert got2 == exp
+    # rates in the right ballpark
+    en = sum(1 for i in exp if i % 3 == 0)
+    assert abs(en / 1000 - 0.5) < 0.06
+
+
+def test_domain_top_k(spark):
+    rows = [(i, f"dom{i % 4}", float((i * 37) % 100)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, quality double")
+    out = domain_top_k(df, "domain", 5, [F.col("quality").desc()], tiebreak_col="doc_id")
+    got = {(r["domain"], r["doc_id"]): r["rank_in_group"] for r in out.collect()}
+    # brute force
+    exp = {}
+    for d in range(4):
+        grp = sorted((r for r in rows if r[1] == f"dom{d}"), key=lambda r: (-r[2], r[0]))
+        for rank, r in enumerate(grp[:5], 1):
+            exp[(r[1], r[0])] = rank
+    assert got == exp
+    # salted variant returns the same kept set
+    out2 = domain_top_k(df, "domain", 5, [F.col("quality").desc()],
+                        tiebreak_col="doc_id", salt_replicas=4)
+    got2 = {(r["domain"], r["doc_id"]): r["rank_in_group"] for r in out2.collect()}
+    assert got2 == exp
