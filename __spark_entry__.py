@@ -561,6 +561,31 @@ def _q_geography_area(spark, sf_dir):
     ).orderBy("n_nationkey")
 
 
+def _q_geog_intersection_sr(spark, sf_dir):
+    """Geography OVERLAY end-to-end: per nation, two shared-apex spherical
+    triangles (equator base + great-circle sides) intersected with
+    ST_Intersection_Spherical (gnomonic projection -> planar snap-rounded
+    overlay -> inverse), area by the Chamberlain-Duquette spherical
+    shoelace. Shared-apex triangles make the true intersection another
+    exact-vertex triangle, so the oracle is the closed-form CD sum
+    (engine vs closed form agree to ~1e-13; rounded to 6)."""
+    from sedona_db_spark.functions import geography as G
+    from sedona_db_spark.functions.st import _UDFS
+
+    from_wkt = _UDFS["ST_GeomFromWKT"]
+    n = _t(spark, sf_dir, "nation")
+    c = (F.lit(-180.0) + (F.col("n_nationkey") % 5) * F.lit(72.0) + F.lit(36.0))
+    w = (F.lit(5.0) + (F.col("n_nationkey") % 5) * F.lit(5.0))
+    tri = "POLYGON((%s 0, %s 0, %s 80, %s 0))"
+    wkt_a = F.format_string(tri, c - F.lit(30.0), c + w, c, c - F.lit(30.0))
+    wkt_b = F.format_string(tri, c - w, c + F.lit(30.0), c, c - w)
+    isect = G.ST_Intersection_Spherical(from_wkt(wkt_a), from_wkt(wkt_b))
+    sr = G.ST_Area_Spherical(isect) / F.lit(G.EARTH_RADIUS_M * G.EARTH_RADIUS_M)
+    return n.select(
+        "n_nationkey", F.round(sr, 6).alias("isect_sr")
+    ).orderBy("n_nationkey")
+
+
 def _q_knn_geog_k3(spark, sf_dir):
     """Geography kNN join: 3 nearest suppliers per customer by HAVERSINE
     meters (the reference's Haversine metric choice, index.rs:34-37) —
@@ -747,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "docs_stratified": _q_docs_stratified,
         "source_top5": _q_source_top5,
+        "geog_intersection_sr": _q_geog_intersection_sr,
     }
 
 
@@ -1240,6 +1266,20 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(-180.0 AS DOUBLE) + (c_nationkey % 5)*CAST(72.0 AS DOUBLE) + CAST(36.0 AS DOUBLE) AS _ncx, "
             "  CAST(-90.0 AS DOUBLE) + (c_nationkey // 5)*CAST(36.0 AS DOUBLE) + CAST(18.0 AS DOUBLE) AS _ncy "
             "  FROM customer) c GROUP BY 1 ORDER BY 1"
+        ),
+        # closed-form Chamberlain-Duquette sum over the exact intersection
+        # triangle (shared-apex construction makes it exact-vertex); engine
+        # overlay agrees to ~1e-13, rounded to 6
+        "geog_intersection_sr": (
+            "SELECT n_nationkey, round(abs(( "
+            " (radians(_c + _w) - radians(_c - _w)) * CAST(2.0 AS DOUBLE) + "
+            " (radians(_c) - radians(_c + _w)) * (CAST(2.0 AS DOUBLE) + sin(radians(CAST(80.0 AS DOUBLE)))) + "
+            " (radians(_c - _w) - radians(_c)) * (CAST(2.0 AS DOUBLE) + sin(radians(CAST(80.0 AS DOUBLE)))) "
+            ") / CAST(2.0 AS DOUBLE)), 6) AS isect_sr "
+            "FROM (SELECT n_nationkey, "
+            "  CAST(-180.0 AS DOUBLE) + (n_nationkey % 5)*CAST(72.0 AS DOUBLE) + CAST(36.0 AS DOUBLE) AS _c, "
+            "  CAST(5.0 AS DOUBLE) + (n_nationkey % 5)*CAST(5.0 AS DOUBLE) AS _w "
+            "  FROM nation) ORDER BY n_nationkey"
         ),
         # transitive closure over the SAME SQL-reproducible minhash pairs
         # (recursive CTE) = the engine's large/small-star components
