@@ -561,6 +561,24 @@ def _q_geography_area(spark, sf_dir):
     ).orderBy("n_nationkey")
 
 
+def _q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization via Spark's NATIVE session_window operator
+    (map-side partial session merge, identical in batch and Structured
+    Streaming). Boundary semantics verified: an event exactly `gap` after
+    the previous MERGES (new session only when silence > gap), which the
+    gaps-and-islands SQL oracle mirrors with `> INTERVAL`."""
+    from sedona_db_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(
+        ev, "ts", ["user_id"], "12 hours",
+        {"n_events": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 6)},
+    )
+    return out.select(
+        "user_id", "session_start", "session_last", "n_events", "sum_value"
+    ).orderBy("user_id", "session_start")
+
+
 def _q_geog_intersection_sr(spark, sf_dir):
     """Geography OVERLAY end-to-end: per nation, two shared-apex spherical
     triangles (equator base + great-circle sides) intersected with
@@ -773,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified": _q_docs_stratified,
         "source_top5": _q_source_top5,
         "geog_intersection_sr": _q_geog_intersection_sr,
+        "event_sessions": _q_event_sessions,
     }
 
 
@@ -1266,6 +1285,20 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(-180.0 AS DOUBLE) + (c_nationkey % 5)*CAST(72.0 AS DOUBLE) + CAST(36.0 AS DOUBLE) AS _ncx, "
             "  CAST(-90.0 AS DOUBLE) + (c_nationkey // 5)*CAST(36.0 AS DOUBLE) + CAST(18.0 AS DOUBLE) AS _ncy "
             "  FROM customer) c GROUP BY 1 ORDER BY 1"
+        ),
+        # gaps-and-islands; new session iff silence > gap (session_window
+        # boundary semantics verified empirically: exact-gap event merges)
+        "event_sessions": (
+            "WITH d AS (SELECT user_id, ts, value, "
+            " CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "      > INTERVAL 12 HOUR THEN 1 ELSE 0 END AS brk "
+            " FROM events), "
+            "s AS (SELECT user_id, ts, value, "
+            " SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+            " FROM d) "
+            "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_last, "
+            " COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value "
+            "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"
         ),
         # closed-form Chamberlain-Duquette sum over the exact intersection
         # triangle (shared-apex construction makes it exact-vertex); engine
