@@ -701,6 +701,25 @@ def _q_geog_maxdist(spark, sf_dir):
     ).orderBy("n_nationkey")
 
 
+def _q_doc_chunk_dedup(spark, sf_dir):
+    """Sub-document (CCNet-style) chunk dedup: 8-word windows, keep the
+    first occurrence corpus-wide, reassemble per doc."""
+    from sedona_db_spark.operators.dedup import chunk_dedup
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return chunk_dedup(docs, "text", "doc_id", chunk_words=8)
+
+
+def _q_doc_decontaminate(spark, sf_dir):
+    """n-gram decontamination: flag docs sharing any 8-gram with the
+    deterministic 'benchmark' slice (doc_id % 20 == 0)."""
+    from sedona_db_spark.operators.dedup import ngram_decontaminate
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    return ngram_decontaminate(docs, bench, "text", "doc_id", n=8)
+
+
 def _q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -792,6 +811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_top5": _q_source_top5,
         "geog_intersection_sr": _q_geog_intersection_sr,
         "event_sessions": _q_event_sessions,
+        "doc_chunk_dedup": _q_doc_chunk_dedup,
+        "doc_decontaminate": _q_doc_decontaminate,
     }
 
 
@@ -1344,5 +1365,42 @@ def oracle_sql() -> dict[str, str]:
             "  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rank_in_group "
             "  FROM documents) WHERE rank_in_group <= 5 "
             "ORDER BY source, rank_in_group"
+        ),
+        # 8-word fixed-window chunks; corpus-wide keep-first by (doc_id, pos)
+        # on the chunk value (engine partitions on md5(chunk): identical
+        # partitioning since md5 is injective on distinct chunk strings)
+        "doc_chunk_dedup": (
+            r"WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w "
+            "  FROM documents WHERE text IS NOT NULL), "
+            "ex AS (SELECT doc_id, unnest(cl, recursive := true) FROM ("
+            "  SELECT doc_id, [{'pos': CAST(i AS INTEGER), "
+            "    'chunk': array_to_string(w[CAST(i*8+1 AS INTEGER):CAST(i*8+8 AS INTEGER)], ' ')} "
+            "    for i in range(0, greatest(CAST(ceil(len(w)/8.0) AS BIGINT), 1))] AS cl "
+            "  FROM toks)), "
+            "kept AS (SELECT doc_id, pos, chunk, "
+            "  row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn FROM ex), "
+            "stats AS (SELECT doc_id, count(*) AS n_chunks FROM ex GROUP BY doc_id), "
+            "rebuilt AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text, "
+            "  count(*) AS n_kept FROM kept WHERE rn = 1 GROUP BY doc_id) "
+            "SELECT s.doc_id AS doc_id, COALESCE(r.clean_text, '') AS clean_text, "
+            "  s.n_chunks AS n_chunks, COALESCE(r.n_kept, 0) AS n_kept "
+            "FROM stats s LEFT JOIN rebuilt r ON s.doc_id = r.doc_id"
+        ),
+        # benchmark slice = doc_id % 20 == 0; engine joins on xxhash64 of the
+        # gram, oracle joins on the gram string itself — identical result
+        # absent a 64-bit collision within ~30k distinct grams
+        "doc_decontaminate": (
+            r"WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w "
+            "  FROM documents WHERE text IS NOT NULL), "
+            "grams AS (SELECT doc_id, CASE WHEN len(w) >= 8 THEN "
+            "  list_distinct([array_to_string(w[CAST(i+1 AS INTEGER):CAST(i+8 AS INTEGER)], ' ') "
+            "    for i in range(0, len(w)-7)]) "
+            "  ELSE [array_to_string(w, ' ')] END AS g FROM toks), "
+            "bg AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 20 = 0), "
+            "dg AS (SELECT doc_id, unnest(g) AS gram FROM grams), "
+            "hits AS (SELECT doc_id, count(*) AS overlap_grams FROM dg JOIN bg USING (gram) GROUP BY doc_id) "
+            "SELECT t.doc_id AS doc_id, COALESCE(h.overlap_grams, 0) AS overlap_grams, "
+            "  COALESCE(h.overlap_grams, 0) > 0 AS contaminated "
+            "FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id"
         ),
     }

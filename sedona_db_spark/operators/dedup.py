@@ -543,3 +543,129 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
         .where(F.col("cosine") >= threshold)
         .drop("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# chunk-level dedup (CCNet-style line/paragraph dedup, keep-first)
+# ---------------------------------------------------------------------------
+
+
+def chunk_dedup(df: DataFrame, text_col: str, id_col: str,
+                chunk_words: int = 16, sep: Optional[str] = None) -> DataFrame:
+    """Sub-document dedup: drop every repeated chunk except its first
+    occurrence (ordered by (id, position)), then reassemble the documents.
+
+    CCNet / RefinedWeb remove duplicated *lines/paragraphs* across the
+    corpus before document-level dedup — boilerplate (nav bars, cookie
+    banners, footers) repeats across millions of pages while the documents
+    themselves are distinct. ``sep`` splits on a literal separator (e.g.
+    ``"\\n"`` for lines); when None the text is segmented into fixed
+    ``chunk_words``-word windows, which is the shape that works for
+    already-flattened corpora.
+
+    Scale: posexplode is a narrow map; the only shuffle is the window
+    partition on the chunk digest (same key cardinality as exact dedup on
+    chunks). Reassembly groups by doc id — second shuffle, bounded by the
+    output size. No driver-side state, no Python in the plan.
+
+    Returns (doc_id, clean_text, n_chunks, n_kept) — one row per input doc
+    (docs whose every chunk was seen earlier come back with empty text).
+    """
+    from pyspark.sql import Window
+
+    did = F.col(id_col).alias("doc_id")
+    if sep is not None:
+        import re as _re
+
+        # literal split: escape regex metacharacters
+        chunks_col = F.split(F.col(text_col), _re.escape(sep), -1)
+    else:
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        n = F.size(toks)
+        nchunks = F.ceil(n.cast("double") / F.lit(float(chunk_words))).cast("int")
+        chunks_col = F.transform(
+            F.sequence(F.lit(0), F.greatest(nchunks - 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_words + 1, chunk_words)),
+        )
+    ex = df.select(did, F.posexplode(chunks_col).alias("pos", "chunk"))
+    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy("doc_id", "pos")
+    kept = (
+        ex.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    stats = ex.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    joiner = " " if sep is None else sep
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        stats.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram decontamination (benchmark / test-set overlap removal)
+# ---------------------------------------------------------------------------
+
+
+def ngram_decontaminate(df: DataFrame, benchmark: DataFrame, text_col: str,
+                        id_col: str, n: int = 13,
+                        bench_text_col: Optional[str] = None,
+                        broadcast_threshold: int = 50_000_000) -> DataFrame:
+    """Flag training documents that share any word ``n``-gram with a
+    benchmark/test corpus (the GPT-3/PaLM decontamination rule: a 13-gram
+    collision marks the training doc contaminated).
+
+    Plan shape for 10^12 docs: the benchmark side collapses to DISTINCT
+    64-bit gram hashes (xxhash64) — typically a few million rows for any
+    real eval suite — and is broadcast when its estimated size fits
+    ``broadcast_threshold`` bytes, so the training corpus is scanned once
+    with a map-side semi-join and only (id, hash) ever shuffles in the
+    fallback path. The gram text itself never leaves the map stage.
+
+    Returns (doc_id, overlap_grams, contaminated) — one row per input doc.
+    """
+    btc = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_ngrams(F.col(btc), n))).alias("gram")
+        )
+        .select(F.xxhash64("gram").alias("gh"))
+        .distinct()
+    )
+    # decide broadcast from a cheap count (8 bytes/hash + row overhead)
+    bcast = False
+    try:
+        n_b = bench_grams.count()
+        bcast = n_b * 64 <= broadcast_threshold
+    except Exception:  # pragma: no cover - planning failure falls back to shuffle
+        pass
+    if bcast:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
+    ).select("doc_id", F.xxhash64("gram").alias("gh"))
+    hits = doc_grams.join(bench_grams, "gh").groupBy("doc_id").agg(
+        F.count("*").alias("overlap_grams")
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("overlap_grams", F.lit(0)).alias("overlap_grams"),
+        (F.coalesce("overlap_grams", F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -262,3 +262,72 @@ def test_repetitive_flag(spark):
         "doc_id", T.repetitive_flag(F.col("text")).alias("bad")).collect()}
     assert out[0] is True
     assert out[1] is False
+
+
+def test_chunk_dedup_keep_first(spark):
+    # doc 0 and doc 1 share the identical first 4-word chunk; doc 1 keeps
+    # only its distinct second chunk
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d x y z w"),
+        (2, "p q r s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in D.chunk_dedup(df, "text", "doc_id",
+                                                 chunk_words=4).collect()}
+    assert out[0]["clean_text"] == "a b c d e f g h"
+    assert out[0]["n_chunks"] == 2 and out[0]["n_kept"] == 2
+    assert out[1]["clean_text"] == "x y z w"
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 1
+    assert out[2]["clean_text"] == "p q r s" and out[2]["n_kept"] == 1
+
+
+def test_chunk_dedup_all_duplicate_doc_empties(spark):
+    rows = [(0, "a b c d"), (1, "a b c d")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in D.chunk_dedup(df, "text", "doc_id",
+                                                 chunk_words=4).collect()}
+    assert out[0]["clean_text"] == "a b c d"
+    assert out[1]["clean_text"] == "" and out[1]["n_kept"] == 0
+    assert out[1]["n_chunks"] == 1
+
+
+def test_chunk_dedup_separator_mode(spark):
+    rows = [(0, "intro\nshared boilerplate\nbody zero"),
+            (1, "other intro\nshared boilerplate\nbody one")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in D.chunk_dedup(df, "text", "doc_id",
+                                                 sep="\n").collect()}
+    assert out[0]["clean_text"] == "intro\nshared boilerplate\nbody zero"
+    assert out[1]["clean_text"] == "other intro\nbody one"
+    assert out[1]["n_chunks"] == 3 and out[1]["n_kept"] == 2
+
+
+def test_ngram_decontaminate(spark):
+    train = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),          # contains bench 4-gram
+            (1, "one two three four five six seven"),            # clean
+            (2, "x alpha beta gamma delta y"),                   # contains bench 4-gram
+            (3, "tiny doc"),                                     # < n words, no match
+        ],
+        "doc_id LONG, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id LONG, text STRING"
+    )
+    out = {r["doc_id"]: r for r in D.ngram_decontaminate(
+        train, bench, "text", "doc_id", n=4).collect()}
+    assert out[0]["contaminated"] and out[0]["overlap_grams"] == 1
+    assert not out[1]["contaminated"] and out[1]["overlap_grams"] == 0
+    assert out[2]["contaminated"]
+    assert not out[3]["contaminated"]
+
+
+def test_ngram_decontaminate_short_doc_whole_text_gram(spark):
+    # a doc shorter than n words matches iff its whole text equals a bench
+    # gram (word_ngrams fallback on both sides)
+    train = spark.createDataFrame([(0, "tiny doc")], "doc_id LONG, text STRING")
+    bench = spark.createDataFrame([(9, "tiny doc")], "doc_id LONG, text STRING")
+    out = D.ngram_decontaminate(train, bench, "text", "doc_id", n=4).collect()
+    assert out[0]["contaminated"]
