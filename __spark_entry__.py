@@ -701,6 +701,33 @@ def _q_geog_maxdist(spark, sf_dir):
     ).orderBy("n_nationkey")
 
 
+def _q_pip_adaptive(spark, sf_dir):
+    """Skew-robust PIP join: 25 nation rects spanning a 128x size range
+    (w = 0.2*2^(k%8) degrees), joined through per-geometry mixed-level
+    quadtree coverings (`adaptive_pip_join`) — interior cells skip the
+    exact refine, boundary cells refine vectorized."""
+    from sedona_db_spark.functions import st
+    from sedona_db_spark.operators.adaptive_join import adaptive_pip_join
+
+    c = _t(spark, sf_dir, "customer")
+    cx = F.lit(-180.0) + ((F.col("c_custkey") * 7) % 3600) * F.lit(0.1) + F.lit(0.005)
+    cy = F.lit(-90.0) + ((F.col("c_custkey") * 13) % 1800) * F.lit(0.1) + F.lit(0.005)
+    pts = c.select("c_custkey", cx.alias("px"), cy.alias("py"))
+
+    n = _t(spark, sf_dir, "nation")
+    ncx = F.lit(-180.0) + (F.col("n_nationkey") % 5) * F.lit(72.0) + F.lit(36.0)
+    ncy = F.lit(-90.0) + F.floor(F.col("n_nationkey") / 5) * F.lit(36.0) + F.lit(18.0)
+    w = F.lit(0.2) * F.pow(F.lit(2.0), (F.col("n_nationkey") % 8).cast("double"))
+    h = w / F.lit(2.0)
+    rects = n.select(
+        "n_nationkey",
+        st.ST_MakeEnvelope(ncx - w, ncy - h, ncx + w, ncy + h).alias("geom"),
+    )
+    j = adaptive_pip_join(pts, rects, predicate="within",
+                          left_xy=("px", "py"), right_geom="geom")
+    return j.groupBy("n_nationkey").agg(F.count("*").alias("cnt")).orderBy("n_nationkey")
+
+
 def _q_doc_chunk_dedup(spark, sf_dir):
     """Sub-document (CCNet-style) chunk dedup: 8-word windows, keep the
     first occurrence corpus-wide, reassemble per doc."""
@@ -813,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         "doc_chunk_dedup": _q_doc_chunk_dedup,
         "doc_decontaminate": _q_doc_decontaminate,
+        "pip_adaptive": _q_pip_adaptive,
     }
 
 
@@ -1365,6 +1393,21 @@ def oracle_sql() -> dict[str, str]:
             "  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rank_in_group "
             "  FROM documents) WHERE rank_in_group <= 5 "
             "ORDER BY source, rank_in_group"
+        ),
+        # strict-interior comparisons on the same IEEE-double rect edges the
+        # engine builds its WKB from (w = 0.2*2^(k%8): float 0.2 scaled by a
+        # power of two is exact, so both sides compute identical edges)
+        "pip_adaptive": (
+            "SELECT n_nationkey, count(*) AS cnt FROM customer c JOIN ("
+            " SELECT n_nationkey, "
+            f"  {_NX0} + CAST(36.0 AS DOUBLE) AS ncx, "
+            f"  {_NY0} + CAST(18.0 AS DOUBLE) AS ncy, "
+            "  CAST(0.2 AS DOUBLE) * pow(CAST(2.0 AS DOUBLE), CAST(n_nationkey % 8 AS DOUBLE)) AS w "
+            " FROM nation) n "
+            f"ON {_CX} > n.ncx - n.w AND {_CX} < n.ncx + n.w "
+            f"AND {_CY} > n.ncy - n.w/CAST(2.0 AS DOUBLE) "
+            f"AND {_CY} < n.ncy + n.w/CAST(2.0 AS DOUBLE) "
+            "GROUP BY 1 ORDER BY 1"
         ),
         # 8-word fixed-window chunks; corpus-wide keep-first by (doc_id, pos)
         # on the chunk value (engine partitions on md5(chunk): identical

@@ -153,6 +153,93 @@ def cell_expr(grid: "Grid", x_col, y_col):
     )
 
 
+def cell_level(cell_id) -> np.ndarray:
+    """Level encoded in a packed cell_id (hierarchy accessor)."""
+    return (np.asarray(cell_id, dtype=np.int64) >> np.int64(58)).astype(np.int64)
+
+
+def cell_parent(cell_id, dlevel: int = 1) -> np.ndarray:
+    """Ancestor `dlevel` levels up: drop 2 morton bits per level (the
+    S2/H3 parent analogue — valid because a level-L cell's morton code is
+    its parent's code with two extra low bits)."""
+    c = np.asarray(cell_id, dtype=np.int64)
+    lvl = cell_level(c)
+    if np.any(lvl < dlevel):
+        raise ValueError("cell above requested parent level")
+    m = (c & np.int64((1 << 58) - 1)) >> np.int64(2 * dlevel)
+    return ((lvl - dlevel) << np.int64(58)) | m
+
+
+def cell_children(cell_id) -> np.ndarray:
+    """The 4 child cells one level down, for each input cell (flattened)."""
+    c = np.asarray(cell_id, dtype=np.int64).ravel()
+    lvl = cell_level(c)
+    if np.any(lvl >= MAX_LEVEL):
+        raise ValueError("cell already at max level")
+    m = (c & np.int64((1 << 58) - 1)) << np.int64(2)
+    base = ((lvl + 1) << np.int64(58)) | m
+    return (base[:, None] + np.arange(4, dtype=np.int64)[None, :]).ravel()
+
+
+def adaptive_cover_env(xmin: float, ymin: float, xmax: float, ymax: float,
+                       bounds: Tuple[float, float, float, float] = WORLD,
+                       max_level: int = 12, max_cells: int = 256):
+    """Disjoint mixed-level quadtree covering of one bbox (the S2
+    `RegionCoverer` analogue).
+
+    Descends from the level-0 root; a cell strictly inside the OPEN bbox is
+    emitted at its current (coarse) level with ``full=True`` and never
+    refined, so a continent-sized envelope costs O(perimeter) boundary
+    cells instead of O(area) fine cells — this is what bounds the build
+    side explosion under 1000x geometry-size skew. Cells still straddling
+    the boundary at ``max_level`` (or once ``max_cells`` would be
+    exceeded) are emitted with ``full=False``.
+
+    Returns ``(cell_ids int64[], full bool[])``; the union of cells covers
+    the bbox, cells are pairwise disjoint (a point maps to exactly one via
+    `Grid.cell_of_points` at the cell's own level).
+    """
+    bx0, by0, bx1, by1 = bounds
+    ix = np.zeros(1, dtype=np.int64)
+    iy = np.zeros(1, dtype=np.int64)
+    out_ids: list = []
+    out_full: list = []
+    count = 0
+    for L in range(0, max_level + 1):
+        nx = 1 << L
+        cw = (bx1 - bx0) / nx
+        ch = (by1 - by0) / nx
+        cx0 = bx0 + ix * cw
+        cy0 = by0 + iy * ch
+        cx1 = cx0 + cw
+        cy1 = cy0 + ch
+        inter = (cx0 <= xmax) & (cx1 >= xmin) & (cy0 <= ymax) & (cy1 >= ymin)
+        # strict: full cells may not touch the bbox boundary, so boundary
+        # points always land in a partial (refined) cell
+        full = inter & (cx0 > xmin) & (cx1 < xmax) & (cy0 > ymin) & (cy1 < ymax)
+        partial = inter & ~full
+        nfull = int(full.sum())
+        if nfull:
+            g = Grid(L, bounds)
+            out_ids.append(g.pack(ix[full], iy[full]))
+            out_full.append(np.ones(nfull, dtype=bool))
+            count += nfull
+        pix, piy = ix[partial], iy[partial]
+        if len(pix) == 0:
+            break
+        if L == max_level or count + 4 * len(pix) > max_cells:
+            g = Grid(L, bounds)
+            out_ids.append(g.pack(pix, piy))
+            out_full.append(np.zeros(len(pix), dtype=bool))
+            count += len(pix)
+            break
+        ix = np.repeat(pix * 2, 4) + np.tile(np.array([0, 1, 0, 1]), len(pix))
+        iy = np.repeat(piy * 2, 4) + np.tile(np.array([0, 0, 1, 1]), len(pix))
+    if not out_ids:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=bool)
+    return np.concatenate(out_ids), np.concatenate(out_full)
+
+
 def pick_level_for_envelopes(widths: np.ndarray, heights: np.ndarray,
                              bounds=WORLD, target_cells_per_geom: float = 4.0,
                              min_level: int = 2, max_level: int = 16) -> int:
