@@ -245,7 +245,62 @@ def partition_by_cell(df: DataFrame, num_partitions: int) -> DataFrame:
     return df.repartitionByRange(num_partitions, F.col("cell_id"))
 
 
-def write_pages_table(df: DataFrame, path: str, num_partitions: int = 32) -> None:
-    """Materialize the cell-partitioned pages table (parquet; an Iceberg
-    catalog would use the same layout via partitionedBy(bucket/cell))."""
-    partition_by_cell(df, num_partitions).write.mode("overwrite").parquet(path)
+def is_table_identifier(dest: str) -> bool:
+    """True when ``dest`` names a catalog table (``cat.db.tbl``), False when
+    it is a filesystem path (contains ``/`` or a URI scheme like ``s3a:``)."""
+    if "/" in dest or "\\" in dest:
+        return False
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", dest):
+        return False
+    return bool(re.match(r"^[A-Za-z_][\w]*(\.[A-Za-z_][\w]*)*$", dest))
+
+
+def write_pages_table(
+    df: DataFrame,
+    dest: str,
+    num_partitions: int = 32,
+    using: str = "parquet",
+    partition_col: Optional[str] = "cell_prefix",
+    prefix_shift: int = 8,
+) -> None:
+    """Materialize the cell-partitioned pages table.
+
+    ``dest`` is either a filesystem path (written as a parquet directory) or
+    a catalog table identifier (written through the DataSourceV2 ``writeTo``
+    path — the exact plan an Iceberg catalog binds to when
+    ``spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog`` is
+    configured with the iceberg-spark-runtime jar; pass ``using="iceberg"``
+    there). Tests exercise the identical ``writeTo`` code path through the
+    in-memory session catalog, so the plumbing is real even though the
+    sandbox ships no Iceberg jar.
+
+    Layout is the same in both modes: rows are range-partitioned by the full
+    quadkey ``cell_id`` (parquet min/max stats ⇒ spatial row-group pruning),
+    and the table is directory/identity-partitioned by the coarse
+    ``cell_prefix`` (``cell_id >> prefix_shift``) so partition pruning kicks
+    in before row-group pruning — the Iceberg analogue is an identity
+    partition on the same derived column (or ``truncate(cell_id)``), never
+    raw ``cell_id`` (10^12 docs at level 7 would mint millions of manifests).
+    """
+    out = partition_by_cell(df, num_partitions)
+    if not is_table_identifier(dest):
+        out.write.mode("overwrite").parquet(dest)
+        return
+    if partition_col == "cell_prefix" and "cell_prefix" not in out.columns:
+        out = out.withColumn(
+            "cell_prefix", F.shiftright(F.col("cell_id"), prefix_shift)
+        )
+    writer = out.writeTo(dest).using(using)
+    if partition_col:
+        writer = writer.partitionedBy(F.col(partition_col))
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {dest}")
+    writer.create()
+
+
+def read_pages_table(spark: SparkSession, source: str) -> DataFrame:
+    """Read the pages table back from a parquet path or a catalog table
+    identifier (Iceberg/DSv2 or session catalog — same call)."""
+    if is_table_identifier(source):
+        return spark.read.table(source)
+    return spark.read.parquet(source)

@@ -119,3 +119,30 @@ def test_flagship_pip_join_end_to_end(spark, pages_df):
     assert joined.count() == n_pages  # partition of the plane (jitter avoids edges)
     per_box = joined.groupBy("admin_id").count().collect()
     assert sum(r["count"] for r in per_box) == n_pages
+
+
+def test_catalog_table_write_roundtrip(spark, pages_df):
+    """write_pages_table with a table identifier goes through the DSv2
+    writeTo path (what an Iceberg catalog binds to), identity-partitioned
+    by the coarse cell_prefix, and preserves byte-identical text per url."""
+    tagged = P.geotag_pages(pages_df, grid_level=7).where(F.col("cell_id").isNotNull())
+    spark.sql("DROP TABLE IF EXISTS pages_cat_tbl")
+    P.write_pages_table(tagged, "pages_cat_tbl", num_partitions=4)
+    back = P.read_pages_table(spark, "pages_cat_tbl")
+    assert back.count() == tagged.count()
+    parts = [r[0] for r in spark.sql("SHOW PARTITIONS pages_cat_tbl").collect()]
+    assert parts and all(p.startswith("cell_prefix=") for p in parts)
+    a = {r["url"]: r["text"] for r in tagged.select("url", "text").collect()}
+    b = {r["url"]: r["text"] for r in back.select("url", "text").collect()}
+    assert a == b
+    spark.sql("DROP TABLE IF EXISTS pages_cat_tbl")
+
+
+def test_is_table_identifier_classification():
+    assert P.is_table_identifier("db.tbl")
+    assert P.is_table_identifier("iceberg_cat.web.pages")
+    assert P.is_table_identifier("pages")
+    assert not P.is_table_identifier("/tmp/pages")
+    assert not P.is_table_identifier("s3a://bucket/pages")
+    assert not P.is_table_identifier("hdfs://nn/pages")
+    assert not P.is_table_identifier("rel/path")
