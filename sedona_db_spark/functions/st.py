@@ -1463,6 +1463,12 @@ def _crs_tag(code: str):
     conic = _proj.CONIC_CRS.get(up)
     if conic is not None:
         return ("CONIC", conic)
+    ps = _proj.PS_CRS.get(up)
+    if ps is not None:
+        return ("PS", ps)
+    merc = _proj.MERC_CRS.get(up)
+    if merc is not None:
+        return ("MERC", merc)
     utm = _proj.parse_utm_epsg(up)
     if utm is not None:
         return ("UTM",) + utm
@@ -1492,6 +1498,22 @@ def _to_lonlat_fn(tag):
             return out
 
         return fc
+    if tag[0] == "PS":
+
+        def fp(arr, _p=tag[1]):
+            out = arr.copy()
+            out[:, 0], out[:, 1] = _proj.ps_inverse(arr[:, 0], arr[:, 1], *_p)
+            return out
+
+        return fp
+    if tag[0] == "MERC":
+
+        def fm(arr, _p=tag[1]):
+            out = arr.copy()
+            out[:, 0], out[:, 1] = _proj.merc_inverse(arr[:, 0], arr[:, 1], *_p)
+            return out
+
+        return fm
 
     def f(arr, _z=tag[1], _n=tag[2]):
         out = arr.copy()
@@ -1524,6 +1546,22 @@ def _from_lonlat_fn(tag):
             return out
 
         return fc
+    if tag[0] == "PS":
+
+        def fp(arr, _p=tag[1]):
+            out = arr.copy()
+            out[:, 0], out[:, 1] = _proj.ps_forward(arr[:, 0], arr[:, 1], *_p)
+            return out
+
+        return fp
+    if tag[0] == "MERC":
+
+        def fm(arr, _p=tag[1]):
+            out = arr.copy()
+            out[:, 0], out[:, 1] = _proj.merc_forward(arr[:, 0], arr[:, 1], *_p)
+            return out
+
+        return fm
 
     def f(arr, _z=tag[1], _n=tag[2]):
         out = arr.copy()
@@ -1548,10 +1586,12 @@ def _st_transform(s: pd.Series, from_crs: pd.Series, to_crs: pd.Series) -> pd.Se
         if fa is None or ta is None:
             raise NotImplementedError(
                 f"ST_Transform supports EPSG:4326/OGC:CRS84, EPSG:3857, "
-                f"UTM EPSG:326xx/327xx, EPSG:3035 (LAEA), and the conic "
-                f"grids EPSG:2154/3978/3034 (Lambert Conformal Conic) / "
-                f"EPSG:5070 (Albers) in this build (no PROJ in env); "
-                f"got {f!r} -> {t!r}"
+                f"UTM EPSG:326xx/327xx, EPSG:3035 (LAEA), the conic grids "
+                f"EPSG:2154/3978/3034 (Lambert Conformal Conic) / "
+                f"EPSG:5070 (Albers), polar stereographic "
+                f"EPSG:3031/3413/3976/5041/5042/32661/32761, and "
+                f"EPSG:3395 (World Mercator) in this build (no PROJ in "
+                f"env); got {f!r} -> {t!r}"
             )
         g = wkb.parse(v)
         if fa == ta:

@@ -361,3 +361,100 @@ def parse_utm_epsg(code: str):
         if 1 <= z <= 60:
             return z, False
     return None
+
+
+# --- Polar Stereographic (ellipsoidal, Snyder 1987 §21) ---------------------
+# Variant A (k0 at the pole: UPS) and Variant B (standard parallel lat_ts:
+# EPSG:3031/3413/3976). Same math as PROJ `stere` at the polar aspect; the
+# reference reaches these through PROJ (c/sedona-proj/src/st_transform.rs).
+
+_PS_CE = math.sqrt((1 + _E) ** (1 + _E) * (1 - _E) ** (1 - _E))
+
+
+def _ps_k0_from_lat_ts(lat_ts: float) -> float:
+    """Variant B -> equivalent variant A k0 (Snyder 21-32..21-35):
+    rho = a*m_c*t/t_c  ==  2*a*k0*t/CE  with  k0 = m_c*CE/(2*t_c)."""
+    p = math.radians(abs(lat_ts))
+    mc = float(_m_snyder(p))
+    tc = float(_t_snyder(p))
+    return mc * _PS_CE / (2.0 * tc)
+
+
+def ps_forward(lon, lat, lon0, k0, north: bool, fe=0.0, fn=0.0):
+    """(lon°, lat°) -> polar stereographic (E, N) meters, vectorized
+    (Snyder eqs. 21-33/21-34; south aspect per eq. 21-35 mirroring)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    t = _t_snyder(np.radians(lat if north else -lat))
+    rho = 2.0 * _A * k0 * t / _PS_CE
+    dlam = np.radians(lon - lon0)
+    ysign = -1.0 if north else 1.0
+    return fe + rho * np.sin(dlam), fn + ysign * rho * np.cos(dlam)
+
+
+def ps_inverse(E_, N_, lon0, k0, north: bool, fe=0.0, fn=0.0):
+    """Polar stereographic meters -> (lon°, lat°) (Snyder 21-39/21-40 +
+    the conformal-latitude fixed point, eq. 7-9)."""
+    x = np.asarray(E_, dtype=np.float64) - fe
+    y = np.asarray(N_, dtype=np.float64) - fn
+    rho = np.sqrt(x * x + y * y)
+    tp = rho * _PS_CE / (2.0 * _A * k0)
+    phi = np.pi / 2 - 2 * np.arctan(tp)
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            tp * np.power((1 - _E * s) / (1 + _E * s), _E / 2)
+        )
+    lam = np.where(rho > 0, np.arctan2(x, -y if north else y), 0.0)
+    lon = np.degrees(lam) + lon0
+    lon = (lon + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi if north else -phi)
+
+
+# --- Mercator (ellipsoidal, Snyder 1987 §7) — EPSG:3395 World Mercator ------
+
+
+def merc_forward(lon, lat, lon0=0.0, k0=1.0, fe=0.0, fn=0.0):
+    """(lon°, lat°) -> ellipsoidal Mercator (E, N) (Snyder 7-6/7-7:
+    y = -a*k0*ln t(phi))."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x = _A * k0 * np.radians(lon - lon0)
+    y = -_A * k0 * np.log(_t_snyder(np.radians(lat)))
+    return fe + x, fn + y
+
+
+def merc_inverse(E_, N_, lon0=0.0, k0=1.0, fe=0.0, fn=0.0):
+    """Ellipsoidal Mercator -> (lon°, lat°) (Snyder 7-9/7-10)."""
+    x = np.asarray(E_, dtype=np.float64) - fe
+    y = np.asarray(N_, dtype=np.float64) - fn
+    tp = np.exp(-y / (_A * k0))
+    phi = np.pi / 2 - 2 * np.arctan(tp)
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            tp * np.power((1 - _E * s) / (1 + _E * s), _E / 2)
+        )
+    return np.degrees(x / (_A * k0)) + lon0, np.degrees(phi)
+
+
+# Polar stereographic EPSG registry: (lon0, k0, north, fe, fn). Variant-B
+# grids store the equivalent variant-A k0 (Snyder 21-32..35).
+PS_CRS = {
+    # WGS 84 / Antarctic Polar Stereographic (lat_ts = -71)
+    "EPSG:3031": (0.0, _ps_k0_from_lat_ts(-71.0), False, 0.0, 0.0),
+    # WGS 84 / NSIDC Sea Ice Polar Stereographic South (lat_ts = -70)
+    "EPSG:3976": (0.0, _ps_k0_from_lat_ts(-70.0), False, 0.0, 0.0),
+    # WGS 84 / NSIDC Sea Ice Polar Stereographic North (lat_ts = 70, lon0 = -45)
+    "EPSG:3413": (-45.0, _ps_k0_from_lat_ts(70.0), True, 0.0, 0.0),
+    # WGS 84 / UPS North & South (variant A: k0 = 0.994 at the pole)
+    "EPSG:5041": (0.0, 0.994, True, 2_000_000.0, 2_000_000.0),
+    "EPSG:5042": (0.0, 0.994, False, 2_000_000.0, 2_000_000.0),
+    "EPSG:32661": (0.0, 0.994, True, 2_000_000.0, 2_000_000.0),
+    "EPSG:32761": (0.0, 0.994, False, 2_000_000.0, 2_000_000.0),
+}
+
+# Ellipsoidal Mercator registry: (lon0, k0, fe, fn)
+MERC_CRS = {
+    "EPSG:3395": (0.0, 1.0, 0.0, 0.0),  # WGS 84 / World Mercator
+}

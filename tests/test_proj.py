@@ -248,3 +248,117 @@ class TestConic:
         gb = wkb.parse(bytes(back))
         assert gb.coords[0][0] == pytest.approx(2.3522, abs=1e-9)
         assert gb.coords[0][1] == pytest.approx(48.8566, abs=1e-9)
+
+
+class TestPolarStereographic:
+    """Snyder §21 polar stereographic: EPSG:3031/3413/3976 (variant B) and
+    UPS EPSG:5041/5042 (variant A). The UPS vector is the published EPSG
+    Guidance Note 7-2 worked example."""
+
+    def test_ups_north_epsg_worked_example(self):
+        # GN 7-2: UPS North, 73°N 44°E -> E 3320416.75, N 632668.43
+        p = proj.PS_CRS["EPSG:5041"]
+        E, N = proj.ps_forward(44.0, 73.0, *p)
+        assert float(E) == pytest.approx(3_320_416.75, abs=0.01)
+        assert float(N) == pytest.approx(632_668.43, abs=0.01)
+        lon, lat = proj.ps_inverse(E, N, *p)
+        assert float(lon) == pytest.approx(44.0, abs=1e-9)
+        assert float(lat) == pytest.approx(73.0, abs=1e-9)
+
+    def test_pole_maps_to_false_origin(self):
+        for code, pole_lat in [("EPSG:5041", 90.0), ("EPSG:5042", -90.0),
+                               ("EPSG:3031", -90.0), ("EPSG:3413", 90.0)]:
+            p = proj.PS_CRS[code]
+            E, N = proj.ps_forward(0.0, pole_lat, *p)
+            assert float(E) == pytest.approx(p[3], abs=1e-6)
+            assert float(N) == pytest.approx(p[4], abs=1e-6)
+
+    @pytest.mark.parametrize("code,lons,lats", [
+        ("EPSG:3031", [-180.0, -120.0, 0.0, 45.0, 179.5], [-89.0, -75.0, -71.0, -60.0, -55.0]),
+        ("EPSG:3413", [-180.0, -45.0, 0.0, 90.0, 179.5], [89.0, 70.0, 60.0, 45.0, 35.0]),
+        ("EPSG:3976", [-90.0, 0.0, 90.0, -180.0, -179.5], [-85.0, -70.0, -60.0, -50.0, -45.0]),
+        ("EPSG:5042", [-150.0, -60.0, 0.0, 60.0, 150.0], [-88.0, -80.0, -75.0, -70.0, -65.0]),
+    ])
+    def test_roundtrip(self, code, lons, lats):
+        p = proj.PS_CRS[code]
+        E, N = proj.ps_forward(np.array(lons), np.array(lats), *p)
+        lon, lat = proj.ps_inverse(E, N, *p)
+        np.testing.assert_allclose(lon, lons, atol=1e-9)
+        np.testing.assert_allclose(lat, lats, atol=1e-9)
+
+    def test_unit_scale_at_standard_parallel(self):
+        """Variant-B k0 is derived so local scale = 1 at lat_ts (3031: -71)."""
+        p = proj.PS_CRS["EPSG:3031"]
+        d = 1e-4
+        E1, N1 = proj.ps_forward(10.0, -71.0, *p)
+        E2, N2 = proj.ps_forward(10.0 + d, -71.0, *p)
+        proj_len = float(np.hypot(E2 - E1, N2 - N1))
+        a, e2 = 6378137.0, float(proj._E) ** 2
+        nu = a / np.sqrt(1 - e2 * np.sin(np.radians(-71.0)) ** 2)
+        arc = nu * np.cos(np.radians(-71.0)) * np.radians(d)
+        assert proj_len / arc == pytest.approx(1.0, abs=1e-9)
+
+    def test_conformality(self):
+        """Scale is direction-independent: dE/dlon-step and dN/dlat-step
+        lengths agree at any point (polar stereographic is conformal)."""
+        p = proj.PS_CRS["EPSG:3413"]
+        lon, lat, d = 30.0, 75.0, 1e-5
+        E0, N0 = proj.ps_forward(lon, lat, *p)
+        E1, N1 = proj.ps_forward(lon + d, lat, *p)
+        E2, N2 = proj.ps_forward(lon, lat + d, *p)
+        a, e2 = 6378137.0, float(proj._E) ** 2
+        W = np.sqrt(1 - e2 * np.sin(np.radians(lat)) ** 2)
+        nu, rho = a / W, a * (1 - e2) / W**3
+        k_par = float(np.hypot(E1 - E0, N1 - N0)) / (nu * np.cos(np.radians(lat)) * np.radians(d))
+        k_mer = float(np.hypot(E2 - E0, N2 - N0)) / (rho * np.radians(d))
+        assert k_par == pytest.approx(k_mer, rel=1e-6)
+
+
+class TestWorldMercator:
+    def test_roundtrip(self):
+        lons = np.array([-179.9, -60.0, 0.0, 30.0, 179.9])
+        lats = np.array([-80.0, -35.0, 0.0, 51.5, 83.0])
+        E, N = proj.merc_forward(lons, lats)
+        lon, lat = proj.merc_inverse(E, N)
+        np.testing.assert_allclose(lon, lons, atol=1e-9)
+        np.testing.assert_allclose(lat, lats, atol=1e-9)
+
+    def test_equator_identities(self):
+        E, N = proj.merc_forward(90.0, 0.0)
+        assert float(N) == pytest.approx(0.0, abs=1e-9)
+        assert float(E) == pytest.approx(6378137.0 * np.pi / 2, abs=1e-6)
+
+    def test_scale_identity(self):
+        """Ellipsoidal Mercator scale: k = sqrt(1 - e² sin²φ)/cos φ."""
+        a, e2 = 6378137.0, float(proj._E) ** 2
+        for lat in (0.0, 30.0, 55.0, -70.0):
+            d = 1e-5
+            E1, _ = proj.merc_forward(10.0, lat)
+            E2, _ = proj.merc_forward(10.0 + d, lat)
+            nu = a / np.sqrt(1 - e2 * np.sin(np.radians(lat)) ** 2)
+            k = float(E2 - E1) / (nu * np.cos(np.radians(lat)) * np.radians(d))
+            expect = np.sqrt(1 - e2 * np.sin(np.radians(lat)) ** 2) / np.cos(np.radians(lat))
+            assert k == pytest.approx(float(expect), rel=1e-9)
+
+    def test_st_transform_ps_and_merc_end_to_end(self, spark):
+        from sedona_db_spark.functions import st
+
+        pts = wkb.encode_points_xy(np.array([166.668]), np.array([-77.846]))  # McMurdo
+        df = spark.createDataFrame([(bytes(pts[0]),)], "geom BINARY")
+        out = df.select(
+            st.ST_Transform("geom", F.lit("EPSG:4326"), F.lit("EPSG:3031")).alias("g")
+        ).collect()[0]["g"]
+        g = wkb.parse(bytes(out))
+        p = proj.PS_CRS["EPSG:3031"]
+        Ek, Nk = proj.ps_forward(166.668, -77.846, *p)
+        assert g.coords[0][0] == pytest.approx(float(Ek), abs=1e-9)
+        assert g.coords[0][1] == pytest.approx(float(Nk), abs=1e-9)
+        back = df.select(
+            st.ST_Transform(
+                st.ST_Transform("geom", F.lit("EPSG:4326"), F.lit("EPSG:3395")),
+                F.lit("EPSG:3395"), F.lit("EPSG:4326"),
+            ).alias("g")
+        ).collect()[0]["g"]
+        gb = wkb.parse(bytes(back))
+        assert gb.coords[0][0] == pytest.approx(166.668, abs=1e-9)
+        assert gb.coords[0][1] == pytest.approx(-77.846, abs=1e-9)
