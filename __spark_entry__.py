@@ -480,6 +480,18 @@ def _q_ivf_ann(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 
+def _q_semdedup(spark, sf_dir):
+    """SemDedup-style semantic dedup over the embeddings table: first_n
+    centroids -> cluster assignment -> drop any vector tau-similar to a
+    lower-id cluster-mate. Deterministic end-to-end, so the DuckDB oracle
+    recomputes assignment + pairwise pruning verbatim."""
+    from sedona_db_spark.operators.dedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semdedup(emb, nlists=8, tau=0.8, centroids="first_n")
+    return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"), "kept")
+
+
 def _q_intersection_area_concave(spark, sf_dir):
     """General (concave) polygon overlay oracle: per customer, an L-shaped
     hexagon (union of two arm rectangles) clipped by an offset box. The
@@ -841,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_dedup": _q_doc_chunk_dedup,
         "doc_decontaminate": _q_doc_decontaminate,
         "pip_adaptive": _q_pip_adaptive,
+        "semdedup": _q_semdedup,
     }
 
 
@@ -1022,6 +1035,25 @@ def _ivf_oracle() -> str:
         f" CAST(row_number() OVER (PARTITION BY c.qid ORDER BY {cos('q.qv', 'corp.cvv')} DESC, c.nid) AS INTEGER) AS rank "
         " FROM cand c JOIN q ON q.qid = c.qid JOIN corp ON corp.nid = c.nid) "
         "WHERE rank <= 5"
+    )
+
+
+def _semdedup_oracle() -> str:
+    cos = lambda u, v: (
+        f"list_dot_product({u}, {v}) / "
+        f"(sqrt(list_dot_product({u}, {u})) * sqrt(list_dot_product({v}, {v})))"
+    )
+    return (
+        "WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv "
+        " FROM embeddings WHERE vec_id < 8), "
+        "corp AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "assign AS (SELECT id, v, cid FROM ("
+        f" SELECT id, v, cid, row_number() OVER (PARTITION BY id ORDER BY {cos('v', 'cv')} DESC, cid) AS rn "
+        " FROM corp CROSS JOIN cent) WHERE rn = 1), "
+        "drp AS (SELECT DISTINCT b.id AS id FROM assign a JOIN assign b "
+        f" ON a.cid = b.cid AND a.id < b.id WHERE {cos('a.v', 'b.v')} >= 0.8) "
+        "SELECT a.id AS vec_id, CAST(a.cid AS INTEGER) AS cluster, "
+        "d.id IS NULL AS kept FROM assign a LEFT JOIN drp d ON d.id = a.id ORDER BY 1"
     )
 
 
@@ -1296,6 +1328,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_oracle(),
         "simhash_pairs": _simhash_oracle(),
         "ivf_ann": _ivf_oracle(),
+        "semdedup": _semdedup_oracle(),
         "knn_geog_k3": (
             # haversine with the same op structure as algos.haversine_m
             f"SELECT c_custkey, s_suppkey, knn_rank FROM ("

@@ -669,3 +669,95 @@ def ngram_decontaminate(df: DataFrame, benchmark: DataFrame, text_col: str,
         F.coalesce("overlap_grams", F.lit(0)).alias("overlap_grams"),
         (F.coalesce("overlap_grams", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlists: int = 8,
+    tau: float = 0.95,
+    centroids: str = "first_n",
+    train_sample: int = 10_000,
+    train_iters: int = 5,
+    seed: int = 13,
+) -> DataFrame:
+    """SemDedup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    cluster the embedding space, then inside each cluster drop any item
+    whose cosine similarity to a lower-id cluster-mate is >= ``tau``.
+
+    Returns ``(id, cluster int, kept boolean)`` for every input row.
+
+    Decision rule: an item is dropped iff SOME same-cluster item with a
+    smaller id is tau-similar — the deterministic pairwise-pruning variant
+    (keeps the min-id representative of each similarity neighborhood),
+    chosen over the paper's greedy sweep because it is order-free and
+    exactly recomputable by a plain-SQL oracle.
+
+    Scale shape (the point at 10^12 rows):
+    * centroid set is tiny and broadcast; assignment is ONE vectorized
+      pandas-UDF pass over the corpus — no shuffle;
+    * the pair search self-joins on the cluster id only, so the shuffle
+      key is ``cluster`` and pairwise work is bounded by the largest
+      cluster (size nlists to taste so n/nlists fits an executor);
+    * the cosine verify is pure JVM column algebra (zip_with/aggregate
+      inside whole-stage codegen), identical to embedding_cosine_pairs.
+
+    ``centroids="first_n"`` (the nlists lowest-id vectors, normalized) is
+    fully deterministic => full value-hash oracle; ``"kmeans"`` trains on
+    a seeded driver sample like ivf_topk.
+    """
+    from .similarity import _dot, _norm, _train_centroids
+
+    spark = df.sparkSession
+    if centroids == "first_n":
+        rows = (
+            df.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_v"))
+            .orderBy("_cid").limit(nlists).collect()
+        )
+        C = np.array([r["_v"] for r in rows], dtype=np.float64)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    else:
+        C = _train_centroids(df, vec_col, nlists, train_sample, train_iters, seed)
+    bc = spark.sparkContext.broadcast(C)
+
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def assign_list(vecs: pd.Series) -> pd.Series:
+        Cv = bc.value
+        out = np.zeros(len(vecs), dtype=np.int32)
+        na = np.zeros(len(vecs), dtype=bool)
+        for i, v in enumerate(vecs):
+            if v is None:
+                na[i] = True
+                continue
+            x = np.array(v, dtype=np.float64)  # arrow buffers are read-only
+            x /= max(np.linalg.norm(x), 1e-12)
+            out[i] = int((Cv @ x).argmax())
+        res = pd.Series(out, dtype="Int32")
+        res[na] = pd.NA
+        return res
+
+    a = fan_out(df).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v")
+    ).withColumn("cluster", assign_list(F.col("_v")))
+
+    lo = a.select(F.col("id").alias("_lo_id"), F.col("_v").alias("_lo_v"), "cluster")
+    hi = a.select(F.col("id").alias("_hi_id"), F.col("_v").alias("_hi_v"), "cluster")
+    cos = _dot("_lo_v", "_hi_v") / (_norm("_lo_v") * _norm("_hi_v"))
+    dropped = (
+        lo.join(hi, "cluster")
+        .where(F.col("_lo_id") < F.col("_hi_id"))
+        .where(cos >= F.lit(float(tau)))
+        .select(F.col("_hi_id").alias("id"))
+        .distinct()
+    )
+    return (
+        a.join(dropped.withColumn("_drop", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )

