@@ -492,6 +492,26 @@ def _q_semdedup(spark, sf_dir):
     return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"), "kept")
 
 
+def _q_doc_c4_clean(spark, sf_dir):
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2) over the
+    documents table. The corpus carries no newlines, so the query first
+    synthesizes line structure deterministically (the same literal
+    replace() in Spark and the oracle), then runs the REAL filters:
+    terminal-punctuation + >=5-word lines, javascript-line drop, and the
+    >=3-sentence / brace / lorem-ipsum page gate."""
+    from sedona_db_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = F.replace(F.col("text"), F.lit(" value "), F.lit(" value.\n"))
+    cleaned = T.c4_clean(lined, min_words=5)
+    return docs.select(
+        "doc_id",
+        F.size(T.c4_kept_lines(lined, 5)).cast("int").alias("n_kept"),
+        F.length(cleaned).cast("bigint").alias("kept_chars"),
+        T.c4_page_keep(lined, 5, 3).alias("page_keep"),
+    )
+
+
 def _q_intersection_area_concave(spark, sf_dir):
     """General (concave) polygon overlay oracle: per customer, an L-shaped
     hexagon (union of two arm rectangles) clipped by an offset box. The
@@ -854,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": _q_doc_decontaminate,
         "pip_adaptive": _q_pip_adaptive,
         "semdedup": _q_semdedup,
+        "doc_c4_clean": _q_doc_c4_clean,
     }
 
 
@@ -1329,6 +1350,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_oracle(),
         "ivf_ann": _ivf_oracle(),
         "semdedup": _semdedup_oracle(),
+        "doc_c4_clean": 'WITH d AS (SELECT doc_id, replace(text, \' value \', \' value.\' || chr(10)) AS t FROM documents), k AS (SELECT doc_id, t, list_filter(string_split(t, chr(10)), ln ->  regexp_matches(trim(ln), \'[.!?"\'\']$\')  AND len(regexp_split_to_array(trim(ln), \'\\s+\')) >= 5  AND NOT contains(lower(trim(ln)), \'javascript\')) AS kept FROM d), j AS (SELECT doc_id, t, kept, coalesce(array_to_string(kept, chr(10)), \'\') AS body FROM k) SELECT doc_id, CAST(len(kept) AS INTEGER) AS n_kept, CAST(length(body) AS BIGINT) AS kept_chars, ((length(body) - length(translate(body, \'.!?\', \'\'))) >= 3  AND NOT contains(t, \'{\') AND NOT contains(lower(t), \'lorem ipsum\')) AS page_keep FROM j ORDER BY 1',
         "knn_geog_k3": (
             # haversine with the same op structure as algos.haversine_m
             f"SELECT c_custkey, s_suppkey, knn_rank FROM ("

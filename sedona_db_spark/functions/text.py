@@ -221,3 +221,53 @@ def doc_fingerprint(text: Column) -> Column:
     norm = F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", "")
     norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
     return F.md5(norm)
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning...", §2.2) — the standard webtext page-cleaning pass
+# ---------------------------------------------------------------------------
+
+
+def c4_kept_lines(text: Column, min_words: int = 5) -> Column:
+    """Array of lines surviving the C4 line filters: the trimmed line ends
+    in a terminal punctuation mark, carries at least ``min_words``
+    whitespace words, and does not mention javascript. Pure Column algebra
+    (split/filter/rlike) — whole-stage codegen, no Python, no shuffle."""
+
+    def _keep(ln):
+        t = F.trim(ln)
+        words = F.size(F.split(t, r"\s+"))
+        return (
+            t.rlike("[.!?\"']$")
+            & (words >= F.lit(int(min_words)))
+            & ~F.lower(t).contains("javascript")
+        )
+
+    return F.filter(F.split(text, "\n"), _keep)
+
+
+def c4_clean(text: Column, min_words: int = 5) -> Column:
+    """The kept lines re-joined with newlines (the cleaned page body)."""
+    return F.array_join(c4_kept_lines(text, min_words), "\n")
+
+
+def c4_sentence_count(cleaned: Column) -> Column:
+    """Terminal-punctuation count over the cleaned body — the sentence
+    proxy C4's >=3-sentence page gate uses."""
+    return F.length(cleaned) - F.length(F.translate(cleaned, ".!?", ""))
+
+
+def c4_page_keep(
+    text: Column,
+    min_words: int = 5,
+    min_sentences: int = 3,
+) -> Column:
+    """Page-level C4 gate: >= min_sentences sentences across kept lines,
+    no curly brace (code), no 'lorem ipsum' placeholder text."""
+    cleaned = c4_clean(text, min_words)
+    return (
+        (c4_sentence_count(cleaned) >= F.lit(int(min_sentences)))
+        & ~text.contains("{")
+        & ~F.lower(text).contains("lorem ipsum")
+    )

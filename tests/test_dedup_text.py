@@ -385,3 +385,42 @@ class TestSemDedup:
         # tight blobs with tau just under 1: most of each blob collapses
         kept = sum(r["kept"] for r in rows)
         assert 3 <= kept < 60
+
+
+class TestC4Clean:
+    def _one(self, spark, text, **kw):
+        df = spark.createDataFrame([(0, text)], "doc_id LONG, text STRING")
+        return df.select(
+            T.c4_clean(F.col("text"), kw.get("min_words", 5)).alias("body"),
+            T.c4_page_keep(F.col("text"), kw.get("min_words", 5),
+                           kw.get("min_sentences", 3)).alias("keep"),
+        ).collect()[0]
+
+    def test_line_filters(self, spark):
+        page = "\n".join([
+            "This line has plenty of words and ends well.",   # kept
+            "Too short.",                                      # <5 words
+            "this line has five words but no terminal punct",  # no punct
+            "Enable javascript to view this fancy page now.",  # javascript
+            "Another perfectly fine sentence with many words!",# kept
+            "  Trailing spaces still count as terminal here?  ",# kept (trimmed)
+        ])
+        r = self._one(spark, page)
+        assert r["body"].count("\n") == 2  # exactly 3 kept lines
+        assert "javascript" not in r["body"]
+        assert "Too short" not in r["body"]
+        assert r["keep"]  # 3 sentences, no brace, no lorem
+
+    def test_page_gates(self, spark):
+        ok = "One decent sentence right here folks.\nSecond worthy sentence is also here.\nThird one closes the page nicely."
+        assert self._one(spark, ok)["keep"]
+        assert not self._one(spark, ok + "\nvar x = { a: 1 };")["keep"]  # brace
+        assert not self._one(spark, ok.replace("Second", "Lorem ipsum"))["keep"]
+        two = "One decent sentence right here folks.\nSecond worthy sentence is also here."
+        assert not self._one(spark, two)["keep"]  # < 3 sentences
+
+    def test_empty_and_no_newline(self, spark):
+        r = self._one(spark, "")
+        assert r["body"] == "" and not r["keep"]
+        r = self._one(spark, "A single unbroken line that does end with punctuation and has words.")
+        assert r["body"] != "" and not r["keep"]  # 1 sentence < 3
