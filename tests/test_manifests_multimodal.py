@@ -3,6 +3,7 @@
 import json
 import os
 
+import numpy as np
 import pytest
 
 from pyspark.sql import functions as F
@@ -142,3 +143,47 @@ def test_real_pnm_wav_decode_pipeline(spark):
     img = np.arange(12 * 16 * 3, dtype=np.uint8).reshape(12, 16, 3)
     arr, w, h, ch = M.decode_pnm(M.encode_ppm(img))
     assert (arr == img).all()
+
+
+def test_y4m_roundtrip_unit():
+    rng = np.random.default_rng(3)
+    vid = rng.integers(0, 256, (4, 6, 8, 3), dtype=np.uint8)
+    payload = MM.encode_y4m(vid, fps_num=10, fps_den=1)
+    back, w, h, fn, fd = MM.decode_y4m(payload)
+    assert (w, h, fn, fd) == (8, 6, 10, 1)
+    np.testing.assert_array_equal(back, vid)
+
+
+def test_ycbcr_to_rgb_known_values():
+    # Y=128, Cb=Cr=128 (neutral) -> mid gray; Y=255 neutral -> white
+    g = MM.ycbcr_to_rgb(np.array([[[128, 128, 128]]], dtype=np.uint8))
+    np.testing.assert_array_equal(g[0, 0], [128, 128, 128])
+    w = MM.ycbcr_to_rgb(np.array([[[255, 128, 128]]], dtype=np.uint8))
+    np.testing.assert_array_equal(w[0, 0], [255, 255, 255])
+
+
+def test_real_video_frame_sampling(spark):
+    """y4m payloads decode natively: 5 frames at 10 fps = 500 ms, sampled
+    every 100 ms -> 5 PPM frames per video, pixel-exact vs the container."""
+    media = MM.synthesize_media(spark, 9, payload_format="pnm_wav")
+    out = MM.sample_video_frames(media, every_ms=100, decode="real")
+    rows = out.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(len(v) for v in by_id.values()) == {5}
+    # pixel-exact check against an independent re-synthesis of one video
+    mid = sorted(by_id)[0]
+    rng = np.random.default_rng(42 * 1_000_003 + int(mid))
+    vid = rng.integers(0, 256, (5, 12, 16, 3), dtype=np.uint8)
+    first = sorted(by_id[mid], key=lambda r: r["frame_idx"])[0]
+    arr, w, h, ch = MM.decode_pnm(bytes(first["frame"]))
+    assert (w, h, ch) == (16, 12, 3)
+    np.testing.assert_array_equal(arr, MM.ycbcr_to_rgb(vid[0]))
+
+
+def test_real_video_requires_y4m(spark):
+    media = MM.synthesize_media(spark, 9, payload_format="hash")
+    import pytest as _pt
+    with _pt.raises(Exception, match="YUV4MPEG2|PythonException"):
+        MM.sample_video_frames(media, every_ms=100, decode="real").collect()
