@@ -1454,12 +1454,16 @@ def _crs_tag(code: str):
     None."""
     from ..geometry import proj as _proj
 
-    up = str(code).upper()
+    raw = str(code).strip()
+    if raw.startswith("+"):
+        # proj4 string: "+proj=utm +zone=33 +south", "+proj=stere ..." etc.
+        return _proj.parse_proj4(raw)
+    up = raw.upper()
     tag = _CRS_ALIASES.get(up)
     if tag is not None:
         return tag
     if up == "EPSG:3035":
-        return "LAEA"
+        return ("LAEA", (10.0, 52.0, 4_321_000.0, 3_210_000.0))
     conic = _proj.CONIC_CRS.get(up)
     if conic is not None:
         return ("CONIC", conic)
@@ -1482,11 +1486,13 @@ def _to_lonlat_fn(tag):
         return lambda a: a
     if tag == "WM":
         return _webmercator_to_lonlat
-    if tag == "LAEA":
+    if tag[0] == "LAEA":
 
-        def fl(arr):
+        def fl(arr, _p=tag[1]):
             out = arr.copy()
-            out[:, 0], out[:, 1] = _proj.laea_inverse(arr[:, 0], arr[:, 1])
+            out[:, 0], out[:, 1] = _proj.laea_inverse(
+                arr[:, 0], arr[:, 1], lon0=_p[0], lat0=_p[1], fe=_p[2], fn=_p[3]
+            )
             return out
 
         return fl
@@ -1530,11 +1536,13 @@ def _from_lonlat_fn(tag):
         return lambda a: a
     if tag == "WM":
         return _lonlat_to_webmercator
-    if tag == "LAEA":
+    if tag[0] == "LAEA":
 
-        def fl(arr):
+        def fl(arr, _p=tag[1]):
             out = arr.copy()
-            out[:, 0], out[:, 1] = _proj.laea_forward(arr[:, 0], arr[:, 1])
+            out[:, 0], out[:, 1] = _proj.laea_forward(
+                arr[:, 0], arr[:, 1], lon0=_p[0], lat0=_p[1], fe=_p[2], fn=_p[3]
+            )
             return out
 
         return fl
@@ -1589,9 +1597,11 @@ def _st_transform(s: pd.Series, from_crs: pd.Series, to_crs: pd.Series) -> pd.Se
                 f"UTM EPSG:326xx/327xx, EPSG:3035 (LAEA), the conic grids "
                 f"EPSG:2154/3978/3034 (Lambert Conformal Conic) / "
                 f"EPSG:5070 (Albers), polar stereographic "
-                f"EPSG:3031/3413/3976/5041/5042/32661/32761, and "
-                f"EPSG:3395 (World Mercator) in this build (no PROJ in "
-                f"env); got {f!r} -> {t!r}"
+                f"EPSG:3031/3413/3976/5041/5042/32661/32761, "
+                f"EPSG:3395 (World Mercator), and proj4 strings "
+                f"(+proj=longlat/webmerc/merc/utm/laea/lcc/aea/polar stere "
+                f"with arbitrary parameters, WGS84 ellipsoid) in this "
+                f"build (no PROJ in env); got {f!r} -> {t!r}"
             )
         g = wkb.parse(v)
         if fa == ta:

@@ -458,3 +458,73 @@ PS_CRS = {
 MERC_CRS = {
     "EPSG:3395": (0.0, 1.0, 0.0, 0.0),  # WGS 84 / World Mercator
 }
+
+
+def parse_proj4(s: str):
+    """Parse a proj4 string into the engine's transform tag — the same tag
+    vocabulary functions/st.py dispatches on: 'LL' | 'WM' |
+    ('UTM', zone, north) | ('MERC', (lon0, k0, fe, fn)) |
+    ('PS', (lon0, k0, north, fe, fn)) | ('LAEA', (lon0, lat0, fe, fn)) |
+    ('CONIC', (kind, lat1, lat2, lat0, lon0, fe, fn)).
+
+    Only the WGS84/GRS80 ellipsoid is supported (the sandbox has no PROJ
+    datum grids); any +datum/+ellps other than WGS84/GRS80 raises.
+    Returns None when the string is not a proj4 string at all.
+    """
+    s = s.strip()
+    if not s.startswith("+"):
+        return None
+    kv = {}
+    flags = set()
+    for tok in s.split():
+        tok = tok.lstrip("+")
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            kv[k] = v
+        else:
+            flags.add(tok)
+    datum = kv.get("datum", "WGS84").upper()
+    ellps = kv.get("ellps", "WGS84").upper()
+    if datum not in ("WGS84",) or ellps not in ("WGS84", "GRS80"):
+        raise NotImplementedError(
+            f"only the WGS84/GRS80 ellipsoid is supported (no PROJ datum "
+            f"shifts in this build); got datum={datum!r} ellps={ellps!r}"
+        )
+    proj = kv.get("proj")
+    f = lambda k, d=0.0: float(kv.get(k, d))
+    if proj in ("longlat", "latlong", "lonlat"):
+        return "LL"
+    if proj == "webmerc":
+        return "WM"
+    if proj == "merc":
+        return ("MERC", (f("lon_0"), f("k_0", kv.get("k", 1.0)), f("x_0"), f("y_0")))
+    if proj == "utm":
+        zone = int(kv["zone"])
+        if not 1 <= zone <= 60:
+            raise ValueError(f"utm zone out of range: {zone}")
+        return ("UTM", zone, "south" not in flags)
+    if proj == "laea":
+        return ("LAEA", (f("lon_0"), f("lat_0"), f("x_0"), f("y_0")))
+    if proj == "lcc":
+        lat1 = f("lat_1")
+        lat2 = f("lat_2", kv.get("lat_1", 0.0))
+        return ("CONIC", ("lcc", lat1, lat2, f("lat_0"), f("lon_0"), f("x_0"), f("y_0")))
+    if proj == "aea":
+        return ("CONIC", ("aea", f("lat_1"), f("lat_2"), f("lat_0"), f("lon_0"), f("x_0"), f("y_0")))
+    if proj == "stere":
+        lat0 = f("lat_0")
+        if abs(abs(lat0) - 90.0) > 1e-9:
+            raise NotImplementedError(
+                "only the polar aspect of +proj=stere is supported "
+                "(oblique stereographic needs PROJ)"
+            )
+        north = lat0 > 0
+        if "lat_ts" in kv:
+            k0 = _ps_k0_from_lat_ts(float(kv["lat_ts"]))
+        else:
+            k0 = f("k_0", kv.get("k", 1.0))
+        return ("PS", (f("lon_0"), k0, north, f("x_0"), f("y_0")))
+    raise NotImplementedError(
+        f"+proj={proj!r} is not implemented (supported: longlat, webmerc, "
+        f"merc, utm, laea, lcc, aea, polar stere)"
+    )

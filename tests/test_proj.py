@@ -362,3 +362,66 @@ class TestWorldMercator:
         gb = wkb.parse(bytes(back))
         assert gb.coords[0][0] == pytest.approx(166.668, abs=1e-9)
         assert gb.coords[0][1] == pytest.approx(-77.846, abs=1e-9)
+
+
+class TestProj4Strings:
+    """ST_Transform accepts proj4 strings with arbitrary parameters for
+    every implemented family — equivalent EPSG code and proj4 string must
+    produce bit-identical coordinates."""
+
+    @pytest.mark.parametrize("epsg,p4", [
+        ("EPSG:32633", "+proj=utm +zone=33 +datum=WGS84"),
+        ("EPSG:32733", "+proj=utm +zone=33 +south +datum=WGS84"),
+        ("EPSG:3035", "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80"),
+        ("EPSG:2154", "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 +x_0=700000 +y_0=6600000 +ellps=GRS80"),
+        ("EPSG:5070", "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +x_0=0 +y_0=0 +ellps=GRS80"),
+        ("EPSG:3031", "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84"),
+        ("EPSG:5041", "+proj=stere +lat_0=90 +k_0=0.994 +lon_0=0 +x_0=2000000 +y_0=2000000 +datum=WGS84"),
+        ("EPSG:3395", "+proj=merc +lon_0=0 +k_0=1 +x_0=0 +y_0=0 +datum=WGS84"),
+    ])
+    def test_epsg_equals_proj4(self, spark, epsg, p4):
+        from sedona_db_spark.functions import st
+
+        lon, lat = (15.3, 47.2) if "south" not in p4 and "stere +lat_0=-90" not in p4 else (
+            (15.3, -47.2) if "south" in p4 else (15.3, -75.0)
+        )
+        pts = wkb.encode_points_xy(np.array([lon]), np.array([lat]))
+        df = spark.createDataFrame([(bytes(pts[0]),)], "geom BINARY")
+
+        def xy(crs):
+            out = df.select(
+                st.ST_Transform("geom", F.lit("EPSG:4326"), F.lit(crs)).alias("g")
+            ).collect()[0]["g"]
+            g = wkb.parse(bytes(out))
+            return g.coords[0][0], g.coords[0][1]
+
+        xe, ye = xy(epsg)
+        xp, yp = xy(p4)
+        assert xe == xp and ye == yp
+
+    def test_proj4_roundtrip_custom_params(self, spark):
+        """A CRS with NO EPSG pin (custom LCC) round-trips through
+        ST_Transform — the case proj4 support exists for."""
+        from sedona_db_spark.functions import st
+
+        p4 = "+proj=lcc +lat_1=10 +lat_2=40 +lat_0=25 +lon_0=120 +x_0=500000 +y_0=100000"
+        pts = wkb.encode_points_xy(np.array([118.7]), np.array([31.2]))
+        df = spark.createDataFrame([(bytes(pts[0]),)], "geom BINARY")
+        back = df.select(
+            st.ST_Transform(
+                st.ST_Transform("geom", F.lit("EPSG:4326"), F.lit(p4)),
+                F.lit(p4), F.lit("EPSG:4326"),
+            ).alias("g")
+        ).collect()[0]["g"]
+        g = wkb.parse(bytes(back))
+        assert g.coords[0][0] == pytest.approx(118.7, abs=1e-9)
+        assert g.coords[0][1] == pytest.approx(31.2, abs=1e-9)
+
+    def test_non_wgs84_datum_raises(self):
+        from sedona_db_spark.geometry.proj import parse_proj4
+
+        with pytest.raises(NotImplementedError, match="WGS84"):
+            parse_proj4("+proj=utm +zone=30 +datum=NAD27")
+        with pytest.raises(NotImplementedError, match="polar"):
+            parse_proj4("+proj=stere +lat_0=52 +lon_0=4")
+        assert parse_proj4("EPSG:4326") is None
