@@ -121,7 +121,8 @@ def crs_to_string(crs) -> Optional[str]:
 
 
 def _geo_metadata(geom_cols: List[str], bboxes: Dict[str, List[float]],
-                  crs: Optional[str], primary: str) -> dict:
+                  crs: Optional[str], primary: str,
+                  edges: Optional[Dict[str, str]] = None) -> dict:
     cols = {}
     for c in geom_cols:
         entry = {
@@ -132,6 +133,11 @@ def _geo_metadata(geom_cols: List[str], bboxes: Dict[str, List[float]],
             entry["bbox"] = bboxes[c]
         if crs:
             entry["crs"] = crs_to_projjson(crs)
+        if edges and edges.get(c) == "spherical":
+            # GeoParquet geography convention (the reference round-trips
+            # geography through this key, io/test_parquet.py:334-377;
+            # planar is the spec default and stays implicit)
+            entry["edges"] = "spherical"
         entry["covering"] = {
             "bbox": {
                 "xmin": [f"{c}_bbox", "xmin"],
@@ -185,6 +191,13 @@ def write_geoparquet(
 
     gcols = list(geom_cols)
     target = path
+    # propagate edges semantics (geography columns) from the DataFrame's
+    # column metadata into the footer, like the reference writer
+    from ..types import get_geom_meta
+
+    edges_map = {
+        c: (get_geom_meta(df, c) or {}).get("edges", "planar") for c in gcols
+    }
 
     def _task(batches):
         from pyspark import TaskContext
@@ -207,7 +220,7 @@ def write_geoparquet(
                     vals.append(v)
                 if vals[0] is not None:
                     bboxes[c] = [float(v) for v in vals]
-        meta = _geo_metadata(gcols, bboxes, crs, gcols[0])
+        meta = _geo_metadata(gcols, bboxes, crs, gcols[0], edges_map)
         blob = json.dumps(meta).encode("utf-8")
         existing = tbl.schema.metadata or {}
         tbl = tbl.replace_schema_metadata({**existing, GEO_KEY: blob})
@@ -265,7 +278,7 @@ def write_geoparquet(
                     ]
         if vals:
             bboxes[c] = vals
-    return _geo_metadata(geom_cols, bboxes, crs, geom_cols[0])
+    return _geo_metadata(geom_cols, bboxes, crs, geom_cols[0], edges_map)
 
 
 def read_geo_metadata(path: str) -> Optional[dict]:
@@ -362,7 +375,9 @@ def read_geoparquet(spark: SparkSession, path) -> DataFrame:
                 if enc != "WKB":
                     df = df.withColumn(c, _native_decode_udf(enc)(F.col(c)))
                 crs = crs_to_string(entry.get("crs")) or DEFAULT_CRS
-                df = with_geom_meta(df, c, crs=crs)
+                df = with_geom_meta(
+                    df, c, crs=crs, edges=entry.get("edges", "planar")
+                )
     return df
 
 

@@ -151,3 +151,34 @@ def test_write_refuses_bbox_overwrite_and_bad_version(spark, tmp_path):
     assert GP.read_geoparquet(spark, str(tmp_path / "b")).count() == 20
     with pytest.raises(ValueError, match="Unexpected GeoParquet version"):
         GP.write_geoparquet(df, str(tmp_path / "c"), ["geometry"], version="not supported")
+
+
+def test_geography_edges_roundtrip(spark, tmp_path):
+    """Geography (spherical edges) round-trips through the GeoParquet
+    footer like the reference (io/test_parquet.py::test_write_geoparquet_
+    geography): writer propagates the column's edges metadata into the
+    `geo` key, reader re-tags, and fn_for_edges dispatches the spherical
+    kernel after the round trip."""
+    from sedona_db_spark.functions.geography import fn_for_edges
+    from sedona_db_spark.types import with_geom_meta
+
+    path = str(tmp_path / "geog")
+    df, _x, _y = _pts_df(spark, 40)
+    geog = with_geom_meta(df, "geometry", crs="EPSG:4326", edges="spherical")
+    meta = GP.write_geoparquet(geog, path, ["geometry"])
+    assert meta["columns"]["geometry"]["edges"] == "spherical"
+
+    back = GP.read_geoparquet(spark, path)
+    md = get_geom_meta(back, "geometry")
+    assert md["edges"] == "spherical"
+    fn = fn_for_edges(back, "geometry", "st_area")
+    from sedona_db_spark.functions.geography import ST_Area_Spherical
+
+    assert fn is ST_Area_Spherical
+
+    # planar write stays implicit (spec default: no edges key)
+    p2 = str(tmp_path / "planar")
+    meta2 = GP.write_geoparquet(df, p2, ["geometry"])
+    assert "edges" not in meta2["columns"]["geometry"]
+    back2 = GP.read_geoparquet(spark, p2)
+    assert get_geom_meta(back2, "geometry")["edges"] == "planar"
