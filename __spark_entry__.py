@@ -512,6 +512,29 @@ def _q_doc_c4_clean(spark, sf_dir):
     )
 
 
+def _q_corpus_curate(spark, sf_dir):
+    """The WHOLE webtext curation pipeline as one oracle'd query: C4 line
+    cleaning -> Gopher repetition filter -> exact dedup (min-id per md5)
+    -> MinHash LSH near-dup clusters -> canonical docs, staged through
+    checkpoint manifests (pipelines/webtext.py). The DuckDB oracle
+    recomputes all four stages — including the recursive-CTE transitive
+    closure over the SQL-reproducible minhash pairs — and the compare
+    hashes the curated TEXT bytes, not just ids. Thresholds are loosened
+    for the small-vocab synthetic corpus (Gopher defaults flag 86% of it)."""
+    import tempfile
+
+    from sedona_db_spark.pipelines.webtext import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.withColumn(
+        "text", F.replace(F.col("text"), F.lit(" value "), F.lit(" value.\n"))
+    )
+    root = tempfile.mkdtemp(prefix="curate-oracle-")
+    out = curate_corpus(spark, root, lined, min_quality=-1.0,
+                        rep_thresholds=(0.5, 1.0, 1.0))
+    return out.select("doc_id", "text").orderBy("doc_id")
+
+
 def _q_intersection_area_concave(spark, sf_dir):
     """General (concave) polygon overlay oracle: per customer, an L-shaped
     hexagon (union of two arm rectangles) clipped by an offset box. The
@@ -875,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_adaptive": _q_pip_adaptive,
         "semdedup": _q_semdedup,
         "doc_c4_clean": _q_doc_c4_clean,
+        "corpus_curate": _q_corpus_curate,
     }
 
 
@@ -1075,6 +1099,46 @@ def _semdedup_oracle() -> str:
         f" ON a.cid = b.cid AND a.id < b.id WHERE {cos('a.v', 'b.v')} >= 0.8) "
         "SELECT a.id AS vec_id, CAST(a.cid AS INTEGER) AS cluster, "
         "d.id IS NULL AS kept FROM assign a LEFT JOIN drp d ON d.id = a.id ORDER BY 1"
+    )
+
+
+def _corpus_curate_oracle() -> str:
+    """Four-stage curation pipeline recomputed in one DuckDB query; the
+    minhash stage reuses _minhash_oracle() with the cleaned/exact-deduped
+    docs CTE-shadowing the `documents` view (lexical CTE scoping)."""
+    clean = (
+        "lined AS (SELECT doc_id, replace(text, ' value ', ' value.' || chr(10)) AS t FROM main.documents), "
+        "kk AS (SELECT doc_id, t, list_filter(string_split(t, chr(10)), ln -> "
+        " regexp_matches(trim(ln), '[.!?\"'']$') "
+        " AND len(regexp_split_to_array(trim(ln), '\\s+')) >= 5 "
+        " AND NOT contains(lower(trim(ln)), 'javascript')) AS kept FROM lined), "
+        "jj AS (SELECT doc_id, t, coalesce(array_to_string(kept, chr(10)), '') AS body FROM kk), "
+        "c4 AS (SELECT doc_id, body, "
+        " ((length(body) - length(translate(body, '.!?', ''))) >= 3 "
+        "  AND NOT contains(t, '{') AND NOT contains(lower(t), 'lorem ipsum')) AS page_keep FROM jj), "
+        "rw AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS w FROM lined), "
+        "rg AS (SELECT doc_id, w, [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS b FROM rw), "
+        "rep AS (SELECT doc_id, "
+        " (CASE WHEN len(w) > 0 THEN CAST(len(w) - len(list_distinct(w)) AS DOUBLE)/len(w) ELSE 0.0 END) AS dup_word_frac, "
+        " (CASE WHEN len(w) > 0 THEN CAST(list_max(list_transform(list_distinct(w), y -> len(list_filter(w, x -> x = y)))) AS DOUBLE)/len(w) ELSE 0.0 END) AS top_word_frac, "
+        " (CASE WHEN len(b) > 0 THEN CAST(len(b) - len(list_distinct(b)) AS DOUBLE)/len(b) ELSE 0.0 END) AS dup_bigram_frac "
+        " FROM rg), "
+        "cleand AS (SELECT c4.doc_id, c4.body AS text FROM c4 JOIN rep ON c4.doc_id = rep.doc_id "
+        " WHERE c4.page_keep AND NOT (rep.dup_word_frac > 0.5 OR rep.top_word_frac > 1.0 OR rep.dup_bigram_frac > 1.0)), "
+        "ex AS (SELECT min(doc_id) AS doc_id FROM cleand GROUP BY md5(text)), "
+        "exact_docs AS (SELECT c.doc_id, c.text FROM cleand c JOIN ex ON c.doc_id = ex.doc_id) "
+    )
+    return (
+        "WITH RECURSIVE " + clean + ", "
+        "pairs AS (FROM (WITH documents AS (SELECT doc_id, text FROM exact_docs) FROM (" + _minhash_oracle() + "))), "
+        "edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs), "
+        "reach(id, root) AS ( "
+        "  SELECT s, s FROM (SELECT DISTINCT s FROM edges) "
+        "  UNION "
+        "  SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.id), "
+        "comp AS (SELECT id AS doc_id, MIN(root) AS component FROM reach GROUP BY id) "
+        "SELECT d.doc_id, d.text FROM exact_docs d LEFT JOIN comp c ON d.doc_id = c.doc_id "
+        "WHERE COALESCE(c.component, d.doc_id) = d.doc_id ORDER BY d.doc_id"
     )
 
 
@@ -1350,6 +1414,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_oracle(),
         "ivf_ann": _ivf_oracle(),
         "semdedup": _semdedup_oracle(),
+        "corpus_curate": _corpus_curate_oracle(),
         "doc_c4_clean": 'WITH d AS (SELECT doc_id, replace(text, \' value \', \' value.\' || chr(10)) AS t FROM documents), k AS (SELECT doc_id, t, list_filter(string_split(t, chr(10)), ln ->  regexp_matches(trim(ln), \'[.!?"\'\']$\')  AND len(regexp_split_to_array(trim(ln), \'\\s+\')) >= 5  AND NOT contains(lower(trim(ln)), \'javascript\')) AS kept FROM d), j AS (SELECT doc_id, t, kept, coalesce(array_to_string(kept, chr(10)), \'\') AS body FROM k) SELECT doc_id, CAST(len(kept) AS INTEGER) AS n_kept, CAST(length(body) AS BIGINT) AS kept_chars, ((length(body) - length(translate(body, \'.!?\', \'\'))) >= 3  AND NOT contains(t, \'{\') AND NOT contains(lower(t), \'lorem ipsum\')) AS page_keep FROM j ORDER BY 1',
         "knn_geog_k3": (
             # haversine with the same op structure as algos.haversine_m
