@@ -742,6 +742,12 @@ def semdedup(
     a = fan_out(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_v")
     ).withColumn("cluster", assign_list(F.col("_v")))
+    # the plan references `a` three times (both self-join sides + the final
+    # keep/drop join) — persist so the assignment UDF evaluates the corpus
+    # ONCE, the same shape as the minhash signature persist above
+    from pyspark import StorageLevel
+
+    a = a.persist(StorageLevel.MEMORY_AND_DISK)
 
     lo = a.select(F.col("id").alias("_lo_id"), F.col("_v").alias("_lo_v"), "cluster")
     hi = a.select(F.col("id").alias("_hi_id"), F.col("_v").alias("_hi_v"), "cluster")
