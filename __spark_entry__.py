@@ -535,6 +535,22 @@ def _q_corpus_curate(spark, sf_dir):
     return out.select("doc_id", "text").orderBy("doc_id")
 
 
+def _q_pq_codes(spark, sf_dir):
+    """Product-quantization encoding (Jegou et al. 2011) of the embeddings
+    corpus: m=4 subspaces x k=16 centroids, deterministic first_n
+    codebooks (sub-chunks of the 16 lowest-id vectors) so the DuckDB
+    oracle recomputes every per-subspace argmin verbatim. Codes emitted as
+    a joined string for a type-stable value-hash."""
+    from sedona_db_spark.operators.similarity import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _B, enc = pq_encode(emb, m=4, k=16, codebooks="first_n")
+    return enc.select(
+        F.col("id").alias("vec_id"),
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",").alias("codes_str"),
+    ).orderBy("vec_id")
+
+
 def _q_intersection_area_concave(spark, sf_dir):
     """General (concave) polygon overlay oracle: per customer, an L-shaped
     hexagon (union of two arm rectangles) clipped by an offset box. The
@@ -899,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "doc_c4_clean": _q_doc_c4_clean,
         "corpus_curate": _q_corpus_curate,
+        "pq_codes": _q_pq_codes,
     }
 
 
@@ -1415,6 +1432,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann": _ivf_oracle(),
         "semdedup": _semdedup_oracle(),
         "corpus_curate": _corpus_curate_oracle(),
+        "pq_codes": "WITH corp AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), cb AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 16), ss AS (SELECT unnest(range(0, 4)) AS s), dist AS (SELECT c.id, ss.s, cb.cid,  list_sum(list_transform(range(1, 17), j ->   (c.v[CAST(ss.s*16 + j AS INTEGER)] - cb.cv[CAST(ss.s*16 + j AS INTEGER)])   * (c.v[CAST(ss.s*16 + j AS INTEGER)] - cb.cv[CAST(ss.s*16 + j AS INTEGER)]))) AS d2  FROM corp c CROSS JOIN ss CROSS JOIN cb), codes AS (SELECT id, s, cid AS code FROM ( SELECT id, s, cid, row_number() OVER (PARTITION BY id, s ORDER BY d2, cid) AS rn FROM dist)  WHERE rn = 1) SELECT id AS vec_id, array_to_string(list(code ORDER BY s), ',') AS codes_str FROM codes GROUP BY id ORDER BY id",
         "doc_c4_clean": 'WITH d AS (SELECT doc_id, replace(text, \' value \', \' value.\' || chr(10)) AS t FROM documents), k AS (SELECT doc_id, t, list_filter(string_split(t, chr(10)), ln ->  regexp_matches(trim(ln), \'[.!?"\'\']$\')  AND len(regexp_split_to_array(trim(ln), \'\\s+\')) >= 5  AND NOT contains(lower(trim(ln)), \'javascript\')) AS kept FROM d), j AS (SELECT doc_id, t, kept, coalesce(array_to_string(kept, chr(10)), \'\') AS body FROM k) SELECT doc_id, CAST(len(kept) AS INTEGER) AS n_kept, CAST(length(body) AS BIGINT) AS kept_chars, ((length(body) - length(translate(body, \'.!?\', \'\'))) >= 3  AND NOT contains(t, \'{\') AND NOT contains(lower(t), \'lorem ipsum\')) AS page_keep FROM j ORDER BY 1',
         "knn_geog_k3": (
             # haversine with the same op structure as algos.haversine_m

@@ -199,3 +199,149 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def _pq_train(corpus: DataFrame, vec_col: str, corpus_id: str, m: int, k: int,
+              sample: int, iters: int, seed: int, codebooks: str) -> np.ndarray:
+    """(m, k, d/m) PQ codebooks. "first_n": sub-chunks of the k lowest-id
+    vectors (deterministic, SQL-recomputable); "kmeans": per-subspace
+    k-means-lite on a seeded driver sample."""
+    if codebooks == "first_n":
+        rows = (
+            corpus.select(F.col(corpus_id).alias("_id"), F.col(vec_col).alias("_v"))
+            .orderBy("_id").limit(k).collect()
+        )
+        X = np.array([r["_v"] for r in rows], dtype=np.float64)
+        d = X.shape[1]
+        sub = d // m
+        return np.stack([X[:, s * sub:(s + 1) * sub] for s in range(m)])
+    rows = corpus.select(vec_col).limit(sample).collect()
+    X = np.array([r[0] for r in rows if r[0] is not None], dtype=np.float64)
+    d = X.shape[1]
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for s in range(m):
+        Xs = X[:, s * sub:(s + 1) * sub]
+        C = Xs[rng.choice(len(Xs), size=min(k, len(Xs)), replace=False)]
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for j in range(len(C)):
+                mem = Xs[assign == j]
+                if len(mem):
+                    C[j] = mem.mean(0)
+        books.append(C)
+    return np.stack(books)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+    codebooks: str = "kmeans",
+    train_sample: int = 10_000,
+    train_iters: int = 5,
+    seed: int = 17,
+):
+    """Product quantization (Jégou et al., PAMI 2011): split d-dim vectors
+    into ``m`` subvectors, per subspace pick the nearest of ``k`` centroids,
+    store the vector as ``m`` small codes.
+
+    Returns ``(codebooks ndarray (m, k, d/m), DataFrame (id, codes))``.
+
+    Why it matters at 10^12 rows: a 64-dim float32 embedding is 256 bytes;
+    its PQ code at m=8 is 8 bytes — a 32× cut that turns an
+    out-of-memory corpus into an in-memory one. Encoding is ONE vectorized
+    pandas-UDF pass with the (tiny) codebooks broadcast — no shuffle."""
+    spark = corpus.sparkSession
+    B = _pq_train(corpus, vec_col, corpus_id, m, k, train_sample, train_iters,
+                  seed, codebooks)
+    bc = spark.sparkContext.broadcast(B)
+    sub = B.shape[2]
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def enc(vecs: pd.Series) -> pd.Series:
+        Bv = bc.value
+        out = []
+        for v in vecs:
+            if v is None:
+                out.append(None)
+                continue
+            x = np.array(v, dtype=np.float64)
+            codes = [
+                int(((Bv[s] - x[s * sub:(s + 1) * sub]) ** 2).sum(1).argmin())
+                for s in range(len(Bv))
+            ]
+            out.append(codes)
+        return pd.Series(out, dtype=object)
+
+    enc_df = fan_out(corpus).select(
+        F.col(corpus_id).alias("id"), enc(F.col(vec_col)).alias("codes")
+    )
+    return B, enc_df
+
+
+def pq_topk(
+    queries: DataFrame,
+    enc_df: DataFrame,
+    codebooks: np.ndarray,
+    topk: int = 5,
+    query_vec: str = "embedding",
+    query_id: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query build the
+    (m, k) table of squared distances query-subvector -> centroid, then
+    score every code by m table lookups. Queries + tables broadcast; the
+    corpus side is one scan of the 8-byte codes, no shuffle before the
+    top-k window."""
+    spark = queries.sparkSession
+    qr = queries.select(F.col(query_id).alias("query_id"),
+                        F.col(query_vec).alias("_qv")).collect()
+    m, k, sub = codebooks.shape
+    tables = {}
+    for r in qr:
+        x = np.array(r["_qv"], dtype=np.float64)
+        tables[r["query_id"]] = np.stack([
+            ((codebooks[s] - x[s * sub:(s + 1) * sub]) ** 2).sum(1)
+            for s in range(m)
+        ])
+    bt = spark.sparkContext.broadcast(tables)
+
+    from pyspark.sql.types import DoubleType, StructField, StructType, LongType
+
+    out_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("adc_dist2", DoubleType()),
+    ])
+
+    def score(batches):
+        T = bt.value
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b["id"].to_numpy()
+            codes = np.stack([np.asarray(c, dtype=np.int64) for c in b["codes"]])
+            cols = np.arange(m)
+            rows = []
+            for qid, tab in T.items():
+                d2 = tab[cols[None, :], codes].sum(1)   # (n,)
+                rows.append(pd.DataFrame({
+                    "query_id": qid, "neighbor_id": ids, "adc_dist2": d2,
+                }))
+            yield pd.concat(rows, ignore_index=True)
+
+    scored = enc_df.where(F.col("codes").isNotNull()).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "adc_dist2", "rank")
+    )

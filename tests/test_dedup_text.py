@@ -424,3 +424,61 @@ class TestC4Clean:
         assert r["body"] == "" and not r["keep"]
         r = self._one(spark, "A single unbroken line that does end with punctuation and has words.")
         assert r["body"] != "" and not r["keep"]  # 1 sentence < 3
+
+
+class TestPQ:
+    def _emb(self, spark, n=300, d=32, seed=11):
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(size=(6, d)) * 3
+        rows = []
+        for i in range(n):
+            v = centers[i % 6] + rng.normal(scale=0.3, size=d)
+            rows.append((i, [float(x) for x in v]))
+        return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    def test_encode_shape_and_determinism(self, spark):
+        emb = self._emb(spark)
+        B, enc = S.pq_encode(emb, m=4, k=16, codebooks="first_n")
+        assert B.shape == (4, 16, 8)
+        rows = {r["id"]: r["codes"] for r in enc.collect()}
+        assert len(rows) == 300 and all(len(c) == 4 for c in rows.values())
+        assert all(0 <= x < 16 for c in rows.values() for x in c)
+        rows2 = {r["id"]: r["codes"] for r in S.pq_encode(emb, m=4, k=16, codebooks="first_n")[1].collect()}
+        assert rows == rows2
+
+    def test_adc_recall_vs_bruteforce(self, spark):
+        """ADC top-k over kmeans codebooks recovers most exact-L2
+        neighbors on clustered data (the PQ paper's operating regime)."""
+        emb = self._emb(spark)
+        B, enc = S.pq_encode(emb, m=8, k=64, codebooks="kmeans",
+                             train_sample=300, train_iters=10, seed=4)
+        q = emb.where(F.col("vec_id") < 10)
+        got = S.pq_topk(q, enc, B, topk=10)
+        by_q = {}
+        for r in got.collect():
+            by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        # standard recall@10-of-top-3: quantization can't rank WITHIN a
+        # tight cluster (distances below the cell size), but the true top-3
+        # must appear in the ADC top-10
+        exact = S.brute_force_topk(q, emb, k=3, metric="euclidean")
+        ex_q = {}
+        for r in exact.collect():
+            ex_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recalls = [len(by_q[k] & ex_q[k]) / 3 for k in ex_q]
+        assert sum(recalls) / len(recalls) >= 0.8
+
+    def test_adc_distance_is_reconstruction_distance(self, spark):
+        """ADC dist2 equals the exact squared distance to the RECONSTRUCTED
+        (quantized) vector — the defining PQ identity."""
+        emb = self._emb(spark, n=50)
+        B, enc = S.pq_encode(emb, m=4, k=16, codebooks="first_n")
+        q = emb.where(F.col("vec_id") == 0)
+        got = {r["neighbor_id"]: r["adc_dist2"]
+               for r in S.pq_topk(q, enc, B, topk=50).collect()}
+        vecs = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+        codes = {r["id"]: r["codes"] for r in enc.collect()}
+        x = vecs[0]
+        for nid, d2 in got.items():
+            rec = np.concatenate([B[s][codes[nid][s]] for s in range(4)])
+            want = float(((x - rec) ** 2).sum())
+            assert d2 == pytest.approx(want, rel=1e-9)
