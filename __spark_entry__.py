@@ -551,6 +551,18 @@ def _q_pq_codes(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: concat the corpus in doc_id order and
+    chunk into 1024-token context windows. Spark computes the running
+    token total as a DISTRIBUTED two-phase prefix sum (range buckets ->
+    per-bucket window -> broadcast bucket offsets); the oracle uses the
+    single-window SQL form — identical results, different plan shape."""
+    from sedona_db_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, ctx_len=1024).orderBy("doc_id")
+
+
 def _q_intersection_area_concave(spark, sf_dir):
     """General (concave) polygon overlay oracle: per customer, an L-shaped
     hexagon (union of two arm rectangles) clipped by an offset box. The
@@ -916,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_c4_clean": _q_doc_c4_clean,
         "corpus_curate": _q_corpus_curate,
         "pq_codes": _q_pq_codes,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1433,6 +1446,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _semdedup_oracle(),
         "corpus_curate": _corpus_curate_oracle(),
         "pq_codes": "WITH corp AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), cb AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 16), ss AS (SELECT unnest(range(0, 4)) AS s), dist AS (SELECT c.id, ss.s, cb.cid,  list_sum(list_transform(range(1, 17), j ->   (c.v[CAST(ss.s*16 + j AS INTEGER)] - cb.cv[CAST(ss.s*16 + j AS INTEGER)])   * (c.v[CAST(ss.s*16 + j AS INTEGER)] - cb.cv[CAST(ss.s*16 + j AS INTEGER)]))) AS d2  FROM corp c CROSS JOIN ss CROSS JOIN cb), codes AS (SELECT id, s, cid AS code FROM ( SELECT id, s, cid, row_number() OVER (PARTITION BY id, s ORDER BY d2, cid) AS rn FROM dist)  WHERE rn = 1) SELECT id AS vec_id, array_to_string(list(code ORDER BY s), ',') AS codes_str FROM codes GROUP BY id ORDER BY id",
+        "pack_sequences": "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens FROM documents), c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 1024 AS BIGINT) AS bin_id, CAST((cum - n_tokens) % 1024 AS BIGINT) AS offset_in_bin FROM c ORDER BY doc_id",
         "doc_c4_clean": 'WITH d AS (SELECT doc_id, replace(text, \' value \', \' value.\' || chr(10)) AS t FROM documents), k AS (SELECT doc_id, t, list_filter(string_split(t, chr(10)), ln ->  regexp_matches(trim(ln), \'[.!?"\'\']$\')  AND len(regexp_split_to_array(trim(ln), \'\\s+\')) >= 5  AND NOT contains(lower(trim(ln)), \'javascript\')) AS kept FROM d), j AS (SELECT doc_id, t, kept, coalesce(array_to_string(kept, chr(10)), \'\') AS body FROM k) SELECT doc_id, CAST(len(kept) AS INTEGER) AS n_kept, CAST(length(body) AS BIGINT) AS kept_chars, ((length(body) - length(translate(body, \'.!?\', \'\'))) >= 3  AND NOT contains(t, \'{\') AND NOT contains(lower(t), \'lorem ipsum\')) AS page_keep FROM j ORDER BY 1',
         "knn_geog_k3": (
             # haversine with the same op structure as algos.haversine_m

@@ -1,0 +1,51 @@
+"""Distributed prefix-sum sequence packing tests."""
+
+import numpy as np
+
+from pyspark.sql import Window, functions as F
+
+from sedona_db_spark.operators.packing import global_running_sum, pack_sequences
+
+
+def test_global_running_sum_matches_single_window(spark):
+    rng = np.random.default_rng(7)
+    ids = sorted(int(x) for x in rng.choice(100_000, size=800, replace=False))
+    vals = rng.integers(1, 500, size=800)
+    df = spark.createDataFrame(
+        [(i, int(v)) for i, v in zip(ids, vals)], "id LONG, n LONG"
+    ).repartition(8)
+    got = {r["id"]: r["_cum"]
+           for r in global_running_sum(df, "id", "n", buckets=16).collect()}
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {r["id"]: r["c"]
+            for r in df.withColumn("c", F.sum("n").over(w)).collect()}
+    assert got == want
+
+
+def test_global_running_sum_no_single_task_stage(spark):
+    """The plan must not contain a partition-less global window sort."""
+    df = spark.range(1000).withColumn("n", F.lit(3))
+    out = global_running_sum(df, "id", "n", buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # Spark renders a global window as 'Window [...]' with no 'partitionBy';
+    # ours is partitioned by _bkt — assert the window spec carries a
+    # partition expression
+    assert "_bkt" in out._jdf.queryExecution().analyzed().toString()
+
+
+def test_pack_sequences_invariants(spark):
+    rows = [(i, "tok " * int(np.random.default_rng(i).integers(1, 300)))
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = pack_sequences(docs, ctx_len=256).collect()
+    assert len(out) == 200
+    by_id = sorted(out, key=lambda r: r["doc_id"])
+    cum = 0
+    for r in by_id:
+        assert r["bin_id"] == cum // 256
+        assert r["offset_in_bin"] == cum % 256
+        cum += r["n_tokens"]
+    # bins are non-decreasing in id order (a >ctx_len doc may span a whole
+    # window, so some bins legitimately have no STARTING document)
+    bins = [r["bin_id"] for r in by_id]
+    assert bins == sorted(bins)
