@@ -453,6 +453,21 @@ def plan_spatial_sql(spark: SparkSession, sql: str) -> Optional[DataFrame]:
     if spatial.kind == "knn" and s1 == "R":
         return None  # ST_KNN(probe, build): probe must be the left table
 
+    # geography dispatch: a view whose geometry column carries
+    # edges=spherical metadata must take the great-circle join, not the
+    # planar one (the reference dispatches on the Geography type;
+    # silently running planar math on geography was a wrong-answer hole)
+    from ..types import get_geom_meta
+
+    l_edges = (get_geom_meta(L, g_left) or {}).get("edges", "planar")
+    r_edges = (get_geom_meta(R, g_right) or {}).get("edges", "planar")
+    if l_edges != r_edges:
+        raise ValueError(
+            f"spatial SQL join mixes edges semantics: left {g_left!r} is "
+            f"{l_edges}, right {g_right!r} is {r_edges} — transform one side"
+        )
+    spherical = l_edges == "spherical"
+
     # rename both sides so the joined view has collision-free columns
     Lp = L.select([F.col(c).alias(f"{a1}__{c}") for c in cols1])
     Rp = R.select([F.col(c).alias(f"{a2}__{c}") for c in cols2])
@@ -463,7 +478,26 @@ def plan_spatial_sql(spark: SparkSession, sql: str) -> Optional[DataFrame]:
         J = knn_join(
             Lp, Rp, k=spatial.k,
             probe_geom=f"{a1}__{g_left}", build_geom=f"{a2}__{g_right}",
-            use_spheroid=spatial.use_spheroid,
+            use_spheroid=spherical or spatial.use_spheroid,
+        )
+    elif spherical and spatial.kind == "dwithin":
+        from ..operators.spatial_join import geography_dwithin_join
+
+        dt = spatial.dist_text.strip()
+        if not re.match(r"^[0-9]*\.?[0-9]+([eE][+-]?[0-9]+)?$", dt):
+            return None  # geography dwithin needs a literal meters distance
+        J = geography_dwithin_join(
+            Lp, Rp, distance_m=float(dt),
+            left_geom=f"{a1}__{g_left}", right_geom=f"{a2}__{g_right}",
+            how=how,
+        )
+    elif spherical:
+        from ..operators.spatial_join import geography_pip_join
+
+        J = geography_pip_join(
+            Lp, Rp, predicate=predicate,
+            left_geom=f"{a1}__{g_left}", right_geom=f"{a2}__{g_right}",
+            how=how,
         )
     else:
         from ..operators.spatial_join import spatial_join

@@ -193,3 +193,57 @@ def test_unsupported_shape_warns_and_falls_back(con, tables):
 def test_non_spatial_sql_passthrough(con, tables):
     df = con.sql("SELECT count(*) AS n FROM pts_t")
     assert df.collect()[0]["n"] == 400
+
+
+def test_geography_views_dispatch_great_circle(con, spark):
+    """A view whose geometry column carries edges=spherical metadata must
+    route SQL ST_DWithin through the GEOGRAPHY join (great-circle meters),
+    not the planar one — and mixing edges must raise."""
+    from sedona_db_spark.operators.spatial_join import geography_dwithin_join
+    from sedona_db_spark.types import with_geom_meta
+
+    rng = np.random.default_rng(23)
+    def mk(n, seed_off):
+        r = np.random.default_rng(23 + seed_off)
+        x, y = r.uniform(-179, 179, n), r.uniform(-80, 80, n)
+        df = spark.createDataFrame(
+            [(int(i), bytes(w)) for i, w in enumerate(wkb.encode_points_xy(x, y))],
+            "id LONG, geom BINARY",
+        )
+        return with_geom_meta(df, "geom", crs="EPSG:4326", edges="spherical")
+
+    A, B = mk(150, 0), mk(60, 1)
+    A.createOrReplaceTempView("geogA")
+    B.createOrReplaceTempView("geogB")
+    got = con.sql(
+        "SELECT a.id AS ia, b.id AS ib FROM geogA a JOIN geogB b "
+        "ON ST_DWithin(a.geom, b.geom, 500000.0)"
+    )
+    want = geography_dwithin_join(
+        A.select(F.col("id").alias("ia"), "geom"),
+        B.select(F.col("id").alias("ib"), "geom"),
+        distance_m=500000.0, left_geom="geom", right_geom="geom",
+    ).select("ia", "ib")
+    g = {(r["ia"], r["ib"]) for r in got.collect()}
+    w = {(r["ia"], r["ib"]) for r in want.collect()}
+    assert g == w and len(g) > 0
+
+    # planar result would differ: 500000 "planar units" is not 500 km
+    planar = spatial_join(
+        A.select(F.col("id").alias("ia"), "geom"),
+        B.select(F.col("id").alias("ib"), "geom"),
+        predicate="dwithin", left_geom="geom", right_geom="geom",
+        distance=500000.0,
+    )
+    assert {(r["ia"], r["ib"]) for r in planar.select("ia", "ib").collect()} != g
+
+    # mixed edges semantics must raise, not silently pick one
+    P = spark.createDataFrame(
+        [(0, bytes(wkb.encode_points_xy(np.array([1.0]), np.array([2.0]))[0]))],
+        "id LONG, geom BINARY",
+    )
+    P.createOrReplaceTempView("planarP")
+    with pytest.raises(Exception, match="edges"):
+        con.sql(
+            "SELECT * FROM geogA a JOIN planarP p ON ST_Intersects(a.geom, p.geom)"
+        )
