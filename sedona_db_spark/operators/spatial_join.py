@@ -41,7 +41,7 @@ from typing import Iterator, Optional
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
@@ -402,6 +402,33 @@ def spatial_join(
     how = how.lower()
     if predicate != "dwithin" and predicate not in RELATION_FNS:
         raise ValueError(f"unknown predicate {predicate!r}")
+
+    # Geography dispatch: columns tagged edges=spherical must take the
+    # great-circle joins — planar degree math on geography is a silent
+    # wrong answer (the reference dispatches on the Geography type).
+    from ..types import get_geom_meta
+
+    l_edges = (get_geom_meta(left, left_geom) or {}).get("edges", "planar")
+    r_edges = (get_geom_meta(right, right_geom) or {}).get("edges", "planar")
+    if l_edges != r_edges:
+        raise ValueError(
+            f"spatial_join mixes edges semantics: left {left_geom!r} is "
+            f"{l_edges}, right {right_geom!r} is {r_edges} — transform one side"
+        )
+    if l_edges == "spherical":
+        if predicate == "dwithin":
+            if distance is None or isinstance(distance, Column):
+                raise NotImplementedError(
+                    "geography dwithin needs a literal meters distance"
+                )
+            return geography_dwithin_join(
+                left, right, distance_m=float(distance),
+                left_geom=left_geom, right_geom=right_geom, how=how,
+            )
+        return geography_pip_join(
+            left, right, predicate=predicate,
+            left_geom=left_geom, right_geom=right_geom, how=how,
+        )
 
     # Narrow scans (single-row-group parquet = one unsplittable task) would
     # run the whole broadcast-join pipeline — cell UDFs, refine, agg — on a

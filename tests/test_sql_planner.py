@@ -228,13 +228,24 @@ def test_geography_views_dispatch_great_circle(con, spark):
     w = {(r["ia"], r["ib"]) for r in want.collect()}
     assert g == w and len(g) > 0
 
-    # planar result would differ: 500000 "planar units" is not 500 km
-    planar = spatial_join(
+    # spatial_join() on spherical-tagged frames auto-routes to the same
+    # geography join (DSL parity with the SQL dispatch)
+    routed = spatial_join(
         A.select(F.col("id").alias("ia"), "geom"),
         B.select(F.col("id").alias("ib"), "geom"),
         predicate="dwithin", left_geom="geom", right_geom="geom",
         distance=500000.0,
     )
+    assert {(r["ia"], r["ib"]) for r in routed.select("ia", "ib").collect()} == g
+
+    # planar math on the SAME coordinates (metadata stripped) differs:
+    # 500000 "planar units" is not 500 km
+    A0 = spark.createDataFrame(A.select(F.col("id").alias("ia"), "geom").collect(),
+                               "ia LONG, geom BINARY")
+    B0 = spark.createDataFrame(B.select(F.col("id").alias("ib"), "geom").collect(),
+                               "ib LONG, geom BINARY")
+    planar = spatial_join(A0, B0, predicate="dwithin", left_geom="geom",
+                          right_geom="geom", distance=500000.0)
     assert {(r["ia"], r["ib"]) for r in planar.select("ia", "ib").collect()} != g
 
     # mixed edges semantics must raise, not silently pick one
