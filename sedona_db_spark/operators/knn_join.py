@@ -366,6 +366,21 @@ def knn_join(
     for non-point builds), or haversine meters when use_spheroid
     (points only — the reference's Euclidean/Haversine metric choice,
     `index.rs:34-37`)."""
+    # geography dispatch: spherical-edges columns force the haversine
+    # metric (planar-degree kNN on geography silently mis-ranks; the
+    # reference picks the metric from the Geography type, index.rs:34-37)
+    from ..types import get_geom_meta
+
+    p_edges = (get_geom_meta(probe, probe_geom) or {}).get("edges", "planar")
+    b_edges = (get_geom_meta(build, build_geom) or {}).get("edges", "planar")
+    if p_edges != b_edges:
+        raise ValueError(
+            f"knn_join mixes edges semantics: probe {probe_geom!r} is "
+            f"{p_edges}, build {build_geom!r} is {b_edges} — transform one side"
+        )
+    if p_edges == "spherical":
+        use_spheroid = True
+
     spark = probe.sparkSession
     grid = Grid(grid_level)
 

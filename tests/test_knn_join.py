@@ -199,3 +199,35 @@ def test_spheroid_general_build(spark):
         for r, jt in enumerate(order[:2]):
             want.add((i, int(jt), r + 1))
     assert got == want
+
+
+def test_spherical_tagged_columns_force_haversine(spark):
+    """knn_join on geography-tagged columns must rank by great-circle
+    meters even when the caller forgets use_spheroid=True."""
+    import numpy as np
+
+    from sedona_db_spark.geometry import wkb
+    from sedona_db_spark.types import with_geom_meta
+
+    # at lat 60, 1 degree of lon is half as long as 1 degree of lat —
+    # planar-degree ranking inverts this pair
+    probe = spark.createDataFrame(
+        [(0, bytes(wkb.encode_points_xy(np.array([0.0]), np.array([60.0]))[0]))],
+        "pid LONG, geom BINARY",
+    )
+    build = spark.createDataFrame(
+        [
+            (1, bytes(wkb.encode_points_xy(np.array([1.8]), np.array([60.0]))[0])),
+            (2, bytes(wkb.encode_points_xy(np.array([0.0]), np.array([61.0]))[0])),
+        ],
+        "bid LONG, geom BINARY",
+    )
+    gp = with_geom_meta(probe, "geom", crs="EPSG:4326", edges="spherical")
+    gb = with_geom_meta(build, "geom", crs="EPSG:4326", edges="spherical")
+    got = knn_join(gp, gb, k=1, probe_geom="geom", build_geom="geom").collect()
+    assert got[0]["bid"] == 1  # 1.8 deg lon at lat 60 ≈ 100 km < 111 km
+    planar = knn_join(probe, build, k=1, probe_geom="geom", build_geom="geom").collect()
+    assert planar[0]["bid"] == 2  # planar degrees rank the other way
+    import pytest as _pt
+    with _pt.raises(ValueError, match="edges"):
+        knn_join(gp, build, k=1, probe_geom="geom", build_geom="geom")
