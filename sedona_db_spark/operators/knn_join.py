@@ -380,6 +380,13 @@ def knn_join(
         )
     if p_edges == "spherical":
         use_spheroid = True
+    p_crs = (get_geom_meta(probe, probe_geom) or {}).get("crs")
+    b_crs = (get_geom_meta(build, build_geom) or {}).get("crs")
+    if p_crs is not None and b_crs is not None and p_crs != b_crs:
+        raise ValueError(
+            f"CRS mismatch: probe {probe_geom!r} has {p_crs!r}, build "
+            f"{build_geom!r} has {b_crs!r}; use ST_Transform first"
+        )
 
     spark = probe.sparkSession
     grid = Grid(grid_level)

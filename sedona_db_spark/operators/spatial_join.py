@@ -415,6 +415,16 @@ def spatial_join(
             f"spatial_join mixes edges semantics: left {left_geom!r} is "
             f"{l_edges}, right {right_geom!r} is {r_edges} — transform one side"
         )
+    l_crs = (get_geom_meta(left, left_geom) or {}).get("crs")
+    r_crs = (get_geom_meta(right, right_geom) or {}).get("crs")
+    if l_crs is not None and r_crs is not None and l_crs != r_crs:
+        # the reference raises on CRS mismatch between geometry args
+        # (sedona-schema datatypes matcher); joining EPSG:3857 meters
+        # against EPSG:4326 degrees is a silent wrong answer
+        raise ValueError(
+            f"CRS mismatch: left {left_geom!r} has {l_crs!r}, right "
+            f"{right_geom!r} has {r_crs!r}; use ST_Transform first"
+        )
     if l_edges == "spherical":
         if predicate == "dwithin":
             if distance is None or isinstance(distance, Column):
@@ -550,6 +560,34 @@ def spatial_join(
             .drop("_rbx")
         )
 
+    # --- right side: AREAL detection for the PIP fast path --------------------
+    # The point-in-polygon refine treats the right WKB as a polygon; a
+    # puntal/lineal right geometry would read as "outside" and the pair
+    # would be silently dropped (point x point intersects returned 0 rows).
+    # Same discipline as the rect path: the sample DECIDES, a full exact
+    # scan CONFIRMS — a mixed layer must take the generic refiner.
+    right_is_areal = bool(right_is_rects)
+    if not right_is_areal and left_is_points and predicate in (
+        "intersects", "contains", "within", "covers", "covered_by", "touches"
+    ):
+        def _is_areal_wkb(v) -> bool:
+            try:
+                g = wkb.parse(bytes(v))
+            except Exception:
+                return False
+            return g is not None and g.type_id in (wkb.POLYGON, wkb.MULTIPOLYGON)
+
+        rsample0 = rsample_geoms[:200]
+        if bool(rsample0) and all(_is_areal_wkb(v) for v in rsample0):
+            @F.pandas_udf(BooleanType())
+            def _all_areal(s: pd.Series) -> pd.Series:
+                return pd.Series(
+                    [_is_areal_wkb(v) if v is not None else False for v in s],
+                    dtype=bool,
+                )
+
+            right_is_areal = R.where(~_all_areal(F.col(rgeom))).limit(1).count() == 0
+
     # --- cover both sides -----------------------------------------------------
     # point left sides NEVER explode — for dwithin the distance expansion
     # lives entirely on the right side's covered envelope, so a point's own
@@ -655,7 +693,7 @@ def spatial_join(
         ).drop("_lb", "_rb")
 
     # --- refine -----------------------------------------------------------------
-    if left_is_points and predicate in ("intersects", "contains", "within", "covers", "covered_by", "touches"):
+    if left_is_points and right_is_areal and predicate in ("intersects", "contains", "within", "covers", "covered_by", "touches"):
         # vectorized PIP path; note arg order: polygon side is `right`
         # for contains/covers we test polygon-contains-point i.e. predicate
         # names are interpreted as left PRED right:

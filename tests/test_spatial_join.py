@@ -231,3 +231,63 @@ def test_salted_join_agrees(tables):
                        salt_replicas=4)
     got = {(r["lid"], r["rid"]) for r in res.select("lid", "rid").collect()}
     assert got == oracle_pairs(pts, polys, "intersects")
+
+
+def test_crs_mismatch_raises(spark):
+    """Joining EPSG:3857 meters against EPSG:4326 degrees must raise, not
+    silently mix units (reference datatypes matcher behavior)."""
+    import numpy as np
+
+    from sedona_db_spark.geometry import wkb as W
+    from sedona_db_spark.operators.knn_join import knn_join as KJ
+    from sedona_db_spark.types import with_geom_meta
+
+    pts = spark.createDataFrame(
+        [(0, bytes(W.encode_points_xy(np.array([1.0]), np.array([2.0]))[0]))],
+        "id LONG, geom BINARY",
+    )
+    a = with_geom_meta(pts, "geom", crs="EPSG:4326")
+    b = with_geom_meta(pts, "geom", crs="EPSG:3857")
+    with pytest.raises(ValueError, match="CRS mismatch"):
+        spatial_join(a, b, "intersects", left_geom="geom", right_geom="geom")
+    with pytest.raises(ValueError, match="CRS mismatch"):
+        KJ(a, b, k=1, probe_geom="geom", build_geom="geom")
+    # untagged columns stay permissive (plain binary frames)
+    pts2 = spark.createDataFrame(
+        [(9, bytes(W.encode_points_xy(np.array([1.0]), np.array([2.0]))[0]))],
+        "id2 LONG, geom2 BINARY",
+    )
+    assert spatial_join(pts, pts2, "intersects", left_geom="geom",
+                        right_geom="geom2").count() == 1
+
+
+def test_puntal_and_lineal_right_sides(spark):
+    """Regression: the point-in-polygon fast path must not swallow
+    point x point / point x line relation joins (the PIP refine read a
+    puntal right WKB as an empty polygon -> 'outside' -> pair dropped)."""
+    import numpy as np
+
+    from sedona_db_spark.geometry import wkb as W
+
+    pts = spark.createDataFrame(
+        [(0, bytes(W.encode_points_xy(np.array([1.0]), np.array([2.0]))[0]))],
+        "id LONG, geom BINARY",
+    )
+    pts2 = spark.createDataFrame(
+        [
+            (9, bytes(W.encode_points_xy(np.array([1.0]), np.array([2.0]))[0])),
+            (10, bytes(W.encode_points_xy(np.array([5.0]), np.array([5.0]))[0])),
+        ],
+        "id2 LONG, geom2 BINARY",
+    )
+    got = spatial_join(pts, pts2, "intersects", left_geom="geom", right_geom="geom2")
+    assert [r["id2"] for r in got.collect()] == [9]
+    assert spatial_join(pts, pts2, "equals", left_geom="geom",
+                        right_geom="geom2").count() == 1
+    seg = spark.createDataFrame(
+        [(7, bytes(W.encode_segments_xy(np.array([0.0]), np.array([1.0]),
+                                        np.array([2.0]), np.array([3.0]))[0]))],
+        "sid LONG, sgeom BINARY",
+    )
+    assert spatial_join(pts, seg, "intersects", left_geom="geom",
+                        right_geom="sgeom").count() == 1
