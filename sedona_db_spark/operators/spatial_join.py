@@ -435,6 +435,18 @@ def spatial_join(
                 left, right, distance_m=float(distance),
                 left_geom=left_geom, right_geom=right_geom, how=how,
             )
+        lsample = [
+            r[0] for r in left.select(left_geom).limit(200).collect()
+            if r[0] is not None
+        ]
+        if not (bool(lsample) and all(
+            len(bytes(v)) == 21 and bytes(v)[1] == wkb.POINT for v in lsample
+        )):
+            raise NotImplementedError(
+                "geography relation joins support a POINT left side vs a "
+                "polygon right side (great-circle PIP); for other shapes "
+                "use geography_dwithin_join or project to a planar CRS"
+            )
         return geography_pip_join(
             left, right, predicate=predicate,
             left_geom=left_geom, right_geom=right_geom, how=how,
