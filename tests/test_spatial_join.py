@@ -291,3 +291,52 @@ def test_puntal_and_lineal_right_sides(spark):
     )
     assert spatial_join(pts, seg, "intersects", left_geom="geom",
                         right_geom="sgeom").count() == 1
+
+
+def test_mixed_type_differential_all_predicates(spark):
+    """Adversarial differential: BOTH sides carry a mix of points, segments,
+    boxes, and triangles; every relation predicate must match the
+    brute-force kernel evaluation exactly. (The puntal-right-side fast-path
+    bug would have been caught by this.)"""
+    import numpy as np
+
+    from sedona_db_spark.geometry import algos, wkb as W
+
+    rng = np.random.default_rng(31)
+
+    def mixed(n, tag):
+        rows = []
+        for i in range(n):
+            kind = i % 4
+            x, y = rng.uniform(0, 10, 2)
+            if kind == 0:
+                g = W.encode_points_xy(np.array([x]), np.array([y]))[0]
+            elif kind == 1:
+                g = W.encode_segments_xy(np.array([x]), np.array([y]),
+                                         np.array([x + 2]), np.array([y + 1]))[0]
+            elif kind == 2:
+                g = W.encode_boxes(np.array([x]), np.array([y]),
+                                   np.array([x + 2]), np.array([y + 2]))[0]
+            else:
+                ring = np.array([[x, y], [x + 2, y], [x + 1, y + 2], [x, y]])
+                g = W.encode(W.Geometry(W.POLYGON, [ring]))
+            rows.append((i, bytes(g)))
+        return spark.createDataFrame(rows, f"{tag}id LONG, {tag}geom BINARY"), rows
+
+    A, arows = mixed(24, "a")
+    B, brows = mixed(24, "b")
+    preds = ["intersects", "contains", "within", "covers", "covered_by",
+             "touches", "crosses", "overlaps", "equals"]
+    for pred in preds:
+        got = {
+            (r["aid"], r["bid"])
+            for r in spatial_join(A, B, pred, left_geom="ageom",
+                                  right_geom="bgeom").collect()
+        }
+        fn = getattr(algos, pred)
+        want = {
+            (i, j)
+            for i, ga in arows for j, gb in brows
+            if fn(W.parse(ga), W.parse(gb))
+        }
+        assert got == want, f"{pred}: {got ^ want}"
