@@ -340,3 +340,41 @@ def test_mixed_type_differential_all_predicates(spark):
             if fn(W.parse(ga), W.parse(gb))
         }
         assert got == want, f"{pred}: {got ^ want}"
+
+
+def test_mixed_type_dwithin_differential(spark):
+    """dwithin over mixed-type sides vs brute-force kernel distances."""
+    import numpy as np
+
+    from sedona_db_spark.geometry import algos, wkb as W
+
+    rng = np.random.default_rng(37)
+
+    def mixed(n, tag):
+        rows = []
+        for i in range(n):
+            x, y = rng.uniform(0, 10, 2)
+            if i % 3 == 0:
+                g = W.encode_points_xy(np.array([x]), np.array([y]))[0]
+            elif i % 3 == 1:
+                g = W.encode_segments_xy(np.array([x]), np.array([y]),
+                                         np.array([x + 1.5]), np.array([y + 1]))[0]
+            else:
+                ring = np.array([[x, y], [x + 1.5, y], [x + 0.7, y + 1.5], [x, y]])
+                g = W.encode(W.Geometry(W.POLYGON, [ring]))
+            rows.append((i, bytes(g)))
+        return spark.createDataFrame(rows, f"{tag}id LONG, {tag}geom BINARY"), rows
+
+    A, arows = mixed(20, "a")
+    B, brows = mixed(20, "b")
+    got = {
+        (r["aid"], r["bid"])
+        for r in spatial_join(A, B, "dwithin", left_geom="ageom",
+                              right_geom="bgeom", distance=1.25).collect()
+    }
+    want = {
+        (i, j)
+        for i, ga in arows for j, gb in brows
+        if algos.distance(W.parse(ga), W.parse(gb)) <= 1.25
+    }
+    assert got == want, got ^ want
