@@ -236,10 +236,18 @@ def _parse_body(cur: _Cursor) -> Geometry:
 
 
 def parse(buf: Optional[bytes]) -> Optional[Geometry]:
-    """Parse one WKB buffer -> Geometry (None passes through)."""
+    """Parse one WKB buffer -> Geometry (None passes through). Malformed
+    or truncated bytes raise ValueError — never a raw struct/index error
+    (a 10^12-row corpus WILL contain corrupt blobs; the error must name
+    the problem, and callers can catch one exception type)."""
     if buf is None:
         return None
-    return _parse_body(_Cursor(bytes(buf)))
+    try:
+        return _parse_body(_Cursor(bytes(buf)))
+    except ValueError:
+        raise
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"invalid or truncated WKB ({len(buf)} bytes): {e}") from e
 
 
 # ---------------------------------------------------------------------------
@@ -513,6 +521,11 @@ def _wkt_coordseq(r: _WktReader, ndim: int) -> np.ndarray:
             break
     r.expect(")")
     width = max(len(row) for row in rows)
+    if width < 2 or any(len(row) != width for row in rows):
+        raise ValueError(
+            f"WKT coordinate sequence needs a uniform 2-4 ordinates per "
+            f"position, got widths {sorted({len(row) for row in rows})}"
+        )
     arr = np.full((len(rows), width), np.nan)
     for i, row in enumerate(rows):
         arr[i, : len(row)] = row
@@ -523,7 +536,10 @@ def from_wkt(s: Optional[str]) -> Optional[Geometry]:
     if s is None:
         return None
     r = _WktReader(s.strip())
-    return _wkt_geom(r)
+    g = _wkt_geom(r)
+    if r.peek() != "":
+        raise ValueError(f"trailing content after WKT geometry at {r.pos}")
+    return g
 
 
 def _wkt_geom(r: _WktReader) -> Geometry:

@@ -219,3 +219,38 @@ class TestDistanceLaws:
         assert d1 == d2 >= 0.0
         if p == q:
             assert d1 == 0.0
+
+
+class TestParserTotality:
+    """Corrupt inputs must raise ValueError (one catchable type), never a
+    raw struct/index error — a 10^12-row corpus WILL contain bad blobs."""
+
+    @given(st.binary(min_size=0, max_size=64))
+    @settings(max_examples=300, deadline=None)
+    def test_wkb_parse_total(self, buf):
+        try:
+            g = wkb.parse(buf)
+        except (ValueError, NotImplementedError):
+            return
+        assert g is None or isinstance(g, wkb.Geometry)
+
+    @given(st.binary(min_size=0, max_size=48))
+    @settings(max_examples=200, deadline=None)
+    def test_wkb_parse_total_prefixed(self, tail):
+        # bias toward almost-valid headers (little-endian point/polygon)
+        for head in (b"\x01\x01\x00\x00\x00", b"\x01\x03\x00\x00\x00",
+                     b"\x01\x07\x00\x00\x00"):
+            try:
+                g = wkb.parse(head + tail)
+            except (ValueError, NotImplementedError):
+                continue
+            assert g is None or isinstance(g, wkb.Geometry)
+
+    @given(st.text(alphabet="POINTLYGEMURSC( )0123456789.,-ZM", max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def test_wkt_parse_total(self, s):
+        try:
+            g = wkb.from_wkt(s)
+        except (ValueError, NotImplementedError):
+            return
+        assert g is None or isinstance(g, wkb.Geometry)
