@@ -533,6 +533,16 @@ def spatial_join(
     grid = Grid(grid_level)
 
     # --- detect the hot point×polygon shape ----------------------------------
+    # Sample DECIDES, a pure-column full scan CONFIRMS: a heterogeneous
+    # left side (points first, polygons later) under a sample-only
+    # decision routed every row through the single-cell point path and
+    # SILENTLY DROPPED the non-point tail. The confirm is JVM-only
+    # (length + 5-byte LE point header), one narrow scan, no Python.
+    def _is_le_point(col):
+        return (F.length(col) == 21) & (
+            F.expr(f"substring(`{col}`, 1, 5)") == F.lit(b"\x01\x01\x00\x00\x00")
+        )
+
     if left_xy is not None:
         left_is_points = True
     if left_is_points is None:
@@ -540,6 +550,12 @@ def spatial_join(
         left_is_points = bool(sample) and all(
             len(bytes(v)) == 21 and bytes(v)[1] == wkb.POINT for v in sample
         )
+        if left_is_points:
+            n_bad = (
+                L.where(F.col(lgeom).isNotNull() & ~_is_le_point(lgeom))
+                .limit(1).count()
+            )
+            left_is_points = n_bad == 0
 
     # --- right side: axis-aligned-rectangle layer detection -------------------
     # (admin boxes, tile grids, envelope layers) — unlocks a pure-column
@@ -762,6 +778,13 @@ def spatial_join(
         right_is_points = bool(rsample) and all(
             len(bytes(v)) == 21 and bytes(v)[1] == wkb.POINT for v in rsample
         )
+        if right_is_points:
+            # full confirm, same reason as left_is_points: a non-point tail
+            # under the point×point refine decodes invalid and drops pairs
+            right_is_points = (
+                R.where(F.col(rgeom).isNotNull() & ~_is_le_point(rgeom))
+                .limit(1).count() == 0
+            )
         if left_is_points and right_is_points:
             # point x point: one vectorized decode + hypot per Arrow batch
             # (the generic per-pair parser is ~50x slower here)

@@ -378,3 +378,45 @@ def test_mixed_type_dwithin_differential(spark):
         if algos.distance(W.parse(ga), W.parse(gb)) <= 1.25
     }
     assert got == want, got ^ want
+
+
+def test_heterogeneous_sides_beyond_sample_window(spark):
+    """Regression: point/rect/areal fast-path detection is confirmed by a
+    FULL scan, not the 200-row sample — a polygon hiding after 250 points
+    (either side) must still join."""
+    import numpy as np
+
+    from sedona_db_spark.geometry import wkb as W
+
+    far = [(i, bytes(W.encode_points_xy(np.array([50.0]), np.array([50.0]))[0]))
+           for i in range(250)]
+    ring = np.array([[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 1.0]])
+    L = spark.createDataFrame(
+        far + [(999, bytes(W.encode(W.Geometry(W.POLYGON, [ring])))),
+               (998, bytes(W.encode_points_xy(np.array([1.5]), np.array([1.2]))[0]))],
+        "id LONG, geom BINARY",
+    )
+    box = spark.createDataFrame(
+        [(5, bytes(W.encode_boxes(np.array([0.0]), np.array([0.0]),
+                                  np.array([3.0]), np.array([3.0]))[0]))],
+        "bid LONG, bgeom BINARY",
+    )
+    got = sorted(r["id"] for r in spatial_join(
+        L, box, "intersects", left_geom="geom", right_geom="bgeom").collect())
+    assert got == [998, 999]
+
+    # mixed right side under dwithin: polygon after 250 points
+    R2 = spark.createDataFrame(
+        [(i, bytes(W.encode_points_xy(np.array([100.0]), np.array([100.0]))[0]))
+         for i in range(250)]
+        + [(777, bytes(W.encode(W.Geometry(W.POLYGON, [ring]))))],
+        "rid LONG, rgeom BINARY",
+    )
+    probe = spark.createDataFrame(
+        [(1, bytes(W.encode_points_xy(np.array([1.5]), np.array([0.5]))[0]))],
+        "pid LONG, geom BINARY",
+    )
+    got2 = sorted(r["rid"] for r in spatial_join(
+        probe, R2, "dwithin", left_geom="geom", right_geom="rgeom",
+        distance=0.6).collect())
+    assert got2 == [777]
