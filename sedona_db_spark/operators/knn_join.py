@@ -50,17 +50,36 @@ from ..geometry import algos, wkb
 from ..tiling import Grid
 
 
-def _points_xy(df: DataFrame, geom_col: str, xname: str, yname: str) -> DataFrame:
+def _points_xy(df: DataFrame, geom_col: str, xname: str, yname: str,
+               strict: bool = False) -> DataFrame:
+    """Decode a point column to x/y. ``strict=True`` raises on any
+    NON-NULL row that is not a point (nulls still decode to null): the
+    probe-side type check is a 1k sample, so without this a non-point row
+    beyond the sampled prefix would silently drop instead of failing loud
+    — and a full type-check scan of a 10^12-row probe side would double
+    the job, so the guard lives inside the decode pass itself."""
+
+    def _decode(s: pd.Series):
+        x, y, v = wkb.decode_points_xy(list(s))
+        if strict:
+            for b, ok in zip(s, v):
+                if b is not None and not ok:
+                    raise ValueError(
+                        "knn_join probe side must be point geometries "
+                        "(non-point row beyond the sampled prefix)"
+                    )
+        return x, y, v
+
     @F.pandas_udf(DoubleType())
     def px(s: pd.Series) -> pd.Series:
-        x, _, v = wkb.decode_points_xy(list(s))
+        x, _, v = _decode(s)
         out = pd.Series(x)
         out[~v] = None
         return out
 
     @F.pandas_udf(DoubleType())
     def py(s: pd.Series) -> pd.Series:
-        _, y, v = wkb.decode_points_xy(list(s))
+        _, y, v = _decode(s)
         out = pd.Series(y)
         out[~v] = None
         return out
@@ -442,7 +461,9 @@ def knn_join(
             g = wkb.parse(b)
             if g is None or g.type_id != wkb.POINT:
                 raise NotImplementedError("knn_join probe side must be point geometries")
-    P = _points_xy(P, f"_p_{probe_geom}", "_px", "_py").where(F.col("_px").isNotNull())
+    P = _points_xy(P, f"_p_{probe_geom}", "_px", "_py", strict=True).where(
+        F.col("_px").isNotNull()
+    )
 
     bgeom = f"_b_{build_geom}"
 
