@@ -1,0 +1,142 @@
+"""BPE tokenizer induction over a document corpus.
+
+Training (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+with Subword Units") runs on the WORD-FREQUENCY table, not the raw
+corpus — the standard trick every real tokenizer trainer uses. That makes
+the Spark shape exact and cheap at 10^12 docs:
+
+* ONE distributed pass builds the word-frequency table (split + explode +
+  groupBy word — a single shuffle on the word key);
+* the top ``max_words`` rows (a few hundred thousand — tiny) come to the
+  driver, and the classic merge loop runs there: each iteration counts
+  symbol pairs WEIGHTED by word frequency and merges the argmax. The loop
+  never touches the corpus again.
+* applying the learned merges back to the corpus is an embarrassingly
+  parallel pandas UDF (no shuffle).
+
+Everything is deterministic: word ties break lexicographically, pair ties
+break by (count desc, pair lexicographic), so the same corpus always
+yields the same merge table on any partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+END = "</w>"
+
+
+def word_frequency(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) — lowercased whitespace words, one shuffle."""
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _merge_word(sym: Tuple[str, ...], pair: Tuple[str, str]) -> Tuple[str, ...]:
+    out: List[str] = []
+    i, n = 0, len(sym)
+    ab = pair[0] + pair[1]
+    while i < n:
+        if i + 1 < n and sym[i] == pair[0] and sym[i + 1] == pair[1]:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe(
+    docs: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    max_words: int = 100_000,
+) -> List[Tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from the corpus. Returns the ordered
+    merge list — apply with :func:`bpe_segment` / :func:`segment_word`."""
+    rows = (
+        word_frequency(docs, text_col)
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(max_words)
+        .collect()
+    )
+    vocab: Dict[Tuple[str, ...], int] = {}
+    for r in rows:
+        sym = tuple(r["word"]) + (END,)
+        vocab[sym] = vocab.get(sym, 0) + int(r["freq"])
+
+    merges: List[Tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Dict[Tuple[str, str], int] = {}
+        for sym, freq in vocab.items():
+            for a, b in zip(sym[:-1], sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + freq
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = {_merge_word(sym, best): f for sym, f in vocab.items()}
+    return merges
+
+
+def segment_word(word: str, ranks: Dict[Tuple[str, str], int]) -> List[str]:
+    """Apply learned merges to one word (greedy lowest-rank-first — the
+    canonical BPE apply)."""
+    sym = list(word) + [END]
+    while len(sym) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: List[Tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """All input columns + ``bpe_tokens`` (array<string>): the corpus
+    tokenized with the learned merges — one broadcast of the (tiny) merge
+    table, one vectorized pass, no shuffle."""
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast({tuple(m): i for i, m in enumerate(merges)})
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def seg(s: pd.Series) -> pd.Series:
+        ranks = bc.value
+        cache: Dict[str, List[str]] = {}
+        out = []
+        for t in s:
+            if t is None:
+                out.append(None)
+                continue
+            toks: List[str] = []
+            for w in t.strip().lower().split():
+                got = cache.get(w)
+                if got is None:
+                    got = segment_word(w, ranks)
+                    cache[w] = got
+                toks.extend(got)
+            out.append(toks)
+        return pd.Series(out, dtype=object)
+
+    return docs.withColumn("bpe_tokens", seg(F.col(text_col)))
