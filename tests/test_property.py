@@ -254,3 +254,66 @@ class TestParserTotality:
         except (ValueError, NotImplementedError):
             return
         assert g is None or isinstance(g, wkb.Geometry)
+
+
+@st.composite
+def holed_polygon(draw):
+    """A quantized star shell with a small square hole around an interior
+    point — exercises the overlay engine's hole plumbing under fuzz."""
+    from hypothesis import assume
+
+    shell_poly = draw(star_polygon(quantize=0.25))
+    shell = [tuple(p) for p in shell_poly.coords[0]]
+    ring = np.asarray(shell, dtype=np.float64)
+    cx = float(np.mean(ring[:-1, 0]))
+    cy = float(np.mean(ring[:-1, 1]))
+    cx, cy = round(cx * 4) / 4, round(cy * 4) / 4
+    h = draw(st.sampled_from([0.25, 0.5]))
+    hole = [(cx - h, cy - h), (cx + h, cy - h), (cx + h, cy + h),
+            (cx - h, cy + h), (cx - h, cy - h)]
+    # the hole (all corners + center) must be strictly inside the shell
+    hx = np.array([p[0] for p in hole] + [cx])
+    hy = np.array([p[1] for p in hole] + [cy])
+    ins, onb = algos.locate_points_in_ring(hx, hy, ring)
+    assume(bool(np.all(ins & ~onb)))
+    return _polygon([shell, hole]), shell_poly, 4 * h * h
+
+
+class TestOverlayWithHoles:
+    @given(holed_polygon())
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.filter_too_much, HealthCheck.too_slow])
+    def test_holed_area(self, data):
+        holed, shell, hole_area = data
+        assert algos.area(holed) == pytest.approx(
+            algos.area(shell) - hole_area, abs=1e-9
+        )
+
+    @given(holed_polygon(), star_polygon(quantize=0.25))
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.filter_too_much, HealthCheck.too_slow])
+    def test_holed_overlay_laws(self, data, other):
+        holed, _shell, _ha = data
+        ai, bi = algos.area(holed), algos.area(other)
+        inter = algos.area(overlay.polygon_overlay(holed, other, "intersection"))
+        uni = algos.area(overlay.polygon_overlay(holed, other, "union"))
+        diff = algos.area(overlay.polygon_overlay(holed, other, "difference"))
+        tol = 1e-6 * max(1.0, ai + bi)
+        assert uni == pytest.approx(ai + bi - inter, abs=tol)
+        assert diff == pytest.approx(ai - inter, abs=tol)
+        assert 0.0 - tol <= inter <= min(ai, bi) + tol
+
+    @given(holed_polygon())
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.filter_too_much, HealthCheck.too_slow])
+    def test_hole_is_outside(self, data):
+        """The hole's center is NOT inside the holed polygon, and
+        intersecting the holed polygon with itself preserves the hole."""
+        holed, _shell, hole_area = data
+        ring = np.asarray(holed.coords[1], dtype=np.float64)
+        cx = float(np.mean(ring[:-1, 0]))
+        cy = float(np.mean(ring[:-1, 1]))
+        p = _point(cx, cy)
+        assert not algos.contains(holed, p)
+        self_i = overlay.polygon_overlay(holed, holed, "intersection")
+        assert algos.area(self_i) == pytest.approx(algos.area(holed), abs=1e-6)
