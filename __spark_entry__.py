@@ -950,7 +950,7 @@ _NORM_SQL = (
     r" regexp_replace(regexp_replace(url,'#.*$',''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')),"
     r" '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2'),"
     r" '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2'),"
-    r" 'utm_[A-Za-z_]*=[^&#]*&', '', 'g'),"
+    r" '([?&])(utm_[A-Za-z_]*=[^&#]*&)+', '\1', 'g'),"
     r" '[?&]utm_[A-Za-z_]*=[^&#]*', '', 'g'),"
     r" '\?&', '?'),"
     r" '\?$', '')"

@@ -176,21 +176,32 @@ def _st_geomfromwkb(s: pd.Series) -> pd.Series:
 
 @pandas_udf(StringType())
 def _st_astext(s: pd.Series) -> pd.Series:
-    # fast path: 21-byte XY points skip the cursor parser entirely
-    xa, ya, valid = wkb.decode_points_xy(list(s))
-    is_pt = np.array([
-        v is not None and len(v) == 21 and bytes(v)[1:5] == b"\x01\x00\x00\x00"
-        for v in s
-    ])
-    out = []
+    # fast path: 21-byte LE XY points skip the cursor parser entirely.
+    # The header precheck GATES the vectorized decode — running
+    # decode_points_xy over the whole batch made every non-point row
+    # parse twice (once in the decode fallback, once in to_wkt)
+    bufs = list(s)
+    n = len(bufs)
+    is_pt = np.zeros(n, dtype=bool)
+    for i, v in enumerate(bufs):
+        if v is not None and len(v) == 21:
+            b = bytes(v)
+            if b[0] == 1 and b[1:5] == b"\x01\x00\x00\x00":
+                is_pt[i] = True
+    out = [None] * n
     fmt = wkb._fmt_num
-    for i, v in enumerate(s):
-        if v is None:
-            out.append(None)
-        elif is_pt[i] and valid[i]:
-            out.append(f"POINT ({fmt(xa[i])} {fmt(ya[i])})")
-        else:
-            out.append(wkb.to_wkt(wkb.parse(v)))
+    idx = np.nonzero(is_pt)[0]
+    if len(idx):
+        raw = np.frombuffer(
+            b"".join(bytes(bufs[i]) for i in idx), dtype=np.uint8
+        ).reshape(-1, 21)
+        xs = raw[:, 5:13].copy().view("<f8").ravel()
+        ys = raw[:, 13:21].copy().view("<f8").ravel()
+        for j, i in enumerate(idx):
+            out[i] = f"POINT ({fmt(xs[j])} {fmt(ys[j])})"
+    for i, v in enumerate(bufs):
+        if v is not None and not is_pt[i]:
+            out[i] = wkb.to_wkt(wkb.parse(v))
     return pd.Series(out, dtype=object)
 
 

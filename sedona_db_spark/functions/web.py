@@ -89,8 +89,10 @@ def normalize_url(url: Column) -> Column:
     # optional tail group substitutes '' when absent in both dialects)
     u = F.regexp_replace(u, r"^(http://[^/?#:]*):80([/?#].*)?$", r"$1$2")
     u = F.regexp_replace(u, r"^(https://[^/?#:]*):443([/?#].*)?$", r"$1$2")
-    # 4. utm_* params (with their trailing separator if mid-query)
-    u = F.regexp_replace(u, r"utm_[A-Za-z_]*=[^&#]*&", "")
+    # 4. utm_* params — anchored to a '?'/'&' separator so a non-tracking
+    #    param whose NAME merely contains 'utm_' (e.g. ?xutm_a=1) survives;
+    #    the (...)+ eats a run of consecutive utm params in one pass
+    u = F.regexp_replace(u, r"([?&])(utm_[A-Za-z_]*=[^&#]*&)+", r"$1")
     u = F.regexp_replace(u, r"[?&]utm_[A-Za-z_]*=[^&#]*", "")
     # 5. '?&' left when the first param was dropped but others remain
     u = F.regexp_replace(u, r"\?&", "?")

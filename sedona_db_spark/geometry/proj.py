@@ -497,7 +497,15 @@ def parse_proj4(s: str):
     if proj == "webmerc":
         return "WM"
     if proj == "merc":
-        return ("MERC", (f("lon_0"), f("k_0", kv.get("k", 1.0)), f("x_0"), f("y_0")))
+        k0 = f("k_0", kv.get("k", 1.0))
+        if "lat_ts" in kv:
+            # PROJ semantics: +lat_ts (latitude of true scale) takes
+            # precedence over +k_0, with k0 = m(lat_ts) (Snyder 7-x, the
+            # same scale-factor derivation _ps_k0_from_lat_ts uses for
+            # polar stereographic) — silently keeping k0=1 scaled all
+            # coordinates wrong by ~cos(lat_ts)
+            k0 = float(_m_snyder(math.radians(float(kv["lat_ts"]))))
+        return ("MERC", (f("lon_0"), k0, f("x_0"), f("y_0")))
     if proj == "utm":
         zone = int(kv["zone"])
         if not 1 <= zone <= 60:

@@ -103,6 +103,36 @@ _INVERT = {  # mirrors SpatialPredicate::invert (spatial_predicate.rs:217-229)
 }
 
 
+def _is_le_point_expr(col: str):
+    """JVM-only exact XY-point test: 21 bytes + little-endian POINT header.
+
+    This is the full-scan CONFIRM used by every point fast path (sample
+    DECIDES, full scan CONFIRMS — round-3 discipline): one narrow
+    whole-stage-codegen scan, zero Python. Big-endian/EWKB points fail
+    this test on purpose — callers either fall back to the generic path
+    or re-check the few offenders through the exact parser.
+    """
+    return (F.length(col) == 21) & (
+        F.expr(f"substring(`{col}`, 1, 5)") == F.lit(b"\x01\x01\x00\x00\x00")
+    )
+
+
+def _raise_on_nonpoint(bufs, valid, side: str, op: str) -> None:
+    """Strict-decode guard for point-kernel refines: any NON-NULL row that
+    failed the point decode raises loudly instead of being masked out
+    (the sample-decided route means rows beyond the sampled prefix would
+    otherwise silently drop — ADVICE r3 medium). Vectorized: the common
+    all-valid batch never enters the Python loop."""
+    if bool(np.all(valid)):
+        return
+    for b, ok in zip(bufs, valid):
+        if b is not None and not ok:
+            raise ValueError(
+                f"{op}: {side} side must be point geometries "
+                "(non-point row beyond the sampled prefix)"
+            )
+
+
 def _bounds_udf():
     @F.pandas_udf(
         StructType(
@@ -439,9 +469,39 @@ def spatial_join(
             r[0] for r in left.select(left_geom).limit(200).collect()
             if r[0] is not None
         ]
-        if not (bool(lsample) and all(
-            len(bytes(v)) == 21 and bytes(v)[1] == wkb.POINT for v in lsample
-        )):
+
+        def _sampled_point(v) -> bool:
+            b = bytes(v)
+            if len(b) == 21 and b[0] == 1 and b[1] == wkb.POINT:
+                return True
+            g = wkb.parse(b)  # big-endian/EWKB points are still points
+            return g is not None and g.type_id == wkb.POINT
+
+        left_pts = bool(lsample) and all(_sampled_point(v) for v in lsample)
+        if left_pts:
+            # The sample DECIDES the point-left route; a JVM-only full scan
+            # CONFIRMS it (same discipline as the planar left_is_points
+            # path): a heterogeneous left side — points first, polygons
+            # past the sampled prefix — must fail at plan time, never drop
+            # silently in the refine. Rows failing the LE-header test are
+            # re-checked through the exact parser so big-endian/EWKB
+            # points do not cause a false rejection; anything truly
+            # non-point beyond this look is still caught by the refine's
+            # strict decode.
+            offenders = (
+                left.where(
+                    F.col(left_geom).isNotNull() & ~_is_le_point_expr(left_geom)
+                )
+                .select(left_geom)
+                .limit(20)
+                .collect()
+            )
+            for r in offenders:
+                g = wkb.parse(bytes(r[0]))
+                if g is None or g.type_id != wkb.POINT:
+                    left_pts = False
+                    break
+        if not left_pts:
             raise NotImplementedError(
                 "geography relation joins support a POINT left side vs a "
                 "polygon right side (great-circle PIP); for other shapes "
@@ -538,10 +598,7 @@ def spatial_join(
     # decision routed every row through the single-cell point path and
     # SILENTLY DROPPED the non-point tail. The confirm is JVM-only
     # (length + 5-byte LE point header), one narrow scan, no Python.
-    def _is_le_point(col):
-        return (F.length(col) == 21) & (
-            F.expr(f"substring(`{col}`, 1, 5)") == F.lit(b"\x01\x01\x00\x00\x00")
-        )
+    _is_le_point = _is_le_point_expr  # module-level helper (shared with dispatch)
 
     if left_xy is not None:
         left_is_points = True
@@ -959,6 +1016,11 @@ def geography_dwithin_join(
     def refine(a: pd.Series, b: pd.Series) -> pd.Series:
         ax, ay, av = wkb.decode_points_xy(list(a))
         bx, by, bv = wkb.decode_points_xy(list(b))
+        # strict decode: the band prefilter and this haversine kernel are
+        # point-only; a non-point row must raise, not silently vanish in
+        # the mask (ADVICE r3 medium — sample-decides-without-confirm)
+        _raise_on_nonpoint(a, av, "left", "geography_dwithin_join")
+        _raise_on_nonpoint(b, bv, "right", "geography_dwithin_join")
         d = algos.haversine_m(ax, ay, bx, by)
         return pd.Series(av & bv & (d <= distance_m))
 
@@ -1057,6 +1119,14 @@ def geography_pip_join(
             if not len(lats):
                 out.append(None)
                 continue
+            if not g.polygons():
+                # the refine's spherical PIP reads polygon rings only — a
+                # puntal/lineal right row would silently test as "outside";
+                # fail loud instead (same contract the docstring states)
+                raise ValueError(
+                    "geography relation join: right side must be polygonal "
+                    "(POLYGON/MULTIPOLYGON); got a non-areal geometry"
+                )
             # margin: half the longest edge's angular length (degrees)
             margin = 0.0
             for poly in g.polygons():
@@ -1096,6 +1166,10 @@ def geography_pip_join(
         n = len(a)
         out = np.zeros(n, dtype=bool)
         ax, ay, av = wkb.decode_points_xy(list(a))
+        # strict decode: non-null non-point left rows raise instead of
+        # being masked out by `out &= av` below (which now only masks
+        # genuine NULLs) — ADVICE r3 medium
+        _raise_on_nonpoint(a, av, "left", "geography_pip_join")
         groups: dict = {}
         for i, v in enumerate(b):
             if v is not None:

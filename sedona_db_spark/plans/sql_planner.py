@@ -429,6 +429,11 @@ def plan_spatial_sql(spark: SparkSession, sql: str) -> Optional[DataFrame]:
         return None
     if residual and how != "inner":
         return None  # post-filter ≠ outer-join ON residual semantics
+    if spatial.kind == "knn" and how != "inner":
+        # knn_join has inner semantics only; silently running a LEFT/RIGHT
+        # kNN join as inner would drop probe rows with null/invalid
+        # geometry (or all rows on an empty build side) — fall back
+        return None
 
     L, R = _table_df(spark, t1), _table_df(spark, t2)
     if L is None or R is None:

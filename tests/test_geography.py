@@ -172,3 +172,100 @@ def test_geography_pip_join_antimeridian(spark):
     left = geography_pip_join(pts, zones, predicate="within", how="left").collect()
     assert len(left) == 4
     assert {r["pid"] for r in left if r["zone_id"] is None} == {2, 3}
+
+
+# ---------------------------------------------------------------------------
+# Round-4 regressions: geography fast paths must be sample-DECIDED +
+# full-scan CONFIRMED / strict-decoded (ADVICE r3 medium) — the same
+# silent-drop family the planar paths were hardened against in round 3.
+# ---------------------------------------------------------------------------
+
+
+def _tag_spherical(df):
+    from sedona_db_spark.types import SPHERICAL, with_geom_meta
+
+    return with_geom_meta(df, "geometry", edges=SPHERICAL)
+
+
+def test_geography_pip_hidden_polygon_raises(spark):
+    """A polygon hidden past the 200-row sampled prefix of the left side
+    must fail at PLAN time (full-scan confirm), never drop silently."""
+    import numpy as np
+
+    from sedona_db_spark.geometry import wkb as W
+    from sedona_db_spark.operators.spatial_join import spatial_join
+
+    n = 300
+    xs = np.linspace(-30, 30, n)
+    ys = np.linspace(-10, 10, n)
+    ring = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]])
+    rows = [
+        (int(i), bytes(b))
+        for i, b in enumerate(W.encode_points_xy(xs, ys))
+    ] + [(999, bytes(W.encode(W.Geometry(W.POLYGON, [ring]))))]
+    left = _tag_spherical(
+        spark.createDataFrame(rows, "pid LONG, geometry BINARY"))
+    zone = np.array([[-40.0, -20], [40.0, -20], [40.0, 20], [-40.0, 20], [-40.0, -20]])
+    right = _tag_spherical(spark.createDataFrame(
+        [(0, bytes(W.encode(W.Geometry(W.POLYGON, [zone]))))],
+        "zone_id LONG, geometry BINARY"))
+    with pytest.raises(NotImplementedError, match="POINT left side"):
+        spatial_join(left, right, predicate="within")
+
+
+def test_geography_pip_bigendian_point_not_false_rejected(spark):
+    """Big-endian point WKB fails the LE header confirm but IS a point —
+    the dispatch must re-check through the exact parser, not reject."""
+    import struct
+
+    import numpy as np
+
+    from sedona_db_spark.geometry import wkb as W
+    from sedona_db_spark.operators.spatial_join import spatial_join
+
+    be_pt = b"\x00" + struct.pack(">I", 1) + struct.pack(">dd", 0.5, 0.3)
+    rows = [(0, bytes(W.encode_points_xy(np.array([0.4]), np.array([0.4]))[0])),
+            (1, be_pt)]
+    left = _tag_spherical(spark.createDataFrame(rows, "pid LONG, geometry BINARY"))
+    zone = np.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0], [-1.0, -1.0]])
+    right = _tag_spherical(spark.createDataFrame(
+        [(0, bytes(W.encode(W.Geometry(W.POLYGON, [zone]))))],
+        "zone_id LONG, geometry BINARY"))
+    got = {(r["pid"], r["zone_id"]) for r in
+           spatial_join(left, right, predicate="within").collect()}
+    assert got == {(0, 0), (1, 0)}
+
+
+def test_geography_dwithin_nonpoint_raises(spark):
+    """geography_dwithin_join is a point-only kernel: a non-point row on
+    either side raises loudly instead of silently vanishing in the mask."""
+    import numpy as np
+
+    from sedona_db_spark.geometry import wkb as W
+    from sedona_db_spark.operators.spatial_join import geography_dwithin_join
+
+    ring = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]])
+    A = _pts(spark, [0.0, 1.0], [0.0, 1.0], "aid")
+    B = spark.createDataFrame(
+        [(0, bytes(W.encode_points_xy(np.array([0.0]), np.array([0.0]))[0])),
+         (1, bytes(W.encode(W.Geometry(W.POLYGON, [ring]))))],
+        "bid LONG, geometry BINARY")
+    with pytest.raises(Exception, match="point geometries"):
+        geography_dwithin_join(A, B, distance_m=10_000.0).collect()
+
+
+def test_geography_pip_nonareal_right_raises(spark):
+    """The spherical PIP refine reads polygon rings only — a lineal right
+    row must raise, not test as 'outside'."""
+    import numpy as np
+
+    from sedona_db_spark.geometry import wkb as W
+    from sedona_db_spark.operators.spatial_join import geography_pip_join
+
+    line = np.array([[0.0, 0.0], [1.0, 1.0]])
+    pts = _pts(spark, [0.5], [0.5], "pid")
+    right = spark.createDataFrame(
+        [(0, bytes(W.encode(W.Geometry(W.LINESTRING, line))))],
+        "zone_id LONG, geometry BINARY")
+    with pytest.raises(Exception, match="polygonal"):
+        geography_pip_join(pts, right, predicate="within").collect()

@@ -425,3 +425,33 @@ class TestProj4Strings:
         with pytest.raises(NotImplementedError, match="polar"):
             parse_proj4("+proj=stere +lat_0=52 +lon_0=4")
         assert parse_proj4("EPSG:4326") is None
+
+
+def test_merc_lat_ts_proj4():
+    """+proj=merc +lat_ts derives k0 = m(lat_ts) (Snyder §7) instead of
+    silently keeping k0=1 (ADVICE r3). EPSG:3832 (PDC Mercator) uses
+    lat_ts=0 == k0=1; a nonzero lat_ts must scale by ~cos(lat_ts)."""
+    import math
+
+    import numpy as np
+
+    from sedona_db_spark.geometry import proj
+
+    spec = proj.parse_proj4("+proj=merc +lat_ts=41.0 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84")
+    assert spec[0] == "MERC"
+    lon0, k0, fe, fn = spec[1]
+    # m(41°) on WGS84: cos(phi)/sqrt(1 - e^2 sin^2 phi)
+    e2 = 0.00669437999014
+    phi = math.radians(41.0)
+    want = math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+    assert abs(k0 - want) < 1e-12
+    # local scale at lat_ts is 1: dE/dlon at lat 41 == arc length per deg lon
+    E1, _ = proj.merc_forward(10.0, 41.0, lon0=lon0, k0=k0)
+    E2, _ = proj.merc_forward(10.001, 41.0, lon0=lon0, k0=k0)
+    a = 6378137.0
+    nu = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+    arc = math.radians(0.001) * nu * math.cos(phi)
+    assert abs((float(E2) - float(E1)) / arc - 1.0) < 1e-9
+    # lat_ts takes precedence over an explicit k_0 (PROJ semantics)
+    spec2 = proj.parse_proj4("+proj=merc +lat_ts=41.0 +k_0=0.5 +datum=WGS84")
+    assert abs(spec2[1][1] - want) < 1e-12

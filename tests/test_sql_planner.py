@@ -258,3 +258,23 @@ def test_geography_views_dispatch_great_circle(con, spark):
         con.sql(
             "SELECT * FROM geogA a JOIN planarP p ON ST_Intersects(a.geom, p.geom)"
         )
+
+
+def test_knn_outer_join_falls_back(con, tables, spark):
+    """LEFT/RIGHT JOIN ON ST_KNN must not silently run with inner
+    semantics (probe rows with null geometry would vanish) — the planner
+    declines and the generic fallback handles it (ADVICE r3)."""
+    from sedona_db_spark.plans.sql_planner import plan_spatial_sql
+
+    inner = plan_spatial_sql(
+        spark,
+        "SELECT p.pid AS pid, a.bid AS bid FROM pts_t p "
+        "JOIN admin_t a ON ST_KNN(p.geom, a.geometry, 2)",
+    )
+    assert inner is not None
+    outer = plan_spatial_sql(
+        spark,
+        "SELECT p.pid AS pid, a.bid AS bid FROM pts_t p "
+        "LEFT JOIN admin_t a ON ST_KNN(p.geom, a.geometry, 2)",
+    )
+    assert outer is None

@@ -61,6 +61,12 @@ def test_normalize_url(spark):
         "https://example.org/q?utm_a=1&utm_b=2&c=3": "https://example.org/q?c=3",
         # untouched
         "ftp://files.example.net/pub": "ftp://files.example.net/pub",
+        # a non-tracking param whose NAME merely contains 'utm_' survives
+        # (the unanchored regex corrupted this to '?xb=2' — ADVICE r3)
+        "https://example.org/q?xutm_a=1&b=2": "https://example.org/q?xutm_a=1&b=2",
+        # run of consecutive utm params mid-query
+        "https://example.org/q?utm_a=1&utm_b=2&utm_c=3&keep=4":
+            "https://example.org/q?keep=4",
     }
     for raw, want in cases.items():
         assert _one(spark, raw, W.normalize_url) == want, raw
