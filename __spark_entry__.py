@@ -870,6 +870,100 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_sjoin_left_outer(spark, sf_dir):
+    """LEFT OUTER spatial join: customers vs the 10 southern nation boxes —
+    unmatched points survive with NULL n_nationkey (reference join types,
+    rust/sedona-spatial-join/src/exec.rs + python tests/test_sjoin.py)."""
+    from sedona_db_spark.operators.spatial_join import spatial_join
+
+    pts = _cust_pts(spark, sf_dir).select("c_custkey", "geom")
+    boxes = (
+        _nation_boxes(spark, sf_dir)
+        .where(F.col("n_nationkey") < 10)
+        .select("n_nationkey", "geom")
+    )
+    j = spatial_join(pts, boxes, predicate="within",
+                     left_geom="geom", right_geom="geom", how="left")
+    return j.select("c_custkey", "n_nationkey")
+
+
+def _q_st_buffer_area(spark, sf_dir):
+    """ST_Buffer(point, r) with the default 8 quadrant segments is the
+    inscribed 32-gon — area/vertex-count closed-form recomputable in SQL
+    (reference: c/sedona-geos/src/st_buffer.rs)."""
+    from sedona_db_spark.functions import st
+
+    pts = _cust_pts(spark, sf_dir)
+    r = F.lit(0.5) + (F.col("c_custkey") % 10) * F.lit(0.1)
+    buf = st.ST_Buffer(F.col("geom"), r)
+    return pts.select(
+        "c_custkey",
+        F.round(st.ST_Area(buf), 6).alias("buf_area"),
+        st.ST_NPoints(buf).cast("int").alias("buf_npts"),
+    )
+
+
+def _q_union_aggr_nation(spark, sf_dir):
+    """ST_Union_Aggr dissolve: per nation, three x-shifted overlapping
+    rectangles whose union area has the closed form (2*step+36)*18
+    (reference: st_union_aggr.rs cascaded union)."""
+    from sedona_db_spark.functions import aggregates as agg
+    from sedona_db_spark.functions import st
+
+    n = _t(spark, sf_dir, "nation")
+    x0 = F.lit(-180.0) + (F.col("n_nationkey") % 5) * F.lit(72.0)
+    y0 = F.lit(-90.0) + F.floor(F.col("n_nationkey") / 5) * F.lit(36.0)
+    step = F.lit(12.0) + (F.col("n_nationkey") % 5) * F.lit(6.0)
+    df = (
+        n.select("n_nationkey", x0.alias("x0"), y0.alias("y0"), step.alias("st"))
+        .withColumn("i", F.explode(F.array(F.lit(0.0), F.lit(1.0), F.lit(2.0))))
+        .withColumn("bx", F.col("x0") + F.col("i") * F.col("st"))
+    )
+    from sedona_db_spark.functions.st import ST_MakeEnvelope
+
+    df = df.withColumn(
+        "geom",
+        ST_MakeEnvelope(F.col("bx"), F.col("y0"),
+                        F.col("bx") + F.lit(36.0), F.col("y0") + F.lit(18.0)),
+    )
+    u = agg.union_aggr(df, "geom", ["n_nationkey"])
+    return u.select(
+        "n_nationkey",
+        F.round(st.ST_Area(F.col("union_geom")), 6).alias("union_area"),
+    ).orderBy("n_nationkey")
+
+
+def _q_st_transform_roundtrip(spark, sf_dir):
+    """ST_Transform through the WGS84 hub: 4326 -> 3857 recomputed by the
+    closed-form spherical-Mercator SQL; 4326 -> 3857 -> 4326 and
+    4326 -> NZTM (EPSG:2193, generalized Krüger tmerc) -> 4326 roundtrip
+    errors are 0 at 1e-6 deg (reference: c/sedona-proj/src/st_transform.rs)."""
+    from sedona_db_spark.functions import st
+
+    pts = _cust_pts(spark, sf_dir)
+    cx = F.lit(-180.0) + ((F.col("c_custkey") * 7) % 3600) * F.lit(0.1) + F.lit(0.005)
+    cy = F.lit(-90.0) + ((F.col("c_custkey") * 13) % 1800) * F.lit(0.1) + F.lit(0.005)
+    g1 = st.ST_Transform(F.col("geom"), F.lit("EPSG:4326"), F.lit("EPSG:3857"))
+    back = st.ST_Transform(g1, F.lit("EPSG:3857"), F.lit("EPSG:4326"))
+    rt_err = F.round(F.abs(st.ST_X(back) - cx) + F.abs(st.ST_Y(back) - cy), 6)
+    # NZTM roundtrip inside the Krüger series' accuracy window (±~15 deg
+    # of the 173E central meridian; transverse Mercator is not usable
+    # farther out — PROJ errors there too)
+    in_win = (cx >= 158.0) & (cx <= 180.0) & (cy >= -60.0) & (cy <= -5.0)
+    g2 = st.ST_Transform(F.col("geom"), F.lit("EPSG:4326"), F.lit("EPSG:2193"))
+    b2 = st.ST_Transform(g2, F.lit("EPSG:2193"), F.lit("EPSG:4326"))
+    tm_err = F.when(
+        in_win, F.round(F.abs(st.ST_X(b2) - cx) + F.abs(st.ST_Y(b2) - cy), 6)
+    )
+    return pts.select(
+        "c_custkey",
+        F.round(st.ST_X(g1), 3).alias("wm_x"),
+        F.round(st.ST_Y(g1), 3).alias("wm_y"),
+        rt_err.alias("rt_err"),
+        tm_err.alias("tmerc_rt_err"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-polygon spatial join of customer points against
     the 5x5 world partition of nation boxes at sf0.001."""
@@ -929,6 +1023,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate": _q_corpus_curate,
         "pq_codes": _q_pq_codes,
         "pack_sequences": _q_pack_sequences,
+        "sjoin_left_outer": _q_sjoin_left_outer,
+        "st_buffer_area": _q_st_buffer_area,
+        "union_aggr_nation": _q_union_aggr_nation,
+        "st_transform_roundtrip": _q_st_transform_roundtrip,
     }
 
 
@@ -1597,5 +1695,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id AS doc_id, COALESCE(h.overlap_grams, 0) AS overlap_grams, "
             "  COALESCE(h.overlap_grams, 0) > 0 AS contaminated "
             "FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id"
+        ),
+        "sjoin_left_outer": (
+            f"SELECT c.c_custkey AS c_custkey, n.n_nationkey AS n_nationkey "
+            f"FROM customer c LEFT JOIN "
+            f"(SELECT * FROM nation WHERE n_nationkey < 10) n "
+            f"ON {_CX} > {_NX0} AND {_CX} < {_NX0} + 72.0 "
+            f"AND {_CY} > {_NY0} AND {_CY} < {_NY0} + 36.0"
+        ),
+        # point buffer with quad_segs=8 = inscribed 32-gon:
+        # area = 0.5*n*r^2*sin(2*pi/n), 33 vertices (closed ring)
+        "st_buffer_area": (
+            "SELECT c_custkey, "
+            "round(CAST(0.5 AS DOUBLE) * 32 * r * r * sin(2*pi()/32), 6) AS buf_area, "
+            "33 AS buf_npts FROM (SELECT c_custkey, "
+            "(CAST(0.5 AS DOUBLE) + (c_custkey % 10)*CAST(0.1 AS DOUBLE)) AS r "
+            "FROM customer)"
+        ),
+        # three 36x18 rects x-shifted by step each: union x-extent is
+        # 2*step+36 (overlapping dissolve), area closed-form
+        "union_aggr_nation": (
+            "SELECT n_nationkey, "
+            "round((2*(CAST(12.0 AS DOUBLE) + (n_nationkey % 5)*CAST(6.0 AS DOUBLE)) "
+            " + CAST(36.0 AS DOUBLE)) * CAST(18.0 AS DOUBLE), 6) AS union_area "
+            "FROM nation ORDER BY n_nationkey"
+        ),
+        # spherical web-mercator closed form; roundtrip errors are exact 0
+        # at 1e-6 deg (tmerc only inside the series window, else NULL)
+        "st_transform_roundtrip": (
+            f"SELECT c_custkey, "
+            f"round(radians({_CX}) * CAST(6378137.0 AS DOUBLE), 3) AS wm_x, "
+            f"round(ln(tan(pi()/4 + radians({_CY})/2)) * CAST(6378137.0 AS DOUBLE), 3) AS wm_y, "
+            f"CAST(0.0 AS DOUBLE) AS rt_err, "
+            f"CASE WHEN {_CX} >= 158.0 AND {_CX} <= 180.0 "
+            f"      AND {_CY} >= -60.0 AND {_CY} <= -5.0 "
+            f"THEN CAST(0.0 AS DOUBLE) ELSE NULL END AS tmerc_rt_err "
+            f"FROM customer c"
         ),
     }

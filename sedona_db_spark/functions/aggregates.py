@@ -87,59 +87,62 @@ def envelope_aggr(df: DataFrame, geom_col: str, group_cols: Optional[List[str]] 
     return out.withColumn("envelope", mkbox("xmin", "ymin", "xmax", "ymax"))
 
 
+def _finish_group(kind: str, items) -> bytes:
+    """Finish one group's WKB list for collect/union/intersection — shared
+    by the DataFrame API (collect_list + finishing UDF) and the SQL
+    GROUPED_AGG registrations."""
+    geoms = [wkb.parse(bytes(v)) for v in items if v is not None] if items is not None else []
+    geoms = [g for g in geoms if g is not None and not g.is_empty]
+    if not geoms:
+        # all-null group -> NULL (reference: test_aggregate.py
+        # test_st_collect_all_null)
+        return (None if kind == "collect"
+                else wkb.encode(wkb.Geometry(wkb.GEOMETRYCOLLECTION, [])))
+    if kind == "collect":
+        # reference raises on mixed coordinate dimensions
+        # (test_st_collect_mixed_dimensions)
+        dims = {(g.has_z, g.has_m) for g in geoms}
+        if len(dims) > 1:
+            raise ValueError("ST_Collect does not support mixed dimension geometries")
+        types = {g.type_id for g in geoms}
+        if types == {wkb.POINT}:
+            g = wkb.Geometry(wkb.MULTIPOINT, geoms)
+        elif types == {wkb.LINESTRING}:
+            g = wkb.Geometry(wkb.MULTILINESTRING, geoms)
+        elif types == {wkb.POLYGON}:
+            g = wkb.Geometry(wkb.MULTIPOLYGON, geoms)
+        else:
+            g = wkb.Geometry(wkb.GEOMETRYCOLLECTION, geoms)
+    elif kind == "union":
+        areal = [x for x in geoms if x.polygons()]
+        others = [x for x in geoms if not x.polygons()]
+        merged = []
+        if areal:
+            # dissolving cascaded union (balanced overlay fold)
+            merged.append(overlay.union_all(areal))
+        if others:
+            g = others[0]
+            for nxt in others[1:]:
+                g = _pairwise_union(g, nxt)
+            merged.append(g)
+        g = merged[0]
+        for nxt in merged[1:]:
+            g = _pairwise_union(g, nxt)
+    else:  # intersection
+        from .st import _intersection
+
+        g = geoms[0]
+        for nxt in geoms[1:]:
+            g = _intersection(g, nxt)
+            if g.is_empty:
+                break
+    return wkb.encode(g)
+
+
 def _finish_udf(kind: str):
     @F.pandas_udf(BinaryType())
     def finish(lists: pd.Series) -> pd.Series:
-        out = []
-        for items in lists:
-            geoms = [wkb.parse(bytes(v)) for v in items if v is not None] if items is not None else []
-            geoms = [g for g in geoms if g is not None and not g.is_empty]
-            if not geoms:
-                # all-null group -> NULL (reference: test_aggregate.py
-                # test_st_collect_all_null)
-                out.append(None if kind == "collect"
-                           else wkb.encode(wkb.Geometry(wkb.GEOMETRYCOLLECTION, [])))
-                continue
-            if kind == "collect":
-                # reference raises on mixed coordinate dimensions
-                # (test_st_collect_mixed_dimensions)
-                dims = {(g.has_z, g.has_m) for g in geoms}
-                if len(dims) > 1:
-                    raise ValueError("ST_Collect does not support mixed dimension geometries")
-                types = {g.type_id for g in geoms}
-                if types == {wkb.POINT}:
-                    g = wkb.Geometry(wkb.MULTIPOINT, geoms)
-                elif types == {wkb.LINESTRING}:
-                    g = wkb.Geometry(wkb.MULTILINESTRING, geoms)
-                elif types == {wkb.POLYGON}:
-                    g = wkb.Geometry(wkb.MULTIPOLYGON, geoms)
-                else:
-                    g = wkb.Geometry(wkb.GEOMETRYCOLLECTION, geoms)
-            elif kind == "union":
-                areal = [x for x in geoms if x.polygons()]
-                others = [x for x in geoms if not x.polygons()]
-                merged = []
-                if areal:
-                    # dissolving cascaded union (balanced overlay fold)
-                    merged.append(overlay.union_all(areal))
-                if others:
-                    g = others[0]
-                    for nxt in others[1:]:
-                        g = _pairwise_union(g, nxt)
-                    merged.append(g)
-                g = merged[0]
-                for nxt in merged[1:]:
-                    g = _pairwise_union(g, nxt)
-            else:  # intersection
-                from .st import _intersection
-
-                g = geoms[0]
-                for nxt in geoms[1:]:
-                    g = _intersection(g, nxt)
-                    if g.is_empty:
-                        break
-            out.append(wkb.encode(g))
-        return pd.Series(out, dtype=object)
+        return pd.Series([_finish_group(kind, items) for items in lists], dtype=object)
 
     return finish
 
@@ -243,3 +246,84 @@ def analyze_aggr(df: DataFrame, geom_col: str, group_cols: Optional[List[str]] =
         F.max("_a.ymax").alias("ymax"),
     ]
     return d.groupBy(*(group_cols or [])).agg(*aggs)
+
+
+def register_sql_aggregates(spark) -> None:
+    """Register the 5 spatial aggregates as SQL GROUPED_AGG functions
+    under the reference's SQL names (rust/sedona-functions/src/register.rs
+    :105-112 in /root/reference): st_collect, st_union_aggr,
+    st_intersection_aggr, st_envelope_aggr, st_analyze_aggr.
+
+    Note on shape: SQL grouped-agg pandas UDFs see the whole group's WKB
+    list on one executor (same as the reference's accumulator state). For
+    the 100-TB path prefer the DataFrame APIs above — envelope/analyze
+    there reduce per-row numerics with built-in min/max/sum aggregates
+    (map-side partials, no geometry shuffle).
+
+    st_analyze_aggr returns the stats as a JSON string in SQL (grouped-agg
+    UDFs cannot return structs); the DataFrame API returns real columns.
+    """
+    import json
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk_finish(kind):
+        def f(s: pd.Series) -> Optional[bytes]:
+            return _finish_group(kind, list(s))
+
+        return f
+
+    spark.udf.register("ST_Collect", pandas_udf(_mk_finish("collect"), BinaryType()))
+    spark.udf.register("ST_Union_Aggr", pandas_udf(_mk_finish("union"), BinaryType()))
+    spark.udf.register(
+        "ST_Intersection_Aggr", pandas_udf(_mk_finish("intersection"), BinaryType())
+    )
+
+    def _envelope(s: pd.Series) -> Optional[bytes]:
+        bb = np.full((len(s), 4), np.nan)
+        for i, v in enumerate(s):
+            if v is not None:
+                bb[i] = algos.bounds(wkb.parse(bytes(v)))
+        if not len(bb) or np.all(np.isnan(bb[:, 0])):
+            return None
+        return wkb.encode(wkb.box(
+            float(np.nanmin(bb[:, 0])), float(np.nanmin(bb[:, 1])),
+            float(np.nanmax(bb[:, 2])), float(np.nanmax(bb[:, 3]))))
+
+    spark.udf.register("ST_Envelope_Aggr", pandas_udf(_envelope, BinaryType()))
+
+    def _analyze(s: pd.Series) -> Optional[str]:
+        counts = {"puntal": 0, "lineal": 0, "polygonal": 0, "collection": 0}
+        total_pts, n = 0, 0
+        bb = np.full((len(s), 4), np.nan)
+        for i, v in enumerate(s):
+            if v is None:
+                continue
+            g = wkb.parse(bytes(v))
+            if g.type_id == wkb.GEOMETRYCOLLECTION:
+                counts["collection"] += 1
+            elif g.type_id in (wkb.POLYGON, wkb.MULTIPOLYGON):
+                counts["polygonal"] += 1
+            elif g.type_id in (wkb.LINESTRING, wkb.MULTILINESTRING):
+                counts["lineal"] += 1
+            else:
+                counts["puntal"] += 1
+            total_pts += algos.num_points(g)
+            bb[i] = algos.bounds(g)
+            n += 1
+        if n == 0:
+            return None
+        return json.dumps({
+            "count": n, "puntal_count": counts["puntal"],
+            "lineal_count": counts["lineal"],
+            "polygonal_count": counts["polygonal"],
+            "collection_count": counts["collection"],
+            "total_points": total_pts,
+            "mean_points_per_geometry": total_pts / n,
+            "xmin": float(np.nanmin(bb[:, 0])), "ymin": float(np.nanmin(bb[:, 1])),
+            "xmax": float(np.nanmax(bb[:, 2])), "ymax": float(np.nanmax(bb[:, 3])),
+        }, sort_keys=True)
+
+    spark.udf.register(
+        "ST_Analyze_Aggr", pandas_udf(_analyze, StringType())
+    )

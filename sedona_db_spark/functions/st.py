@@ -1484,6 +1484,9 @@ def _crs_tag(code: str):
     merc = _proj.MERC_CRS.get(up)
     if merc is not None:
         return ("MERC", merc)
+    tm = _proj.TMERC_CRS.get(up)
+    if tm is not None:
+        return ("TMERC", tm)
     utm = _proj.parse_utm_epsg(up)
     if utm is not None:
         return ("UTM",) + utm
@@ -1531,6 +1534,23 @@ def _to_lonlat_fn(tag):
             return out
 
         return fm
+    if tag[0] == "TMERC":
+
+        def ft(arr, _p=tag[1]):
+            lat0, lon0, k0, fe, fn, ellps, towgs84 = _p
+            out = arr.copy()
+            lon, lat = _proj.tmerc_inverse(
+                arr[:, 0], arr[:, 1], lat0=lat0, lon0=lon0, k0=k0,
+                fe=fe, fn=fn, ellps=ellps,
+            )
+            if towgs84 is not None:
+                # local datum -> the WGS84 lon/lat hub (7-param Helmert)
+                a, f_ = _proj.ELLIPSOIDS[ellps.upper()]
+                lon, lat = _proj.datum_to_wgs84(lon, lat, a, f_, towgs84)
+            out[:, 0], out[:, 1] = lon, lat
+            return out
+
+        return ft
 
     def f(arr, _z=tag[1], _n=tag[2]):
         out = arr.copy()
@@ -1581,6 +1601,23 @@ def _from_lonlat_fn(tag):
             return out
 
         return fm
+    if tag[0] == "TMERC":
+
+        def ft(arr, _p=tag[1]):
+            lat0, lon0, k0, fe, fn, ellps, towgs84 = _p
+            out = arr.copy()
+            lon, lat = arr[:, 0], arr[:, 1]
+            if towgs84 is not None:
+                # WGS84 lon/lat hub -> the local datum before projecting
+                a, f_ = _proj.ELLIPSOIDS[ellps.upper()]
+                lon, lat = _proj.datum_from_wgs84(lon, lat, a, f_, towgs84)
+            out[:, 0], out[:, 1] = _proj.tmerc_forward(
+                lon, lat, lat0=lat0, lon0=lon0, k0=k0, fe=fe, fn=fn,
+                ellps=ellps,
+            )
+            return out
+
+        return ft
 
     def f(arr, _z=tag[1], _n=tag[2]):
         out = arr.copy()
@@ -1609,9 +1646,11 @@ def _st_transform(s: pd.Series, from_crs: pd.Series, to_crs: pd.Series) -> pd.Se
                 f"EPSG:2154/3978/3034 (Lambert Conformal Conic) / "
                 f"EPSG:5070 (Albers), polar stereographic "
                 f"EPSG:3031/3413/3976/5041/5042/32661/32761, "
-                f"EPSG:3395 (World Mercator), and proj4 strings "
-                f"(+proj=longlat/webmerc/merc/utm/laea/lcc/aea/polar stere "
-                f"with arbitrary parameters, WGS84 ellipsoid) in this "
+                f"EPSG:3395 (World Mercator), transverse-Mercator grids "
+                f"EPSG:27700 (OSGB/BNG, Airy+Helmert) / EPSG:2193 (NZTM) / "
+                f"EPSG:31467 (DHDN GK3), and proj4 strings "
+                f"(+proj=longlat/webmerc/merc/tmerc/utm/laea/lcc/aea/polar "
+                f"stere; tmerc takes any +ellps/+towgs84) in this "
                 f"build (no PROJ in env); got {f!r} -> {t!r}"
             )
         g = wkb.parse(v)
@@ -1751,6 +1790,12 @@ _UDFS: Dict[str, object] = {
     "ST_GeogFromWKB": _st_geomfromwkb,
     "ST_AsText": _st_astext,
     "ST_AsBinary": _st_asbinary,
+    # reference alias spellings (rust/sedona-functions/src/st_astext.rs:39,
+    # st_asbinary.rs:37, st_geomfromwkt.rs:51-70 in /root/reference)
+    "ST_AsWKT": _st_astext,
+    "ST_AsWKB": _st_asbinary,
+    "ST_GeometryFromText": _st_geomfromwkt,
+    "ST_GeogFromText": _st_geomfromwkt,
     "ST_SetSRID": _st_setsrid,
     "ST_SRID": _st_srid,
     "ST_SetCRS": _st_setcrs,
@@ -1829,6 +1874,10 @@ _UDFS: Dict[str, object] = {
     "ST_Dump": _st_dump,
     "ST_LineInterpolatePoint": _st_lineinterpolatepoint,
     "ST_LineLocatePoint": _st_linelocatepoint,
+    # the reference's canonical SQL identifiers are the underscore forms
+    # (rust/sedona-functions/src/referencing.rs:28,55)
+    "ST_Line_Interpolate_Point": _st_lineinterpolatepoint,
+    "ST_Line_Locate_Point": _st_linelocatepoint,
     "ST_Transform": _st_transform,
 }
 
@@ -1853,9 +1902,31 @@ _register_geography_udfs()
 
 
 def register_all(spark: SparkSession) -> None:
-    """Register every ST_* function for SQL use (idempotent)."""
+    """Register every ST_* function for SQL use (idempotent) — scalars,
+    the 5 spatial aggregates, the ST_KNN join-only marker, and RS_Width
+    (the full SQL surface of the reference's register files)."""
     for name, udf_obj in _UDFS.items():
         spark.udf.register(name, udf_obj)
+
+    from pyspark.sql.functions import udf as _plain_udf
+
+    # join-only marker, same contract as the reference's st_knn
+    # (rust/sedona-functions/src/predicates.rs:69): exists in the catalog,
+    # raises with guidance if actually evaluated outside a kNN join plan
+    # (the SQL planner intercepts JOIN ON ST_KNN(...) before evaluation)
+    spark.udf.register(
+        "ST_KNN", _plain_udf(_st_knn_marker, BooleanType())
+    )
+
+    # the reference's single raster accessor (rust/sedona-raster-functions)
+    def _rs_width(r):
+        return None if r is None else int(r["metadata"]["width"])
+
+    spark.udf.register("RS_Width", _plain_udf(_rs_width, LongType()))
+
+    from .aggregates import register_sql_aggregates
+
+    register_sql_aggregates(spark)
 
 
 def __getattr__(name: str):

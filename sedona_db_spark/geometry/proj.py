@@ -30,67 +30,131 @@ _K0 = 0.9996
 _FALSE_E = 500_000.0
 _FALSE_N_SOUTH = 10_000_000.0
 
-_n = _N
-# rectifying radius
-_A1 = _A / (1 + _n) * (1 + _n**2 / 4 + _n**4 / 64 + _n**6 / 256)
+# Public ellipsoid constants (PROJ `proj -le` vocabulary): (a, 1/f is
+# stored as f directly). Non-WGS84 ellipsoids are used by the generalized
+# transverse-Mercator path (EPSG:27700 is Airy 1830); datum shifts to
+# WGS84 are separate 7-parameter Helmert transforms (towgs84 below).
+ELLIPSOIDS = {
+    "WGS84": (6378137.0, 1.0 / 298.257223563),
+    "GRS80": (6378137.0, 1.0 / 298.257222101),
+    "AIRY": (6377563.396, 1.0 / 299.3249646),
+    "INTL": (6378388.0, 1.0 / 297.0),
+    "BESSEL": (6377397.155, 1.0 / 299.1528128),
+    "CLRK66": (6378206.4, 1.0 / 294.978698214),
+    "KRASS": (6378245.0, 1.0 / 298.3),
+}
 
-# Krüger→Karney forward (alpha) and reverse (beta) series, order n^6
-_ALPHA = np.array([
-    _n / 2 - 2 * _n**2 / 3 + 5 * _n**3 / 16 + 41 * _n**4 / 180 - 127 * _n**5 / 288 + 7891 * _n**6 / 37800,
-    13 * _n**2 / 48 - 3 * _n**3 / 5 + 557 * _n**4 / 1440 + 281 * _n**5 / 630 - 1983433 * _n**6 / 1935360,
-    61 * _n**3 / 240 - 103 * _n**4 / 140 + 15061 * _n**5 / 26880 + 167603 * _n**6 / 181440,
-    49561 * _n**4 / 161280 - 179 * _n**5 / 168 + 6601661 * _n**6 / 7257600,
-    34729 * _n**5 / 80640 - 3418889 * _n**6 / 1995840,
-    212378941 * _n**6 / 319334400,
-])
-_BETA = np.array([
-    _n / 2 - 2 * _n**2 / 3 + 37 * _n**3 / 96 - _n**4 / 360 - 81 * _n**5 / 512 + 96199 * _n**6 / 604800,
-    _n**2 / 48 + _n**3 / 15 - 437 * _n**4 / 1440 + 46 * _n**5 / 105 - 1118711 * _n**6 / 3870720,
-    17 * _n**3 / 480 - 37 * _n**4 / 840 - 209 * _n**5 / 4480 + 5569 * _n**6 / 90720,
-    4397 * _n**4 / 161280 - 11 * _n**5 / 504 - 830251 * _n**6 / 7257600,
-    4583 * _n**5 / 161280 - 108847 * _n**6 / 3991680,
-    20648693 * _n**6 / 638668800,
-])
+
+def _kruger_coeffs(a: float, f: float):
+    """(e, n, A1, alpha[6], beta[6]) for any ellipsoid — the 6th-order
+    Krüger/Karney series coefficients (Karney 2011, eqs. 12/35/36)."""
+    n = f / (2.0 - f)
+    e = math.sqrt(f * (2.0 - f))
+    A1 = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)
+    alpha = np.array([
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180 - 127 * n**5 / 288 + 7891 * n**6 / 37800,
+        13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440 + 281 * n**5 / 630 - 1983433 * n**6 / 1935360,
+        61 * n**3 / 240 - 103 * n**4 / 140 + 15061 * n**5 / 26880 + 167603 * n**6 / 181440,
+        49561 * n**4 / 161280 - 179 * n**5 / 168 + 6601661 * n**6 / 7257600,
+        34729 * n**5 / 80640 - 3418889 * n**6 / 1995840,
+        212378941 * n**6 / 319334400,
+    ])
+    beta = np.array([
+        n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360 - 81 * n**5 / 512 + 96199 * n**6 / 604800,
+        n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440 + 46 * n**5 / 105 - 1118711 * n**6 / 3870720,
+        17 * n**3 / 480 - 37 * n**4 / 840 - 209 * n**5 / 4480 + 5569 * n**6 / 90720,
+        4397 * n**4 / 161280 - 11 * n**5 / 504 - 830251 * n**6 / 7257600,
+        4583 * n**5 / 161280 - 108847 * n**6 / 3991680,
+        20648693 * n**6 / 638668800,
+    ])
+    return e, n, A1, alpha, beta
+
+
+_KRUGER_CACHE: dict = {}
+
+
+def _kruger(a: float, f: float):
+    key = (a, f)
+    got = _KRUGER_CACHE.get(key)
+    if got is None:
+        got = _KRUGER_CACHE[key] = _kruger_coeffs(a, f)
+    return got
+
+
+_n = _N
+_E_WGS, _, _A1, _ALPHA, _BETA = _kruger(_A, _F)
 
 
 def utm_zone_central_meridian(zone: int) -> float:
     return -183.0 + 6.0 * zone
 
 
-def utm_forward(lon, lat, zone: int, north: bool = True):
-    """(lon°, lat°) -> UTM (easting, northing) meters, vectorized."""
+def _taup_from_tau(t, e):
+    """Karney's tau -> tau' (conformal-latitude tangent)."""
+    sig = np.sinh(e * np.arctanh(e * t / np.sqrt(1 + t * t)))
+    return t * np.sqrt(1 + sig * sig) - sig * np.sqrt(1 + t * t)
+
+
+def _tm_xi0(lat0: float, e, A1, alpha) -> float:
+    """Rectifying latitude of lat0 (the Krüger series at dlam=0) — gives
+    the meridian-arc term M0 = A1*xi0 for a nonzero latitude of origin."""
+    if lat0 == 0.0:
+        return 0.0
+    chi = math.atan(float(_taup_from_tau(np.array(math.tan(math.radians(lat0))), e)))
+    xi0 = chi
+    for j in range(6):
+        xi0 += float(alpha[j]) * math.sin(2.0 * (j + 1) * chi)
+    return xi0
+
+
+def tmerc_forward(lon, lat, lat0=0.0, lon0=0.0, k0=1.0, fe=0.0, fn=0.0,
+                  ellps="WGS84"):
+    """(lon°, lat°) -> transverse Mercator (E, N) meters, vectorized —
+    the 6th-order Krüger/Karney series generalized over (lat0, lon0, k0,
+    FE, FN, ellipsoid). UTM is the (0, zone CM, 0.9996, 500000, 0/1e7,
+    WGS84) instance; EPSG:27700 (Airy 1830) and EPSG:2193 (GRS80) are
+    other instances. Reference reaches these through PROJ `tmerc`
+    (c/sedona-proj/src/st_transform.rs in /root/reference)."""
+    a, f = ELLIPSOIDS[ellps.upper()] if isinstance(ellps, str) else ellps
+    e, _, A1, alpha, _ = _kruger(a, f)
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
-    lam0 = np.radians(utm_zone_central_meridian(zone))
+    lam0 = np.radians(lon0)
     phi = np.radians(lat)
     dlam = np.radians(lon) - lam0
-    s = np.sin(phi)
     # conformal latitude via Karney's tau -> tau'
-    t = np.tan(phi)
-    sig = np.sinh(_E * np.arctanh(_E * t / np.sqrt(1 + t * t)))
-    tp = t * np.sqrt(1 + sig * sig) - sig * np.sqrt(1 + t * t)
+    tp = _taup_from_tau(np.tan(phi), e)
     xi_p = np.arctan2(tp, np.cos(dlam))
     eta_p = np.arcsinh(np.sin(dlam) / np.sqrt(tp * tp + np.cos(dlam) ** 2))
     xi = xi_p.copy()
     eta = eta_p.copy()
     for j in range(6):
         w = 2.0 * (j + 1)
-        xi = xi + _ALPHA[j] * np.sin(w * xi_p) * np.cosh(w * eta_p)
-        eta = eta + _ALPHA[j] * np.cos(w * xi_p) * np.sinh(w * eta_p)
-    E = _FALSE_E + _K0 * _A1 * eta
-    Nn = _K0 * _A1 * xi
-    if not north:
-        Nn = Nn + _FALSE_N_SOUTH
+        xi = xi + alpha[j] * np.sin(w * xi_p) * np.cosh(w * eta_p)
+        eta = eta + alpha[j] * np.cos(w * xi_p) * np.sinh(w * eta_p)
+    xi0 = _tm_xi0(lat0, e, A1, alpha)
+    E = fe + k0 * A1 * eta
+    Nn = fn + k0 * A1 * (xi - xi0)
     return E, Nn
 
 
-def _tau_from_taup(tp):
+def utm_forward(lon, lat, zone: int, north: bool = True):
+    """(lon°, lat°) -> UTM (easting, northing) meters, vectorized."""
+    return tmerc_forward(
+        lon, lat, lat0=0.0, lon0=utm_zone_central_meridian(zone), k0=_K0,
+        fe=_FALSE_E, fn=0.0 if north else _FALSE_N_SOUTH,
+    )
+
+
+def _tau_from_taup(tp, e=None):
     """Invert tau' -> tau by Newton (Karney eq. 19-21); converges in ~3."""
+    if e is None:
+        e = _E
     tp = np.asarray(tp, dtype=np.float64)
-    e2m = 1.0 - _E * _E
+    e2m = 1.0 - e * e
     tau = tp / e2m  # good starting guess
     for _ in range(5):
-        sig = np.sinh(_E * np.arctanh(_E * tau / np.sqrt(1 + tau * tau)))
+        sig = np.sinh(e * np.arctanh(e * tau / np.sqrt(1 + tau * tau)))
         taupa = tau * np.sqrt(1 + sig * sig) - sig * np.sqrt(1 + tau * tau)
         dtau = (tp - taupa) * (1 + e2m * tau * tau) / (
             e2m * np.sqrt(1 + tau * tau) * np.sqrt(1 + taupa * taupa)
@@ -99,27 +163,38 @@ def _tau_from_taup(tp):
     return tau
 
 
-def utm_inverse(E, Nn, zone: int, north: bool = True):
-    """UTM (easting, northing) -> (lon°, lat°), vectorized."""
+def tmerc_inverse(E, Nn, lat0=0.0, lon0=0.0, k0=1.0, fe=0.0, fn=0.0,
+                  ellps="WGS84"):
+    """Transverse Mercator meters -> (lon°, lat°), vectorized (Krüger
+    reverse series + Newton tau'-inversion)."""
+    a, f = ELLIPSOIDS[ellps.upper()] if isinstance(ellps, str) else ellps
+    e, _, A1, alpha, beta = _kruger(a, f)
     E = np.asarray(E, dtype=np.float64)
     Nn = np.asarray(Nn, dtype=np.float64)
-    if not north:
-        Nn = Nn - _FALSE_N_SOUTH
-    xi = Nn / (_K0 * _A1)
-    eta = (E - _FALSE_E) / (_K0 * _A1)
+    xi0 = _tm_xi0(lat0, e, A1, alpha)
+    xi = (Nn - fn) / (k0 * A1) + xi0
+    eta = (E - fe) / (k0 * A1)
     xi_p = xi.copy()
     eta_p = eta.copy()
     for j in range(6):
         w = 2.0 * (j + 1)
-        xi_p = xi_p - _BETA[j] * np.sin(w * xi) * np.cosh(w * eta)
-        eta_p = eta_p - _BETA[j] * np.cos(w * xi) * np.sinh(w * eta)
+        xi_p = xi_p - beta[j] * np.sin(w * xi) * np.cosh(w * eta)
+        eta_p = eta_p - beta[j] * np.cos(w * xi) * np.sinh(w * eta)
     tp = np.sin(xi_p) / np.sqrt(np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2)
-    tau = _tau_from_taup(tp)
+    tau = _tau_from_taup(tp, e)
     phi = np.arctan(tau)
     dlam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
-    lon = np.degrees(dlam) + utm_zone_central_meridian(zone)
+    lon = np.degrees(dlam) + lon0
     lat = np.degrees(phi)
     return lon, lat
+
+
+def utm_inverse(E, Nn, zone: int, north: bool = True):
+    """UTM (easting, northing) -> (lon°, lat°), vectorized."""
+    return tmerc_inverse(
+        E, Nn, lat0=0.0, lon0=utm_zone_central_meridian(zone), k0=_K0,
+        fe=_FALSE_E, fn=0.0 if north else _FALSE_N_SOUTH,
+    )
 
 
 def meridian_arc(lat_deg: float, steps: int = 200_000) -> float:
@@ -460,12 +535,110 @@ MERC_CRS = {
 }
 
 
+# --- Datum shifts: geocentric conversion + 7-parameter Helmert ---------------
+# Public formulas (EPSG Guidance Note 7-2 §4.1.1/§4.3.1, the same math PROJ
+# applies for +towgs84). Position-vector rotation convention (EPSG 9606 —
+# what PROJ's towgs84 expects): X2 = T + (1 + s*1e-6) * R * X1.
+
+
+def geodetic_to_geocentric(lon, lat, a, f, h=0.0):
+    lon = np.radians(np.asarray(lon, dtype=np.float64))
+    lat = np.radians(np.asarray(lat, dtype=np.float64))
+    e2 = f * (2.0 - f)
+    s = np.sin(lat)
+    nu = a / np.sqrt(1 - e2 * s * s)
+    X = (nu + h) * np.cos(lat) * np.cos(lon)
+    Y = (nu + h) * np.cos(lat) * np.sin(lon)
+    Z = (nu * (1 - e2) + h) * s
+    return X, Y, Z
+
+
+def geocentric_to_geodetic(X, Y, Z, a, f):
+    """Iterative (Bowring start + fixed-point on phi) — converges to
+    machine precision in <= 6 rounds for |h| << a."""
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    Z = np.asarray(Z, dtype=np.float64)
+    e2 = f * (2.0 - f)
+    b = a * (1.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    p = np.sqrt(X * X + Y * Y)
+    th = np.arctan2(Z * a, p * b)
+    phi = np.arctan2(Z + ep2 * b * np.sin(th) ** 3, p - e2 * a * np.cos(th) ** 3)
+    for _ in range(6):
+        s = np.sin(phi)
+        nu = a / np.sqrt(1 - e2 * s * s)
+        phi = np.arctan2(Z + e2 * nu * s, p)
+    lon = np.arctan2(Y, X)
+    return np.degrees(lon), np.degrees(phi)
+
+
+def helmert7(X, Y, Z, p, inverse=False):
+    """7-parameter Helmert, position-vector convention (EPSG 9606 / PROJ
+    towgs84): p = (tx, ty, tz [m], rx, ry, rz [arcsec], ds [ppm])."""
+    tx, ty, tz, rx, ry, rz, ds = p
+    arc = math.pi / (180.0 * 3600.0)
+    rx, ry, rz = rx * arc, ry * arc, rz * arc
+    m = 1.0 + ds * 1e-6
+    if not inverse:
+        X2 = tx + m * (X - rz * Y + ry * Z)
+        Y2 = ty + m * (rz * X + Y - rx * Z)
+        Z2 = tz + m * (-ry * X + rx * Y + Z)
+        return X2, Y2, Z2
+    # exact inverse: solve m*R*X1 = X2 - T with the true 3x3 inverse of
+    # the small-angle matrix (the reversed-sign shortcut leaves ~mm of
+    # roundtrip error at arcsecond rotations + tens-of-ppm scale)
+    R = np.array([[1.0, -rz, ry], [rz, 1.0, -rx], [-ry, rx, 1.0]])
+    Rinv = np.linalg.inv(R)
+    Xp = (X - tx) / m
+    Yp = (Y - ty) / m
+    Zp = (Z - tz) / m
+    X1 = Rinv[0, 0] * Xp + Rinv[0, 1] * Yp + Rinv[0, 2] * Zp
+    Y1 = Rinv[1, 0] * Xp + Rinv[1, 1] * Yp + Rinv[1, 2] * Zp
+    Z1 = Rinv[2, 0] * Xp + Rinv[2, 1] * Yp + Rinv[2, 2] * Zp
+    return X1, Y1, Z1
+
+
+def datum_to_wgs84(lon, lat, a, f, towgs84):
+    """Geodetic (lon, lat) on a local datum -> WGS84 geodetic, h=0
+    (2D transform — the sub-mm height-coupling error is far below the
+    ~1 m accuracy of published towgs84 parameter sets)."""
+    X, Y, Z = geodetic_to_geocentric(lon, lat, a, f)
+    X, Y, Z = helmert7(X, Y, Z, towgs84)
+    return geocentric_to_geodetic(X, Y, Z, _A, _F)
+
+
+def datum_from_wgs84(lon, lat, a, f, towgs84):
+    X, Y, Z = geodetic_to_geocentric(lon, lat, _A, _F)
+    X, Y, Z = helmert7(X, Y, Z, towgs84, inverse=True)
+    return geocentric_to_geodetic(X, Y, Z, a, f)
+
+
+# Transverse-Mercator EPSG registry:
+# (lat0, lon0, k0, fe, fn, ellps, towgs84-or-None). towgs84 values are the
+# published PROJ/EPSG parameter sets (position-vector); None = the datum
+# agrees with WGS84 at the no-grid accuracy level (NZGD2000/ETRS89-class).
+TMERC_CRS = {
+    # OSGB36 / British National Grid (Airy 1830; OSTN15-free Helmert,
+    # ~2 m national accuracy — the same set PROJ ships for EPSG:27700)
+    "EPSG:27700": (49.0, -2.0, 0.9996012717, 400_000.0, -100_000.0, "AIRY",
+                   (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)),
+    # NZGD2000 / New Zealand Transverse Mercator 2000 (GRS80)
+    "EPSG:2193": (0.0, 173.0, 0.9996, 1_600_000.0, 10_000_000.0, "GRS80", None),
+    # DHDN / Gauss-Krüger zone 3 (Bessel 1841; PROJ's towgs84 for DHDN)
+    "EPSG:31467": (0.0, 9.0, 1.0, 3_500_000.0, 0.0, "BESSEL",
+                   (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)),
+    # Amersfoort / RD New is stereographic, not tmerc — intentionally absent.
+}
+
+
 def parse_proj4(s: str):
     """Parse a proj4 string into the engine's transform tag — the same tag
     vocabulary functions/st.py dispatches on: 'LL' | 'WM' |
     ('UTM', zone, north) | ('MERC', (lon0, k0, fe, fn)) |
     ('PS', (lon0, k0, north, fe, fn)) | ('LAEA', (lon0, lat0, fe, fn)) |
-    ('CONIC', (kind, lat1, lat2, lat0, lon0, fe, fn)).
+    ('CONIC', (kind, lat1, lat2, lat0, lon0, fe, fn)) |
+    ('TMERC', (lat0, lon0, k0, fe, fn, ellps, towgs84)).
 
     Only the WGS84/GRS80 ellipsoid is supported (the sandbox has no PROJ
     datum grids); any +datum/+ellps other than WGS84/GRS80 raises.
@@ -483,15 +656,45 @@ def parse_proj4(s: str):
             kv[k] = v
         else:
             flags.add(tok)
+    proj = kv.get("proj")
     datum = kv.get("datum", "WGS84").upper()
     ellps = kv.get("ellps", "WGS84").upper()
-    if datum not in ("WGS84",) or ellps not in ("WGS84", "GRS80"):
+    towgs84 = None
+    if "towgs84" in kv:
+        parts = [float(x) for x in kv["towgs84"].split(",")]
+        if len(parts) == 3:
+            parts += [0.0, 0.0, 0.0, 0.0]
+        if len(parts) != 7:
+            raise ValueError(f"+towgs84 needs 3 or 7 values, got {kv['towgs84']!r}")
+        if any(parts):
+            towgs84 = tuple(parts)
+    if datum == "OSGB36":
+        # PROJ datum shorthand: Airy 1830 + the published Helmert set
+        ellps = "AIRY"
+        towgs84 = towgs84 or TMERC_CRS["EPSG:27700"][6]
+    elif datum != "WGS84":
         raise NotImplementedError(
-            f"only the WGS84/GRS80 ellipsoid is supported (no PROJ datum "
-            f"shifts in this build); got datum={datum!r} ellps={ellps!r}"
+            f"+datum={datum!r} is not implemented (use +ellps + +towgs84)"
         )
-    proj = kv.get("proj")
+    if proj == "tmerc":
+        # the generalized Krüger core is ellipsoid-parameterized
+        if ellps not in ELLIPSOIDS:
+            raise NotImplementedError(
+                f"unknown ellipsoid {ellps!r} (supported: {sorted(ELLIPSOIDS)})"
+            )
+    elif ellps not in ("WGS84", "GRS80") or towgs84 is not None:
+        # every other projection family is hard-wired to the WGS84
+        # constants — a silent ellipsoid/datum substitution would be a
+        # wrong answer
+        raise NotImplementedError(
+            f"only the WGS84/GRS80 ellipsoid (no datum shift) is supported "
+            f"for +proj={proj!r}; got ellps={ellps!r} towgs84={towgs84!r}"
+        )
     f = lambda k, d=0.0: float(kv.get(k, d))
+    if proj == "tmerc":
+        k0 = f("k_0", kv.get("k", 1.0))
+        return ("TMERC", (f("lat_0"), f("lon_0"), k0, f("x_0"), f("y_0"),
+                          ellps, towgs84))
     if proj in ("longlat", "latlong", "lonlat"):
         return "LL"
     if proj == "webmerc":
@@ -534,5 +737,5 @@ def parse_proj4(s: str):
         return ("PS", (f("lon_0"), k0, north, f("x_0"), f("y_0")))
     raise NotImplementedError(
         f"+proj={proj!r} is not implemented (supported: longlat, webmerc, "
-        f"merc, utm, laea, lcc, aea, polar stere)"
+        f"merc, tmerc, utm, laea, lcc, aea, polar stere)"
     )

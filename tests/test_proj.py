@@ -420,8 +420,12 @@ class TestProj4Strings:
     def test_non_wgs84_datum_raises(self):
         from sedona_db_spark.geometry.proj import parse_proj4
 
-        with pytest.raises(NotImplementedError, match="WGS84"):
+        with pytest.raises(NotImplementedError, match="not implemented"):
             parse_proj4("+proj=utm +zone=30 +datum=NAD27")
+        # non-tmerc projections stay WGS84-only (their kernels are
+        # hard-wired to WGS84 constants)
+        with pytest.raises(NotImplementedError, match="WGS84"):
+            parse_proj4("+proj=lcc +lat_1=49 +lat_2=44 +ellps=airy")
         with pytest.raises(NotImplementedError, match="polar"):
             parse_proj4("+proj=stere +lat_0=52 +lon_0=4")
         assert parse_proj4("EPSG:4326") is None
@@ -455,3 +459,211 @@ def test_merc_lat_ts_proj4():
     # lat_ts takes precedence over an explicit k_0 (PROJ semantics)
     spec2 = proj.parse_proj4("+proj=merc +lat_ts=41.0 +k_0=0.5 +datum=WGS84")
     assert abs(spec2[1][1] - want) < 1e-12
+
+
+class TestGeneralTmerc:
+    """Round-4: Krüger core generalized beyond UTM (VERDICT r3 next #1).
+
+    Oracle vectors: the OSGB36 worked example from the OS 'A guide to
+    coordinate systems in Great Britain' (Annexe), plus an independent
+    Redfearn-series implementation (the OSGB/LINZ official TM formulation
+    — different series lineage than Karney/Krüger) for NZTM.
+    """
+
+    def test_osgb_worked_example(self):
+        """OS guide Annexe: 52°39'27.2531"N 1°43'4.5177"E ->
+        E 651409.903 N 313177.270 (Airy 1830, projection only)."""
+        from sedona_db_spark.geometry import proj
+
+        lat = 52 + 39 / 60 + 27.2531 / 3600
+        lon = 1 + 43 / 60 + 4.5177 / 3600
+        E, N = proj.tmerc_forward(
+            lon, lat, lat0=49.0, lon0=-2.0, k0=0.9996012717,
+            fe=400_000.0, fn=-100_000.0, ellps="AIRY")
+        assert abs(float(E) - 651409.903) < 0.001
+        assert abs(float(N) - 313177.270) < 0.001
+        lon2, lat2 = proj.tmerc_inverse(
+            E, N, lat0=49.0, lon0=-2.0, k0=0.9996012717,
+            fe=400_000.0, fn=-100_000.0, ellps="AIRY")
+        assert abs(float(lon2) - lon) < 1e-11
+        assert abs(float(lat2) - lat) < 1e-11
+
+    @staticmethod
+    def _redfearn_forward(lon, lat, lat0, lon0, k0, fe, fn, a, f):
+        """Independent oracle: Redfearn/OS Map Projections series (the
+        official OSGB & LINZ TM formulation, public: OS guide Annexe C),
+        good to well under 1 mm within a few degrees of the CM."""
+        import math as m
+
+        e2 = f * (2 - f)
+        n = f / (2 - f)
+        phi, phi0 = m.radians(lat), m.radians(lat0)
+        lam = m.radians(lon - lon0)
+        s, c = m.sin(phi), m.cos(phi)
+        nu = a * k0 * (1 - e2 * s * s) ** -0.5
+        rho = a * k0 * (1 - e2) * (1 - e2 * s * s) ** -1.5
+        eta2 = nu / rho - 1
+        # meridian arc (OS guide eq. for M, Bessel-form in n — uses the
+        # SEMI-MINOR axis b)
+        b = a * (1 - f)
+        dphi, sphi = phi - phi0, phi + phi0
+        M = b * k0 * (
+            (1 + n + 5 / 4 * n**2 + 5 / 4 * n**3) * dphi
+            - (3 * n + 3 * n**2 + 21 / 8 * n**3) * m.sin(dphi) * m.cos(sphi)
+            + (15 / 8 * n**2 + 15 / 8 * n**3) * m.sin(2 * dphi) * m.cos(2 * sphi)
+            - 35 / 24 * n**3 * m.sin(3 * dphi) * m.cos(3 * sphi)
+        )
+        t = m.tan(phi)
+        I = M + fn
+        II = nu / 2 * s * c
+        III = nu / 24 * s * c**3 * (5 - t**2 + 9 * eta2)
+        IIIA = nu / 720 * s * c**5 * (61 - 58 * t**2 + t**4)
+        IV = nu * c
+        V = nu / 6 * c**3 * (nu / rho - t**2)
+        VI = nu / 120 * c**5 * (5 - 18 * t**2 + t**4 + 14 * eta2 - 58 * t**2 * eta2)
+        N = I + II * lam**2 + III * lam**4 + IIIA * lam**6
+        E = fe + IV * lam + V * lam**3 + VI * lam**5
+        return E, N
+
+    def test_nztm_vs_redfearn(self):
+        """NZTM2000 (EPSG:2193, GRS80): Krüger vs independent Redfearn
+        series agree < 1 mm across the NZ mainland extent."""
+        from sedona_db_spark.geometry import proj
+
+        a, f = proj.ELLIPSOIDS["GRS80"]
+        for lon, lat in [(174.7762, -41.2865), (172.6362, -43.5320),
+                         (168.0, -46.6), (176.9, -37.7), (173.0, -41.0)]:
+            E, N = proj.tmerc_forward(lon, lat, lat0=0.0, lon0=173.0,
+                                      k0=0.9996, fe=1_600_000.0,
+                                      fn=10_000_000.0, ellps="GRS80")
+            Er, Nr = self._redfearn_forward(lon, lat, 0.0, 173.0, 0.9996,
+                                            1_600_000.0, 10_000_000.0, a, f)
+            assert abs(float(E) - Er) < 1e-3, (lon, lat)
+            assert abs(float(N) - Nr) < 1e-3, (lon, lat)
+
+    def test_osgb_vs_redfearn_grid(self):
+        """OSGB grid: the two independent series agree < 1 mm over GB."""
+        from sedona_db_spark.geometry import proj
+
+        a, f = proj.ELLIPSOIDS["AIRY"]
+        for lon, lat in [(-5.2, 50.0), (-3.0, 53.5), (0.5, 52.0),
+                         (-2.0, 49.0), (1.8, 51.1), (-6.2, 57.5)]:
+            E, N = proj.tmerc_forward(lon, lat, lat0=49.0, lon0=-2.0,
+                                      k0=0.9996012717, fe=400_000.0,
+                                      fn=-100_000.0, ellps="AIRY")
+            Er, Nr = self._redfearn_forward(lon, lat, 49.0, -2.0,
+                                            0.9996012717, 400_000.0,
+                                            -100_000.0, a, f)
+            assert abs(float(E) - Er) < 1e-3, (lon, lat)
+            assert abs(float(N) - Nr) < 1e-3, (lon, lat)
+
+    def test_utm_is_a_tmerc_instance(self):
+        """The UTM wrappers delegate to the generalized core with
+        unchanged results (bit-comparable at 1e-9 m)."""
+        import numpy as np
+
+        from sedona_db_spark.geometry import proj
+
+        rng = np.random.default_rng(4)
+        lon = rng.uniform(9.0, 15.0, 500)
+        lat = rng.uniform(-80.0, 84.0, 500)
+        E1, N1 = proj.utm_forward(lon, lat, zone=32, north=True)
+        E2, N2 = proj.tmerc_forward(lon, lat, lat0=0.0, lon0=9.0, k0=0.9996,
+                                    fe=500_000.0, fn=0.0)
+        assert np.max(np.abs(E1 - E2)) < 1e-9
+        assert np.max(np.abs(N1 - N2)) < 1e-9
+
+    def test_tmerc_roundtrip_property(self):
+        """Forward∘inverse is identity to 1e-10 deg for every registered
+        TMERC grid over its domain."""
+        import numpy as np
+
+        from sedona_db_spark.geometry import proj
+
+        rng = np.random.default_rng(9)
+        domains = {
+            "EPSG:27700": ((-7.5, 1.8), (49.9, 60.8)),
+            "EPSG:2193": ((166.4, 178.6), (-47.3, -34.0)),
+            "EPSG:31467": ((7.5, 10.5), (47.3, 55.0)),
+        }
+        for code, ((x0, x1), (y0, y1)) in domains.items():
+            lat0, lon0, k0, fe, fn, ellps, _ = proj.TMERC_CRS[code]
+            lon = rng.uniform(x0, x1, 300)
+            lat = rng.uniform(y0, y1, 300)
+            E, N = proj.tmerc_forward(lon, lat, lat0, lon0, k0, fe, fn, ellps)
+            lon2, lat2 = proj.tmerc_inverse(E, N, lat0, lon0, k0, fe, fn, ellps)
+            assert np.max(np.abs(lon2 - lon)) < 1e-10, code
+            assert np.max(np.abs(lat2 - lat)) < 1e-10, code
+
+    def test_helmert_datum_shift(self):
+        """OSGB36<->WGS84 Helmert: forward∘inverse closes to the 2D
+        height-drop floor (~1e-8 deg — the same non-closure PROJ shows
+        for 2D coords), and London's known shift magnitude (~100 m E/W
+        at Greenwich: OSGB36 lon of the WGS84 meridian is ~ -0.0015°)."""
+        import numpy as np
+
+        from sedona_db_spark.geometry import proj
+
+        p = proj.TMERC_CRS["EPSG:27700"][6]
+        a, f = proj.ELLIPSOIDS["AIRY"]
+        lon, lat = np.array([-0.1278, -3.0, 1.0]), np.array([51.5074, 53.0, 52.0])
+        lw, pw = proj.datum_to_wgs84(lon, lat, a, f, p)
+        lb, pb = proj.datum_from_wgs84(lw, pw, a, f, p)
+        assert np.max(np.abs(lb - lon)) < 5e-8
+        assert np.max(np.abs(pb - lat)) < 5e-8
+        # the OSGB36->WGS84 shift in GB is ~ +0.001..0.002 deg in lon
+        assert 0.0005 < abs(float(lw[0] - lon[0])) < 0.003
+
+    def test_st_transform_bng_nztm(self, spark):
+        """ST_Transform end-to-end through the WGS84 hub: 4326 -> 27700
+        applies the datum shift (result differs from projection-only by
+        ~100 m) and roundtrips; 4326 -> 2193 matches direct tmerc."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from sedona_db_spark.functions import st
+        from sedona_db_spark.geometry import proj, wkb
+
+        st.register_all(spark)
+        df = spark.createDataFrame(
+            [(0, bytes(wkb.encode_points_xy(np.array([-0.1278]),
+                                            np.array([51.5074]))[0]))],
+            "id LONG, g BINARY")
+        out = df.select(
+            st.ST_X(st.ST_Transform(F.col("g"), F.lit("EPSG:4326"),
+                                    F.lit("EPSG:27700"))).alias("e"),
+            st.ST_Y(st.ST_Transform(F.col("g"), F.lit("EPSG:4326"),
+                                    F.lit("EPSG:27700"))).alias("n"),
+        ).collect()[0]
+        # projection-only (no datum shift) value for comparison
+        E0, N0 = proj.tmerc_forward(-0.1278, 51.5074, 49.0, -2.0,
+                                    0.9996012717, 400_000.0, -100_000.0,
+                                    "AIRY")
+        shift = ((out["e"] - float(E0)) ** 2 + (out["n"] - float(N0)) ** 2) ** 0.5
+        assert 50.0 < shift < 200.0  # the OSGB36 datum shift is ~120 m here
+        # roundtrip 27700 -> 4326
+        back = df.select(
+            st.ST_AsText(st.ST_Transform(
+                st.ST_Transform(F.col("g"), F.lit("EPSG:4326"), F.lit("EPSG:27700")),
+                F.lit("EPSG:27700"), F.lit("EPSG:4326"))).alias("t")).collect()[0]
+        xs = back["t"].replace("POINT (", "").rstrip(")").split()
+        assert abs(float(xs[0]) + 0.1278) < 1e-6
+        assert abs(float(xs[1]) - 51.5074) < 1e-6
+        # NZTM via proj4 string == EPSG:2193 (no datum shift)
+        df2 = spark.createDataFrame(
+            [(0, bytes(wkb.encode_points_xy(np.array([174.7762]),
+                                            np.array([-41.2865]))[0]))],
+            "id LONG, g BINARY")
+        for code in ("EPSG:2193",
+                     "+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 "
+                     "+x_0=1600000 +y_0=10000000 +ellps=GRS80"):
+            o = df2.select(
+                st.ST_X(st.ST_Transform(F.col("g"), F.lit("EPSG:4326"),
+                                        F.lit(code))).alias("e"),
+                st.ST_Y(st.ST_Transform(F.col("g"), F.lit("EPSG:4326"),
+                                        F.lit(code))).alias("n"),
+            ).collect()[0]
+            E, N = proj.tmerc_forward(174.7762, -41.2865, 0.0, 173.0,
+                                      0.9996, 1_600_000.0, 10_000_000.0,
+                                      "GRS80")
+            assert abs(o["e"] - float(E)) < 1e-6 and abs(o["n"] - float(N)) < 1e-6, code
