@@ -870,6 +870,32 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_sql_sjoin_chain(spark, sf_dir):
+    """3-table SQL spatial-join CHAIN folded left-to-right through
+    repeated spatial_join calls by the SQL pre-planner (round-4; the
+    reference's optimizer composes SpatialJoinExec into arbitrary join
+    trees, rust/sedona-spatial-join/src/optimizer.rs:233-420)."""
+    import sedona_db_spark as sd
+
+    con = sd.connect(spark)
+    _cust_pts(spark, sf_dir).select("c_custkey", "geom").createOrReplaceTempView(
+        "__chain_cust_sql"
+    )
+    _nation_boxes(spark, sf_dir).select(
+        "n_nationkey", F.col("geom").alias("ngeom")
+    ).createOrReplaceTempView("__chain_nation_sql")
+    _supp_pts(spark, sf_dir).select(
+        "s_suppkey", F.col("geom").alias("sgeom")
+    ).createOrReplaceTempView("__chain_supp_sql")
+    return con.sql(
+        "SELECT c.c_custkey AS c_custkey, n.n_nationkey AS n_nationkey, "
+        "s.s_suppkey AS s_suppkey "
+        "FROM __chain_cust_sql c "
+        "JOIN __chain_nation_sql n ON ST_Within(c.geom, n.ngeom) "
+        "JOIN __chain_supp_sql s ON ST_DWithin(c.geom, s.sgeom, 4.95)"
+    )
+
+
 def _q_sjoin_left_outer(spark, sf_dir):
     """LEFT OUTER spatial join: customers vs the 10 southern nation boxes —
     unmatched points survive with NULL n_nationkey (reference join types,
@@ -1023,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate": _q_corpus_curate,
         "pq_codes": _q_pq_codes,
         "pack_sequences": _q_pack_sequences,
+        "sql_sjoin_chain": _q_sql_sjoin_chain,
         "sjoin_left_outer": _q_sjoin_left_outer,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
@@ -1695,6 +1722,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id AS doc_id, COALESCE(h.overlap_grams, 0) AS overlap_grams, "
             "  COALESCE(h.overlap_grams, 0) > 0 AS contaminated "
             "FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id"
+        ),
+        "sql_sjoin_chain": (
+            f"SELECT c.c_custkey AS c_custkey, n.n_nationkey AS n_nationkey, "
+            f"s.s_suppkey AS s_suppkey "
+            f"FROM customer c JOIN nation n "
+            f"ON {_CX} > {_NX0} AND {_CX} < {_NX0} + 72.0 "
+            f"AND {_CY} > {_NY0} AND {_CY} < {_NY0} + 36.0 "
+            f"JOIN supplier s ON sqrt(({_CX} - {_SX})*({_CX} - {_SX}) "
+            f"+ ({_CY} - {_SY})*({_CY} - {_SY})) <= CAST(4.95 AS DOUBLE)"
         ),
         "sjoin_left_outer": (
             f"SELECT c.c_custkey AS c_custkey, n.n_nationkey AS n_nationkey "

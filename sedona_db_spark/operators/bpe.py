@@ -60,6 +60,93 @@ def _merge_word(sym: Tuple[str, ...], pair: Tuple[str, str]) -> Tuple[str, ...]:
     return tuple(out)
 
 
+def _learn_merges_rescan(vocab: Dict[Tuple[str, ...], int],
+                         num_merges: int) -> List[Tuple[str, str]]:
+    """The textbook O(num_merges x vocab) trainer — kept as the
+    differential oracle for the incremental trainer below."""
+    merges: List[Tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Dict[Tuple[str, str], int] = {}
+        for sym, freq in vocab.items():
+            for a, b in zip(sym[:-1], sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + freq
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = {_merge_word(sym, best): f for sym, f in vocab.items()}
+    return merges
+
+
+def _learn_merges(vocab: Dict[Tuple[str, ...], int],
+                  num_merges: int) -> List[Tuple[str, str]]:
+    """Incremental trainer (round-4, VERDICT r3 #7): pair counts live in a
+    lazy max-heap and only the words CONTAINING the merged pair are
+    re-counted per merge — the real-trainer shape (subword-nmt /
+    tokenizers keep the same index). Identical merge sequences to the
+    rescan oracle: counts are delta-exact and ties still break by
+    (count desc, pair lexicographic) because heap entries order by
+    (-count, pair).
+
+    Heap protocol: every count CHANGE pushes a fresh entry, so a popped
+    entry is valid iff its count equals the live count (stale entries are
+    skipped — lazy deletion)."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    words: List[Tuple[str, ...]] = []
+    freqs: List[int] = []
+    for sym, fr in vocab.items():
+        words.append(sym)
+        freqs.append(fr)
+
+    pair_counts: Dict[Tuple[str, str], int] = defaultdict(int)
+    pair_words: Dict[Tuple[str, str], set] = defaultdict(set)
+    for wi, (sym, fr) in enumerate(zip(words, freqs)):
+        for p in zip(sym[:-1], sym[1:]):
+            pair_counts[p] += fr
+            pair_words[p].add(wi)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: List[Tuple[str, str]] = []
+    while len(merges) < num_merges and heap:
+        negc, best = heapq.heappop(heap)
+        cur = pair_counts.get(best)
+        if cur is None or cur <= 0 or -negc != cur:
+            continue  # stale entry — a fresh one was pushed at last change
+        merges.append(best)
+        touched = pair_words.pop(best, set())
+        changed = set()
+        for wi in touched:
+            sym, fr = words[wi], freqs[wi]
+            new_sym = _merge_word(sym, best)
+            if new_sym == sym:
+                continue
+            oc = Counter(zip(sym[:-1], sym[1:]))
+            nc = Counter(zip(new_sym[:-1], new_sym[1:]))
+            for p in set(oc) | set(nc):
+                d = nc[p] - oc[p]
+                if d:
+                    pair_counts[p] += d * fr
+                    if p != best:
+                        changed.add(p)
+                if nc[p]:
+                    pair_words[p].add(wi)
+                else:
+                    pair_words[p].discard(wi)
+            words[wi] = new_sym
+        pair_counts.pop(best, None)
+        for p in changed:
+            c2 = pair_counts.get(p, 0)
+            if c2 > 0:
+                heapq.heappush(heap, (-c2, p))
+            else:
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
+    return merges
+
+
 def train_bpe(
     docs: DataFrame,
     num_merges: int,
@@ -78,19 +165,7 @@ def train_bpe(
     for r in rows:
         sym = tuple(r["word"]) + (END,)
         vocab[sym] = vocab.get(sym, 0) + int(r["freq"])
-
-    merges: List[Tuple[str, str]] = []
-    for _ in range(num_merges):
-        pairs: Dict[Tuple[str, str], int] = {}
-        for sym, freq in vocab.items():
-            for a, b in zip(sym[:-1], sym[1:]):
-                pairs[(a, b)] = pairs.get((a, b), 0) + freq
-        if not pairs:
-            break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        merges.append(best)
-        vocab = {_merge_word(sym, best): f for sym, f in vocab.items()}
-    return merges
+    return _learn_merges(vocab, num_merges)
 
 
 def segment_word(word: str, ranks: Dict[Tuple[str, str], int]) -> List[str]:

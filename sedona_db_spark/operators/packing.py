@@ -26,13 +26,29 @@ from ..functions.text import bpe_token_count
 def global_running_sum(df: DataFrame, order_col: str, val_col: str,
                        buckets: int = 256, out_col: str = "_cum") -> DataFrame:
     """Exact `sum(val) OVER (ORDER BY order_col)` (inclusive) without a
-    single-task global window. `order_col` must be numeric."""
-    lo, hi = df.agg(F.min(order_col), F.max(order_col)).collect()[0]
+    single-task global window. `order_col` must be numeric.
+
+    Buckets are COUNT-BALANCED (round-4, VERDICT r3 #8): split points are
+    one-pass approximate quantiles of `order_col`, so a sparse or skewed
+    id space (ids clustered in a tiny range of a huge domain) still lands
+    ~n/buckets rows per bucket — the old (max-min)/buckets range split
+    put most rows in a few buckets. Split choice affects only the
+    parallel decomposition; the running sum is exact either way."""
+    lo = df.agg(F.min(order_col)).collect()[0][0]
     if lo is None:
         return df.withColumn(out_col, F.lit(None).cast("long"))
-    span = max(int(hi) - int(lo) + 1, 1)
-    width = max(span // buckets + 1, 1)
-    b = df.withColumn("_bkt", ((F.col(order_col) - F.lit(int(lo))) / F.lit(width)).cast("long"))
+    probs = [i / buckets for i in range(1, buckets)]
+    splits = sorted(set(df.stat.approxQuantile(order_col, probs, 0.001)))
+    if not splits:
+        b = df.withColumn("_bkt", F.lit(0).cast("long"))
+    else:
+        arr = F.array(*[F.lit(float(s)) for s in splits])
+        # bucket = count of split points strictly below the value: rows
+        # tying a split always share a bucket (ordering stays exact)
+        b = df.withColumn(
+            "_bkt",
+            F.size(F.filter(arr, lambda s: F.col(order_col).cast("double") > s)).cast("long"),
+        )
     totals = {
         int(r["_bkt"]): int(r["t"])
         for r in b.groupBy("_bkt").agg(F.sum(val_col).alias("t")).collect()

@@ -132,9 +132,14 @@ def _split_top_and(masked: str, raw: str) -> List[str]:
     return [p for p in parts if p]
 
 
-def _scan_balanced_expr(masked: str, start: int) -> int:
+_JOIN_KEYWORDS = ("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "NATURAL")
+
+
+def _scan_balanced_expr(masked: str, start: int, stop_join: bool = False) -> int:
     """Return the end offset of an expression beginning at `start`: stops at
-    the first top-level tail keyword / ';' / end-of-string."""
+    the first top-level tail keyword / ';' / end-of-string (and, with
+    ``stop_join``, at the next top-level JOIN keyword — used when walking a
+    join chain's ON conditions)."""
     depth = 0
     for m in re.finditer(r"[();]|\b[A-Za-z_]+\b", masked[start:]):
         tok = m.group()
@@ -149,7 +154,43 @@ def _scan_balanced_expr(masked: str, start: int) -> int:
                 return start + m.start()
         elif depth == 0 and tok.upper() in _TAIL_KEYWORDS:
             return start + m.start()
+        elif stop_join and depth == 0 and tok.upper() in _JOIN_KEYWORDS:
+            return start + m.start()
     return len(masked)
+
+
+def _split_top_or(masked: str, raw: str) -> List[str]:
+    """Split a boolean expression on top-level ORs (by paren depth)."""
+    parts, depth, start = [], 0, 0
+    for m in re.finditer(r"[()]|\bOR\b", masked, re.IGNORECASE):
+        if m.group() == "(":
+            depth += 1
+        elif m.group() == ")":
+            depth -= 1
+        elif depth == 0:
+            parts.append(raw[start:m.start()].strip())
+            start = m.end()
+    parts.append(raw[start:].strip())
+    return [p for p in parts if p]
+
+
+def _strip_outer_parens(masked: str, raw: str) -> Tuple[str, str]:
+    """Peel balanced outer parentheses: '(a OR b)' -> 'a OR b'."""
+    while raw.startswith("(") and raw.endswith(")"):
+        depth = 0
+        ok = True
+        for i, ch in enumerate(masked):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(masked) - 1:
+                    ok = False
+                    break
+        if not ok:
+            break
+        raw, masked = raw[1:-1].strip(), masked[1:-1].strip()
+    return masked, raw
 
 
 def _split_args(masked: str, raw: str) -> List[str]:
@@ -260,9 +301,10 @@ def _alias_re(alias: str) -> str:
     return rf"(?<![A-Za-z_0-9.]){re.escape(alias)}\s*\.\s*"
 
 
-def _substitute_idents(sql: str, a1: str, cols1, a2: str, cols2) -> str:
+def _substitute_idents(sql: str, sides) -> str:
     """Rewrite `a.col` → `a__col`, expand `a.*`, prefix unambiguous bare
-    column refs. Operates outside string literals."""
+    column refs. Operates outside string literals. ``sides`` is a list of
+    (alias, cols) pairs — two for a single join, N+1 for a join chain."""
     masked = _mask_strings(sql)
 
     # protect "AS <ident>" targets from bare-ident substitution
@@ -272,7 +314,7 @@ def _substitute_idents(sql: str, a1: str, cols1, a2: str, cols2) -> str:
 
     edits = []  # (start, end, replacement)
 
-    for alias, cols in ((a1, cols1), (a2, cols2)):
+    for alias, cols in sides:
         # a.*  →  a__c1 AS c1, a__c2 AS c2, ...
         for m in re.finditer(_alias_re(alias) + r"\*", masked, re.IGNORECASE):
             repl = ", ".join(f"{alias}__{c} AS {c}" for c in cols)
@@ -283,8 +325,15 @@ def _substitute_idents(sql: str, a1: str, cols1, a2: str, cols2) -> str:
             edits.append((m.start(), m.end(), f"{alias}__{m.group(1)}"))
 
     # bare idents that live in exactly one side, not function calls
-    only1 = {c for c in cols1 if c not in cols2}
-    only2 = {c for c in cols2 if c not in cols1}
+    from collections import Counter
+
+    owner = {}
+    counts = Counter()
+    for alias, cols in sides:
+        for c in cols:
+            counts[c] += 1
+            owner[c] = alias
+    unique = {c: owner[c] for c, n in counts.items() if n == 1}
     for m in re.finditer(rf"(?<![A-Za-z_0-9.]){_IDENT}(?![A-Za-z_0-9])",
                          masked):
         if (m.start(), m.end()) in protected:
@@ -297,12 +346,10 @@ def _substitute_idents(sql: str, a1: str, cols1, a2: str, cols2) -> str:
         if any(s <= m.start() < e for s, e, _ in edits):
             continue
         tok = m.group()
-        if tok in only1:
-            edits.append((m.start(), m.end(), f"{a1}__{tok}"))
-        elif tok in only2:
-            edits.append((m.start(), m.end(), f"{a2}__{tok}"))
+        if tok in unique:
+            edits.append((m.start(), m.end(), f"{unique[tok]}__{tok}"))
 
-    # bare SELECT * (not a.*, not count(*)): expand to both sides
+    # bare SELECT * (not a.*, not count(*)): expand to every side
     for m in re.finditer(r"(?<![A-Za-z_0-9.*])\*(?![A-Za-z_0-9])", masked):
         if any(s <= m.start() < e for s, e, _ in edits):
             continue
@@ -312,8 +359,7 @@ def _substitute_idents(sql: str, a1: str, cols1, a2: str, cols2) -> str:
         if not re.search(r"\bSELECT\s*$", before, re.IGNORECASE):
             continue
         repl = ", ".join(
-            [f"{a1}__{c} AS {c}" for c in cols1]
-            + [f"{a2}__{c} AS {c}" for c in cols2]
+            f"{alias}__{c} AS {c}" for alias, cols in sides for c in cols
         )
         edits.append((m.start(), m.end(), repl))
 
@@ -322,13 +368,13 @@ def _substitute_idents(sql: str, a1: str, cols1, a2: str, cols2) -> str:
     return sql
 
 
-def _alias_bare_select_items(new_sql: str, view: str, a1: str, cols1,
-                             a2: str, cols2) -> str:
+def _alias_bare_select_items(new_sql: str, view: str, sides) -> str:
     """`SELECT p__pid, a__bid FROM <view>` → add `AS pid` / `AS bid` so the
     output schema matches what vanilla SQL would have produced for simple
     (possibly qualified) column references."""
-    prefixed = {f"{a1}__{c}": c for c in cols1}
-    prefixed.update({f"{a2}__{c}": c for c in cols2})
+    prefixed = {}
+    for alias, cols in sides:
+        prefixed.update({f"{alias}__{c}": c for c in cols})
     masked = _mask_strings(new_sql)
     msel = re.search(r"\bSELECT\b(\s+DISTINCT\b)?", masked, re.IGNORECASE)
     mfrom = re.search(rf"\bFROM\s+{re.escape(view)}\b", masked, re.IGNORECASE)
@@ -385,10 +431,13 @@ def plan_spatial_sql(spark: SparkSession, sql: str) -> Optional[DataFrame]:
                      r"Covered_By|Touches|Crosses|Overlaps|Equals|DWithin|"
                      r"KNN|Distance)\s*\(", masked, re.IGNORECASE):
         return None
-    if re.search(rf"\bJOIN\b.*\bJOIN\b", masked, re.IGNORECASE | re.DOTALL):
-        return None  # multi-join: unsupported shape
     if re.search(rf"\bFROM\s*\(", masked, re.IGNORECASE):
         return None  # subquery in FROM
+    if re.search(rf"\bJOIN\b.*\bJOIN\b", masked, re.IGNORECASE | re.DOTALL):
+        # multi-join chain: fold left-to-right through repeated
+        # spatial_join calls (reference: optimizer.rs:233-420 composes
+        # SpatialJoinExec with arbitrary surrounding plans)
+        return _plan_join_chain(spark, sql, masked)
 
     mj = _JOIN_RE.search(masked)
     mc = None if mj else _COMMA_RE.search(masked)
@@ -425,6 +474,11 @@ def plan_spatial_sql(spark: SparkSession, sql: str) -> Optional[DataFrame]:
             spatial = sc
         else:
             residual.append(c)
+    if spatial is None and len(conjuncts) == 1 and how == "inner":
+        # OR'd spatial predicates: union of joins, branch-exclusive so
+        # duplicate input rows keep exact SQL multiplicities
+        return _plan_or_join(spark, sql, masked, m, cond_raw, cond_masked,
+                             cond_end, t1, t2, a1, a2)
     if spatial is None:
         return None
     if residual and how != "inner":
@@ -542,8 +596,285 @@ def plan_spatial_sql(spark: SparkSession, sql: str) -> Optional[DataFrame]:
         else:
             tail = f" WHERE {res} " + tail
     new_sql = f"{head} FROM {view} {tail}"
-    new_sql = _substitute_idents(new_sql, a1, cols1, a2, cols2)
-    new_sql = _alias_bare_select_items(new_sql, view, a1, cols1, a2, cols2)
+    sides = [(a1, cols1), (a2, cols2)]
+    new_sql = _substitute_idents(new_sql, sides)
+    new_sql = _alias_bare_select_items(new_sql, view, sides)
+    return spark.sql(new_sql)
+
+
+# predicate -> the registered scalar ST_ function evaluating it post-join
+# (used by the OR rewrite's branch-exclusion filters)
+_PRED_TO_FN = {
+    "intersects": "ST_Intersects",
+    "contains": "ST_Contains",
+    "within": "ST_Within",
+    "covers": "ST_Covers",
+    "covered_by": "ST_CoveredBy",
+    "touches": "ST_Touches",
+    "crosses": "ST_Crosses",
+    "overlaps": "ST_Overlaps",
+    "equals": "ST_Equals",
+}
+
+
+def _plan_or_join(spark: SparkSession, sql: str, masked: str, m, cond_raw,
+                  cond_masked, cond_end, t1, t2, a1, a2) -> Optional[DataFrame]:
+    """``JOIN b ON ST_A(...) OR ST_B(...)`` → UNION of spatial joins.
+
+    Each branch after the first filters out pairs already matched by the
+    EARLIER predicates (evaluated by the scalar ST_ kernels post-join), so
+    the union is exact even for duplicate input rows — a plain
+    dropDuplicates would collapse genuine SQL multiplicities. Reference
+    behavior: optimizer.rs composes with arbitrary boolean structure;
+    this covers the top-level-OR shape (VERDICT r3 next #3)."""
+    cm, cr = _strip_outer_parens(cond_masked.strip(), cond_raw.strip())
+    parts_raw = _split_top_or(cm, cr)
+    if len(parts_raw) < 2:
+        return None
+    parts = [_parse_spatial_conjunct(p) for p in parts_raw]
+    if any(p is None or p.kind == "knn" for p in parts):
+        return None  # every OR arm must be an indexable relation/dwithin
+    L, R = _table_df(spark, t1), _table_df(spark, t2)
+    if L is None or R is None:
+        return None
+    cols1, cols2 = L.columns, R.columns
+
+    from ..types import get_geom_meta
+
+    arms = []  # (predicate, left_geom_name, right_geom_name, distance)
+    for p in parts:
+        r1, r2 = _geom_ref(p.g1), _geom_ref(p.g2)
+        if r1 is None or r2 is None:
+            return None
+        s1 = _resolve_side(r1, a1, cols1, a2, cols2)
+        s2 = _resolve_side(r2, a1, cols1, a2, cols2)
+        if s1 is None or s2 is None or s1 == s2:
+            return None
+        g_left = r1[1] if s1 == "L" else r2[1]
+        g_right = r2[1] if s2 == "R" else r1[1]
+        predicate = p.predicate
+        if s1 == "R":
+            predicate = _INVERT[predicate]
+        distance = None
+        if p.kind == "dwithin":
+            dt = p.dist_text.strip()
+            if not re.match(r"^[0-9]*\.?[0-9]+([eE][+-]?[0-9]+)?$", dt):
+                return None
+            distance = float(dt)
+        if (get_geom_meta(L, g_left) or {}).get("edges") == "spherical" or \
+           (get_geom_meta(R, g_right) or {}).get("edges") == "spherical":
+            return None  # OR rewrite is planar-only
+        arms.append((predicate, g_left, g_right, distance))
+
+    from ..functions import st as _st
+    from ..operators.spatial_join import spatial_join
+
+    Lp = L.select([F.col(c).alias(f"{a1}__{c}") for c in cols1])
+    Rp = R.select([F.col(c).alias(f"{a2}__{c}") for c in cols2])
+
+    def _arm_expr(arm, df_unused=None):
+        predicate, g_left, g_right, distance = arm
+        lg, rg = F.col(f"{a1}__{g_left}"), F.col(f"{a2}__{g_right}")
+        if predicate == "dwithin":
+            return getattr(_st, "ST_DWithin")(lg, rg, F.lit(distance))
+        return getattr(_st, _PRED_TO_FN[predicate])(lg, rg)
+
+    branches = []
+    for i, arm in enumerate(arms):
+        predicate, g_left, g_right, distance = arm
+        J = spatial_join(
+            Lp, Rp, predicate=predicate,
+            left_geom=f"{a1}__{g_left}", right_geom=f"{a2}__{g_right}",
+            how="inner", distance=distance,
+        )
+        for prior in arms[:i]:
+            J = J.where(~F.coalesce(_arm_expr(prior), F.lit(False)))
+        branches.append(J)
+    U = branches[0]
+    for b in branches[1:]:
+        U = U.unionByName(b)
+
+    _view_counter[0] += 1
+    view = f"__sedona_sjoin_{_view_counter[0]}"
+    U.createOrReplaceTempView(view)
+    head = sql[:m.start()]
+    tail = sql[cond_end:]
+    new_sql = f"{head} FROM {view} {tail}"
+    sides = [(a1, cols1), (a2, cols2)]
+    new_sql = _substitute_idents(new_sql, sides)
+    new_sql = _alias_bare_select_items(new_sql, view, sides)
+    return spark.sql(new_sql)
+
+
+def _resolve_in(ref, sides):
+    """(qualifier, col) resolved against a list of (alias, cols) →
+    (alias, col) or None."""
+    q, c = ref
+    if q is not None:
+        for alias, cols in sides:
+            if alias.lower() == q.lower():
+                return (alias, c) if c in cols else None
+        return None
+    hits = [(alias, c) for alias, cols in sides if c in cols]
+    return hits[0] if len(hits) == 1 else None
+
+
+_FROM_HEAD_RE = re.compile(
+    rf"\bFROM\s+(?P<t>{_TBL})"
+    rf"(?:\s+(?:AS\s+)?(?!(?:INNER|LEFT|RIGHT|FULL|CROSS|NATURAL|JOIN)\b)"
+    rf"(?P<a>{_IDENT}))?",
+    re.IGNORECASE,
+)
+
+_JOIN_STEP_RE = re.compile(
+    rf"\s*(?:INNER\s+)?JOIN\s+(?P<t>{_TBL})"
+    rf"(?:\s+(?:AS\s+)?(?!ON\b)(?P<a>{_IDENT}))?\s+ON\b",
+    re.IGNORECASE,
+)
+
+
+def _plan_join_chain(spark: SparkSession, sql: str, masked: str) -> Optional[DataFrame]:
+    """``FROM a JOIN b ON st(...) JOIN c ON st(...) ...`` folded
+    left-to-right through repeated spatial_join/knn_join calls — the
+    analogue of the reference's plan-level rule composing SpatialJoinExec
+    into arbitrary join trees (optimizer.rs:233-420). INNER chains only;
+    an outer step falls back (and, being a cartesian spatial shape, the
+    caller raises with guidance)."""
+    mhead = _FROM_HEAD_RE.search(masked)
+    if mhead is None:
+        return None
+    steps = []
+    pos = mhead.end()
+    while True:
+        ms = _JOIN_STEP_RE.match(masked, pos)
+        if ms is None:
+            break
+        cond_start = ms.end()
+        cond_end = _scan_balanced_expr(masked, cond_start, stop_join=True)
+        steps.append((ms.group("t"), ms.group("a"), cond_start, cond_end))
+        pos = cond_end
+    if len(steps) < 2:
+        return None  # single join is handled by the caller's main path
+    # everything between the last ON condition and the tail must be tail
+    # keywords — an unconsumed LEFT/RIGHT/CROSS JOIN means an unsupported
+    # chain shape
+    rest = masked[pos:].lstrip()
+    if rest and not re.match(
+        rf"(?:{'|'.join(_TAIL_KEYWORDS)})\b|;|$", rest, re.IGNORECASE
+    ):
+        return None
+
+    t0, a0 = mhead.group("t"), mhead.group("a")
+    if not _valid_alias(a0):
+        return None
+    aliases = [a0 or t0.split(".")[-1]]
+    tables = [t0]
+    for t, a, _, _ in steps:
+        if not _valid_alias(a):
+            return None
+        aliases.append(a or t.split(".")[-1])
+        tables.append(t)
+    if len({a.lower() for a in aliases}) != len(aliases):
+        return None
+
+    dfs = [_table_df(spark, t) for t in tables]
+    if any(d is None for d in dfs):
+        return None
+    sides = [(aliases[i], dfs[i].columns) for i in range(len(dfs))]
+
+    from ..operators.spatial_join import spatial_join
+
+    def _prefixed(df, alias):
+        return df.select([F.col(c).alias(f"{alias}__{c}") for c in df.columns])
+
+    ACC = _prefixed(dfs[0], aliases[0])
+    acc_sides = [sides[0]]
+    residual_all: List[str] = []
+    for i, (t, a, cond_start, cond_end) in enumerate(steps, start=1):
+        cond_raw = sql[cond_start:cond_end]
+        cond_masked = masked[cond_start:cond_end]
+        conjuncts = _split_top_and(cond_masked, cond_raw)
+        spatial, residual = None, []
+        for c in conjuncts:
+            sc = _parse_spatial_conjunct(c)
+            if sc is not None and spatial is None:
+                spatial = sc
+            else:
+                residual.append(c)
+        if spatial is None:
+            return None
+        residual_all.extend(residual)
+
+        new_side = sides[i]
+        r1, r2 = _geom_ref(spatial.g1), _geom_ref(spatial.g2)
+        if r1 is None or r2 is None:
+            return None
+        p1 = _resolve_in(r1, acc_sides)
+        p2 = _resolve_in(r2, acc_sides)
+        n1 = _resolve_in(r1, [new_side])
+        n2 = _resolve_in(r2, [new_side])
+        # exactly one arg from the accumulated side, the other from the
+        # step's new table
+        if p1 is not None and n2 is not None and n1 is None:
+            prev_ref, new_ref, inverted = p1, n2, False
+        elif p2 is not None and n1 is not None and n2 is None:
+            prev_ref, new_ref, inverted = p2, n1, True
+        else:
+            return None
+        left_geom = f"{prev_ref[0]}__{prev_ref[1]}"
+        right_geom = f"{new_ref[0]}__{new_ref[1]}"
+        Rp = _prefixed(dfs[i], aliases[i])
+
+        if spatial.kind == "knn":
+            if inverted:
+                return None  # ST_KNN(probe, build): probe = accumulated side
+            from ..operators.knn_join import knn_join
+
+            ACC = knn_join(ACC, Rp, k=spatial.k, probe_geom=left_geom,
+                           build_geom=right_geom,
+                           use_spheroid=spatial.use_spheroid)
+        else:
+            predicate = spatial.predicate
+            if inverted:
+                predicate = _INVERT[predicate]
+            distance = None
+            if spatial.kind == "dwithin":
+                dt = spatial.dist_text.strip()
+                mnum = re.match(r"^[0-9]*\.?[0-9]+([eE][+-]?[0-9]+)?$", dt)
+                if mnum:
+                    distance = float(dt)
+                else:
+                    dref = _geom_ref(dt)
+                    if dref is None:
+                        return None
+                    dres = _resolve_in(dref, [new_side])
+                    if dres is None:
+                        return None  # column distance must ride the new side
+                    distance = F.col(f"{dres[0]}__{dres[1]}")
+            # spatial_join dispatches geography joins from column metadata
+            ACC = spatial_join(
+                ACC, Rp, predicate=predicate,
+                left_geom=left_geom, right_geom=right_geom,
+                how="inner", distance=distance,
+            )
+        acc_sides.append(new_side)
+
+    _view_counter[0] += 1
+    view = f"__sedona_sjoin_{_view_counter[0]}"
+    ACC.createOrReplaceTempView(view)
+    head = sql[:mhead.start()]
+    tail = sql[steps[-1][3]:]
+    if residual_all:
+        res = " AND ".join(f"({r})" for r in residual_all)
+        tmask = _mask_strings(tail)
+        mw = re.search(r"\bWHERE\b", tmask, re.IGNORECASE)
+        if mw:
+            tail = tail[:mw.end()] + f" ({res}) AND " + tail[mw.end():]
+        else:
+            tail = f" WHERE {res} " + tail
+    new_sql = f"{head} FROM {view} {tail}"
+    new_sql = _substitute_idents(new_sql, sides)
+    new_sql = _alias_bare_select_items(new_sql, view, sides)
     return spark.sql(new_sql)
 
 

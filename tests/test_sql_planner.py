@@ -278,3 +278,92 @@ def test_knn_outer_join_falls_back(con, tables, spark):
         "LEFT JOIN admin_t a ON ST_KNN(p.geom, a.geometry, 2)",
     )
     assert outer is None
+
+
+@pytest.fixture(scope="module")
+def sup_table(spark):
+    rng = np.random.default_rng(17)
+    x = rng.uniform(-179, 179, 80)
+    y = rng.uniform(-89, 89, 80)
+    sup = spark.createDataFrame(
+        [(int(i), bytes(w)) for i, w in enumerate(wkb.encode_points_xy(x, y))],
+        "sid LONG, sgeom BINARY")
+    sup.createOrReplaceTempView("sup_t")
+    return sup, x, y
+
+
+def test_join_chain_three_tables(con, tables, sup_table, spark):
+    """FROM a JOIN b ON st JOIN c ON st — folded through repeated
+    spatial_join calls, no cartesian anywhere (VERDICT r3 next #3)."""
+    import math
+
+    pts, admin = tables
+    sup, sx, sy = sup_table
+    df = con.sql(
+        "SELECT p.pid AS pid, a.bid AS bid, s.sid AS sid "
+        "FROM pts_t p JOIN admin_t a ON ST_Within(p.geom, a.geometry) "
+        "JOIN sup_t s ON ST_DWithin(p.geom, s.sgeom, 12.0) "
+        "ORDER BY pid, bid, sid")
+    plan = _plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = [(r["pid"], r["bid"], r["sid"]) for r in df.collect()]
+    px = {r["pid"]: (r["lon"], r["lat"]) for r in pts.collect()}
+    want = []
+    for pid, bid in sorted(_expected_pairs(pts, admin)):
+        for j in range(80):
+            if math.hypot(px[pid][0] - sx[j], px[pid][1] - sy[j]) <= 12.0:
+                want.append((pid, bid, j))
+    assert got == sorted(want)
+
+
+def test_join_chain_residual_and_aggregation(con, tables, sup_table):
+    df = con.sql(
+        "SELECT a.bid AS bid, count(*) AS cnt "
+        "FROM pts_t p JOIN admin_t a ON ST_Within(p.geom, a.geometry) AND p.pid > 10 "
+        "JOIN sup_t s ON ST_DWithin(p.geom, s.sgeom, 25.0) "
+        "GROUP BY a.bid ORDER BY bid")
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["bid", "cnt"]
+
+
+def test_or_join_union_semantics(con, tables, sup_table, spark):
+    """ON ST_A OR ST_B = union of joins with branch exclusion; exact even
+    for duplicate input rows."""
+    import math
+
+    pts, admin = tables
+    sup, sx, sy = sup_table
+    # duplicate one probe row: multiplicity must be preserved
+    dup = pts.limit(1).union(pts)
+    dup.createOrReplaceTempView("pts_dup_t")
+    df = con.sql(
+        "SELECT p.pid AS pid, s.sid AS sid FROM pts_dup_t p JOIN sup_t s "
+        "ON ST_DWithin(p.geom, s.sgeom, 4.0) OR ST_DWithin(p.geom, s.sgeom, 9.0)")
+    got = sorted((r["pid"], r["sid"]) for r in df.collect())
+    px = {r["pid"]: (r["lon"], r["lat"]) for r in pts.collect()}
+    base = [(i, j) for i in px for j in range(80)
+            if math.hypot(px[i][0] - sx[j], px[i][1] - sy[j]) <= 9.0]
+    dup_pid = pts.limit(1).collect()[0]["pid"]
+    want = sorted(base + [(i, j) for (i, j) in base if i == dup_pid])
+    assert got == want
+
+
+def test_or_join_mixed_predicates(con, tables):
+    pts, admin = tables
+    df = con.sql(
+        "SELECT count(*) AS cnt FROM pts_t p JOIN admin_t a "
+        "ON ST_Within(p.geom, a.geometry) OR ST_Touches(p.geom, a.geometry)")
+    # points are strictly interior to exactly one box each
+    assert df.collect()[0]["cnt"] == 400
+
+
+def test_chain_with_outer_step_falls_back(con, tables, sup_table, spark):
+    from sedona_db_spark.plans.sql_planner import plan_spatial_sql
+
+    out = plan_spatial_sql(
+        spark,
+        "SELECT p.pid FROM pts_t p JOIN admin_t a ON ST_Within(p.geom, a.geometry) "
+        "LEFT JOIN sup_t s ON ST_DWithin(p.geom, s.sgeom, 12.0)")
+    assert out is None
