@@ -1202,6 +1202,67 @@ def geography_pip_join(
     raise ValueError(f"unsupported how={how!r}")
 
 
+def _with_probe_ordinal(df: DataFrame, pid_col: str, pos_col: str) -> DataFrame:
+    """Attach (partition id, offset within partition) — the probe row's
+    arrival coordinates. Offsets are assigned by a streaming mapInPandas
+    counter (batches of a partition arrive in order); like the reference's
+    probe stream these coordinates describe THIS scan — they order output,
+    never key a re-join, so task-retry recomputation cannot mis-pair rows
+    (the reason monotonically_increasing_id stays banned elsewhere)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    df = df.withColumn(pid_col, F.spark_partition_id())
+    # fresh StructType: StructType.add mutates in place, corrupting the
+    # DataFrame's cached schema
+    schema = StructType(list(df.schema.fields) + [StructField(pos_col, LongType(), False)])
+
+    def gen(it):
+        pos = 0
+        for pdf in it:
+            pdf[pos_col] = np.arange(pos, pos + len(pdf), dtype=np.int64)
+            pos += len(pdf)
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def spatial_join_ordered(
+    left: DataFrame,
+    right: DataFrame,
+    predicate: str = "intersects",
+    how: str = "inner",
+    **kw,
+) -> DataFrame:
+    """:func:`spatial_join` with PROBE-SIDE ORDER PRESERVATION — output
+    rows iterate in the left (probe) side's arrival order, matches of one
+    probe row staying adjacent. The reference's SpatialJoinExec preserves
+    probe order for Inner/Right joins for free from its single-node
+    streaming probe (rust/sedona-spatial-join/src/exec.rs:204-225 in
+    /root/reference); on a cluster the analogue is: tag each probe row
+    with its (partition, offset) arrival coordinates, run the normal
+    two-phase join, then RANGE-partition the (already filtered, much
+    smaller) result on those coordinates and sortWithinPartitions — a
+    narrow result-sized exchange, never a global driver-side sort of the
+    corpus."""
+    if how.lower() != "inner":
+        raise NotImplementedError(
+            "probe-order preservation applies to inner joins "
+            "(the reference preserves order for Inner/Right only; use "
+            "ORDER BY for outer joins)"
+        )
+    pid_col, pos_col = "_probe_ord_pid", "_probe_ord_pos"
+    if pid_col in left.columns or pos_col in left.columns:
+        raise ValueError(f"column name collision on {pid_col}/{pos_col}")
+    tagged = _with_probe_ordinal(left, pid_col, pos_col)
+    J = spatial_join(tagged, right, predicate=predicate, how="inner", **kw)
+    nparts = max(tagged.rdd.getNumPartitions(), 1)
+    return (
+        J.repartitionByRange(nparts, pid_col, pos_col)
+        .sortWithinPartitions(pid_col, pos_col)
+        .drop(pid_col, pos_col)
+    )
+
+
 def salt_hot_cells(df: DataFrame, cell_col: str, hot_threshold: int, replicas: int) -> DataFrame:
     """Skew mitigation: split cells whose row count exceeds `hot_threshold`
     into `replicas` salted sub-keys. Join the other side after exploding its

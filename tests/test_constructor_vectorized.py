@@ -136,3 +136,105 @@ class TestSparkSurface:
         g1 = wkb.parse(bytes(got[1]))
         assert np.allclose(g1.coords, [[0, 0], [5, 5], [6, 6]])
         assert got[2] is None
+
+
+class TestHeaderWalkAccessors:
+    """Round-4 (VERDICT r3 #9): accessor kernels answer from the WKB
+    header walk, >=3x faster than the full parse on mixed 100k batches,
+    byte-identical answers."""
+
+    @staticmethod
+    def _mixed_batch(n):
+        import numpy as np
+
+        from sedona_db_spark.geometry import wkb as W
+
+        rng = np.random.default_rng(2)
+        out = []
+        for i in range(n):
+            k = i % 6
+            if k == 0:
+                out.append(W.encode(W.from_wkt(f"POINT ({i} {i+1})")))
+            elif k == 1:
+                pts = rng.uniform(0, 10, (8, 2))
+                out.append(W.encode(W.Geometry(W.LINESTRING, pts)))
+            elif k == 2:
+                ring = np.array([[0, 0], [4, 0], [4, 4], [0, 0]], dtype=float) + i % 7
+                out.append(W.encode(W.Geometry(W.POLYGON, [ring])))
+            elif k == 3:
+                out.append(W.encode(W.from_wkt("POINT Z (1 2 3)")))
+            elif k == 4:
+                out.append(W.encode(W.from_wkt(
+                    "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))")))
+            else:
+                out.append(None if i % 30 == 5 else W.encode(W.from_wkt("POINT EMPTY")))
+        return out
+
+    def test_parity_and_speed(self):
+        import time
+
+        from sedona_db_spark.functions.st import (
+            _geometrytype_batch,
+            _numgeometries_batch,
+            _zmflag_batch,
+        )
+        from sedona_db_spark.geometry import wkb as W
+
+        bufs = self._mixed_batch(100_000)
+
+        def parse_types(bs):
+            return [None if v is None else W.TYPE_NAMES[W.parse(v).type_id]
+                    for v in bs]
+
+        t0 = time.perf_counter()
+        got = _geometrytype_batch(bufs)
+        t_new = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        want = parse_types(bufs)
+        t_old = time.perf_counter() - t0
+        assert got == want
+        assert t_old / max(t_new, 1e-9) >= 3.0, (t_new, t_old)
+
+        # parity for the other header kernels
+        def n_old(v):
+            if v is None:
+                return None
+            g = W.parse(v)
+            if g.type_id in (W.MULTIPOINT, W.MULTILINESTRING, W.MULTIPOLYGON,
+                             W.GEOMETRYCOLLECTION):
+                return len(g.coords)
+            return 0 if g.is_empty else 1
+
+        sample = bufs[:6000]
+        assert _numgeometries_batch(sample) == [n_old(v) for v in sample]
+        assert _zmflag_batch(sample) == [
+            None if v is None else
+            (2 if W.parse(v).has_z else 0) + (1 if W.parse(v).has_m else 0)
+            for v in sample
+        ]
+
+    def test_header_walk_edge_cases(self):
+        import struct
+
+        import numpy as np
+
+        from sedona_db_spark.geometry import wkb as W
+
+        # big-endian point, EWKB SRID point, empty multis, truncated blob
+        be_pt = b"\x00" + struct.pack(">I", 1) + struct.pack(">dd", 1.5, 2.5)
+        ewkb = b"\x01" + struct.pack("<I", 1 | 0x20000000) + struct.pack("<i", 4326) \
+            + struct.pack("<dd", 3.0, 4.0)
+        empties = [W.encode(W.from_wkt(w)) for w in
+                   ("MULTIPOINT EMPTY", "GEOMETRYCOLLECTION EMPTY",
+                    "LINESTRING EMPTY", "POINT EMPTY")]
+        bufs = [be_pt, ewkb] + empties + [b"\x01\x01\x00", None]
+        t, z, m, cnt, pe, ok = W.decode_headers(bufs)
+        assert list(t[:2]) == [W.POINT, W.POINT] and ok[0] and ok[1]
+        assert not pe[0] and not pe[1]
+        assert list(cnt[2:6]) == [0, 0, 0, -1]
+        assert pe[5]
+        assert not ok[6] and not ok[7]  # truncated / None fall back
+
+        from sedona_db_spark.functions.st import _geometrytype_batch
+
+        assert _geometrytype_batch([be_pt, ewkb]) == ["ST_Point", "ST_Point"]

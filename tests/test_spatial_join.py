@@ -420,3 +420,59 @@ def test_heterogeneous_sides_beyond_sample_window(spark):
         probe, R2, "dwithin", left_geom="geom", right_geom="rgeom",
         distance=0.6).collect())
     assert got2 == [777]
+
+
+def test_probe_order_preserved(spark):
+    """Round-4 (VERDICT r3 #6, exec.rs:204-225 analogue): output rows of
+    spatial_join_ordered iterate in the probe side's arrival order."""
+    import numpy as np
+
+    from sedona_db_spark.geometry import wkb as W
+    from sedona_db_spark.operators.spatial_join import spatial_join_ordered
+
+    rng = np.random.default_rng(21)
+    # probe ids in a SHUFFLED order — output must follow this order, not id
+    perm = rng.permutation(300)
+    xs = rng.uniform(-170, 170, 300)
+    ys = rng.uniform(-80, 80, 300)
+    rows = [(int(perm[i]), bytes(b))
+            for i, b in enumerate(W.encode_points_xy(xs, ys))]
+    # createDataFrame chunks the local list deterministically across
+    # partitions (a repartition() here would be round-robin — unstable
+    # across the two scans below)
+    pts = spark.createDataFrame(rows, "pid LONG, geom BINARY")
+    assert pts.rdd.getNumPartitions() > 1
+    probe_order = [r["pid"] for r in pts.select("pid").collect()]
+    boxes = []
+    for i in range(25):
+        x0 = -180.0 + (i % 5) * 72.0
+        y0 = -90.0 + (i // 5) * 36.0
+        boxes.append((i, W.encode(W.box(x0, y0, x0 + 72.0, y0 + 36.0))))
+    admin = spark.createDataFrame(boxes, "bid INT, geometry BINARY")
+
+    out = spatial_join_ordered(pts, admin, predicate="within",
+                               left_geom="geom", right_geom="geometry")
+    got = [r["pid"] for r in out.collect()]
+    # every point falls in exactly one open box
+    assert sorted(got) == sorted(probe_order)
+    assert got == probe_order  # SAME sequence, not just the same set
+    assert "pid" in out.columns and "_probe_ord_pid" not in out.columns
+
+    # multi-match probe rows stay adjacent and in probe order
+    two = spark.createDataFrame(
+        [(7, bytes(W.encode_points_xy(np.array([1.0]), np.array([1.0]))[0])),
+         (3, bytes(W.encode_points_xy(np.array([2.0]), np.array([2.0]))[0]))],
+        "pid LONG, geom BINARY").coalesce(1)
+    zones = spark.createDataFrame(
+        [(0, W.encode(W.box(0, 0, 10, 10))), (1, W.encode(W.box(-5, -5, 5, 5)))],
+        "bid INT, geometry BINARY")
+    got2 = [(r["pid"], r["bid"]) for r in
+            spatial_join_ordered(two, zones, predicate="within",
+                                 left_geom="geom", right_geom="geometry").collect()]
+    assert [p for p, _ in got2] == [7, 7, 3, 3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="inner"):
+        spatial_join_ordered(two, zones, predicate="within", how="left",
+                             left_geom="geom", right_geom="geometry")
