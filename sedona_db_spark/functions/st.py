@@ -1576,6 +1576,9 @@ def _crs_tag(code: str):
     tm = _proj.TMERC_CRS.get(up)
     if tm is not None:
         return ("TMERC", tm)
+    ob = _proj.OBLST_CRS.get(up)
+    if ob is not None:
+        return ("OBLST", ob)
     utm = _proj.parse_utm_epsg(up)
     if utm is not None:
         return ("UTM",) + utm
@@ -1623,12 +1626,13 @@ def _to_lonlat_fn(tag):
             return out
 
         return fm
-    if tag[0] == "TMERC":
+    if tag[0] in ("TMERC", "OBLST"):
+        inv = _proj.tmerc_inverse if tag[0] == "TMERC" else _proj.oblst_inverse
 
-        def ft(arr, _p=tag[1]):
+        def ft(arr, _p=tag[1], _inv=inv):
             lat0, lon0, k0, fe, fn, ellps, towgs84 = _p
             out = arr.copy()
-            lon, lat = _proj.tmerc_inverse(
+            lon, lat = _inv(
                 arr[:, 0], arr[:, 1], lat0=lat0, lon0=lon0, k0=k0,
                 fe=fe, fn=fn, ellps=ellps,
             )
@@ -1690,9 +1694,10 @@ def _from_lonlat_fn(tag):
             return out
 
         return fm
-    if tag[0] == "TMERC":
+    if tag[0] in ("TMERC", "OBLST"):
+        fwd = _proj.tmerc_forward if tag[0] == "TMERC" else _proj.oblst_forward
 
-        def ft(arr, _p=tag[1]):
+        def ft(arr, _p=tag[1], _fwd=fwd):
             lat0, lon0, k0, fe, fn, ellps, towgs84 = _p
             out = arr.copy()
             lon, lat = arr[:, 0], arr[:, 1]
@@ -1700,7 +1705,7 @@ def _from_lonlat_fn(tag):
                 # WGS84 lon/lat hub -> the local datum before projecting
                 a, f_ = _proj.ELLIPSOIDS[ellps.upper()]
                 lon, lat = _proj.datum_from_wgs84(lon, lat, a, f_, towgs84)
-            out[:, 0], out[:, 1] = _proj.tmerc_forward(
+            out[:, 0], out[:, 1] = _fwd(
                 lon, lat, lat0=lat0, lon0=lon0, k0=k0, fe=fe, fn=fn,
                 ellps=ellps,
             )
@@ -1737,10 +1742,11 @@ def _st_transform(s: pd.Series, from_crs: pd.Series, to_crs: pd.Series) -> pd.Se
                 f"EPSG:3031/3413/3976/5041/5042/32661/32761, "
                 f"EPSG:3395 (World Mercator), transverse-Mercator grids "
                 f"EPSG:27700 (OSGB/BNG, Airy+Helmert) / EPSG:2193 (NZTM) / "
-                f"EPSG:31467 (DHDN GK3), and proj4 strings "
-                f"(+proj=longlat/webmerc/merc/tmerc/utm/laea/lcc/aea/polar "
-                f"stere; tmerc takes any +ellps/+towgs84) in this "
-                f"build (no PROJ in env); got {f!r} -> {t!r}"
+                f"EPSG:31467 (DHDN GK3), EPSG:28992 (Amersfoort / RD New, "
+                f"oblique stereographic), and proj4 strings "
+                f"(+proj=longlat/webmerc/merc/tmerc/sterea/utm/laea/lcc/aea/"
+                f"polar stere; tmerc+sterea take any +ellps/+towgs84) in "
+                f"this build (no PROJ in env); got {f!r} -> {t!r}"
             )
         g = wkb.parse(v)
         if fa == ta:

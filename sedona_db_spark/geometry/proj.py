@@ -535,6 +535,89 @@ MERC_CRS = {
 }
 
 
+# --- Oblique (double) Stereographic — EPSG method 9809 ----------------------
+# The Netherlands national grid (EPSG:28992 Amersfoort / RD New) and several
+# Caribbean grids use it. Formulas: EPSG Guidance Note 7-2 §3.2.6 (the
+# conformal-sphere construction of Schreiber), the same math PROJ's `sterea`
+# implements. Ellipsoid-parameterized like the round-4 tmerc core.
+
+
+def _oblst_constants(lat0: float, lon0: float, k0: float, a: float, f: float):
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    p0 = math.radians(lat0)
+    s0 = math.sin(p0)
+    rho0 = a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+    nu0 = a / math.sqrt(1 - e2 * s0 * s0)
+    R = math.sqrt(rho0 * nu0)
+    n = math.sqrt(1 + e2 * math.cos(p0) ** 4 / (1 - e2))
+    S1 = (1 + s0) / (1 - s0)
+    S2 = (1 - e * s0) / (1 + e * s0)
+    w1 = (S1 * S2**e) ** n
+    sin_chi0 = (w1 - 1) / (w1 + 1)
+    c = (n + s0) * (1 - sin_chi0) / ((n - s0) * (1 + sin_chi0))
+    w2 = c * w1
+    chi0 = math.asin((w2 - 1) / (w2 + 1))
+    return e, R, n, c, chi0, math.radians(lon0)
+
+
+def oblst_forward(lon, lat, lat0, lon0, k0, fe=0.0, fn=0.0, ellps="BESSEL"):
+    """(lon°, lat°) -> oblique-stereographic (E, N), EPSG 9809 forward."""
+    a, f = ELLIPSOIDS[ellps.upper()] if isinstance(ellps, str) else ellps
+    e, R, n, c, chi0, lam0 = _oblst_constants(lat0, lon0, k0, a, f)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    phi = np.radians(lat)
+    Lam = n * (np.radians(lon) - lam0)  # conformal longitude about Lambda0
+    s = np.sin(phi)
+    Sa = (1 + s) / (1 - s)
+    Sb = (1 - e * s) / (1 + e * s)
+    w = c * (Sa * Sb**e) ** n
+    chi = np.arcsin((w - 1) / (w + 1))
+    B = 1 + np.sin(chi) * math.sin(chi0) + np.cos(chi) * math.cos(chi0) * np.cos(Lam)
+    E = fe + 2 * R * k0 * np.cos(chi) * np.sin(Lam) / B
+    N = fn + 2 * R * k0 * (np.sin(chi) * math.cos(chi0)
+                           - np.cos(chi) * math.sin(chi0) * np.cos(Lam)) / B
+    return E, N
+
+
+def oblst_inverse(E_, N_, lat0, lon0, k0, fe=0.0, fn=0.0, ellps="BESSEL"):
+    """EPSG 9809 reverse (conformal-sphere inverse + iterative
+    isometric-latitude inversion, GN 7-2)."""
+    a, f = ELLIPSOIDS[ellps.upper()] if isinstance(ellps, str) else ellps
+    e, R, n, c, chi0, lam0 = _oblst_constants(lat0, lon0, k0, a, f)
+    x = np.asarray(E_, dtype=np.float64) - fe
+    y = np.asarray(N_, dtype=np.float64) - fn
+    g = 2 * R * k0 * math.tan(math.pi / 4 - chi0 / 2)
+    h = 4 * R * k0 * math.tan(chi0) + g
+    i = np.arctan2(x, h + y)
+    j = np.arctan2(x, g - y) - i
+    chi = chi0 + 2 * np.arctan((y - x * np.tan(j / 2)) / (2 * R * k0))
+    Lam = j + 2 * i
+    lon = np.degrees(Lam / n + lam0)
+    # invert the conformal latitude: psi from chi, then Newton on phi
+    psi = 0.5 * np.log((1 + np.sin(chi)) / (c * (1 - np.sin(chi)))) / n
+    phi = 2 * np.arctan(np.exp(psi)) - np.pi / 2
+    for _ in range(8):
+        s = np.sin(phi)
+        psi_i = np.log(np.tan(phi / 2 + np.pi / 4)
+                       * ((1 - e * s) / (1 + e * s)) ** (e / 2.0))
+        phi = phi - (psi_i - psi) * np.cos(phi) * (1 - e * e * s * s) / (1 - e * e)
+    return lon, np.degrees(phi)
+
+
+# Oblique-stereographic EPSG registry:
+# (lat0, lon0, k0, fe, fn, ellps, towgs84-or-None)
+OBLST_CRS = {
+    # Amersfoort / RD New (Bessel 1841; PROJ's published Helmert set)
+    "EPSG:28992": (52.0 + 9.0 / 60 + 22.178 / 3600,
+                   5.0 + 23.0 / 60 + 15.5 / 3600,
+                   0.9999079, 155_000.0, 463_000.0, "BESSEL",
+                   (565.417, 50.3319, 465.552, -0.398957, 0.343988,
+                    -1.8774, 4.0725)),
+}
+
+
 # --- Datum shifts: geocentric conversion + 7-parameter Helmert ---------------
 # Public formulas (EPSG Guidance Note 7-2 §4.1.1/§4.3.1, the same math PROJ
 # applies for +towgs84). Position-vector rotation convention (EPSG 9606 —
@@ -676,8 +759,8 @@ def parse_proj4(s: str):
         raise NotImplementedError(
             f"+datum={datum!r} is not implemented (use +ellps + +towgs84)"
         )
-    if proj == "tmerc":
-        # the generalized Krüger core is ellipsoid-parameterized
+    if proj in ("tmerc", "sterea"):
+        # these kernels are ellipsoid-parameterized
         if ellps not in ELLIPSOIDS:
             raise NotImplementedError(
                 f"unknown ellipsoid {ellps!r} (supported: {sorted(ELLIPSOIDS)})"
@@ -694,6 +777,10 @@ def parse_proj4(s: str):
     if proj == "tmerc":
         k0 = f("k_0", kv.get("k", 1.0))
         return ("TMERC", (f("lat_0"), f("lon_0"), k0, f("x_0"), f("y_0"),
+                          ellps, towgs84))
+    if proj == "sterea":
+        k0 = f("k_0", kv.get("k", 1.0))
+        return ("OBLST", (f("lat_0"), f("lon_0"), k0, f("x_0"), f("y_0"),
                           ellps, towgs84))
     if proj in ("longlat", "latlong", "lonlat"):
         return "LL"

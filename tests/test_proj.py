@@ -667,3 +667,71 @@ class TestGeneralTmerc:
                                       0.9996, 1_600_000.0, 10_000_000.0,
                                       "GRS80")
             assert abs(o["e"] - float(E)) < 1e-6 and abs(o["n"] - float(N)) < 1e-6, code
+
+
+class TestObliqueStereographic:
+    """EPSG method 9809 (double stereographic) — Amersfoort / RD New."""
+
+    def test_epsg_gn72_worked_example(self):
+        """EPSG Guidance Note 7-2 §3.2.6 worked example: 53°N 6°E ->
+        E 196105.283 N 557057.739 (Bessel 1841, projection only)."""
+        from sedona_db_spark.geometry import proj
+
+        spec = proj.OBLST_CRS["EPSG:28992"]
+        E, N = proj.oblst_forward(6.0, 53.0, *spec[:5], ellps=spec[5])
+        assert abs(float(E) - 196105.283) < 0.001
+        assert abs(float(N) - 557057.739) < 0.001
+        lon, lat = proj.oblst_inverse(E, N, *spec[:5], ellps=spec[5])
+        assert abs(float(lon) - 6.0) < 1e-11
+        assert abs(float(lat) - 53.0) < 1e-11
+
+    def test_roundtrip_property(self):
+        import numpy as np
+
+        from sedona_db_spark.geometry import proj
+
+        rng = np.random.default_rng(6)
+        spec = proj.OBLST_CRS["EPSG:28992"]
+        lon = rng.uniform(3.2, 7.2, 300)
+        lat = rng.uniform(50.7, 53.6, 300)
+        E, N = proj.oblst_forward(lon, lat, *spec[:5], ellps=spec[5])
+        lon2, lat2 = proj.oblst_inverse(E, N, *spec[:5], ellps=spec[5])
+        assert np.max(np.abs(lon2 - lon)) < 1e-10
+        assert np.max(np.abs(lat2 - lat)) < 1e-10
+
+    def test_st_transform_rdnew(self, spark):
+        """4326 -> 28992 applies the Amersfoort datum shift (~100 m from
+        projection-only) and roundtrips; +proj=sterea parses."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from sedona_db_spark.functions import st
+        from sedona_db_spark.geometry import proj, wkb
+
+        df = spark.createDataFrame(
+            [(0, bytes(wkb.encode_points_xy(np.array([4.9041]),
+                                            np.array([52.3676]))[0]))],
+            "id LONG, g BINARY")  # Amsterdam, WGS84
+        o = df.select(
+            st.ST_X(st.ST_Transform(F.col("g"), F.lit("EPSG:4326"),
+                                    F.lit("EPSG:28992"))).alias("e"),
+            st.ST_Y(st.ST_Transform(F.col("g"), F.lit("EPSG:4326"),
+                                    F.lit("EPSG:28992"))).alias("n"),
+        ).collect()[0]
+        # Amsterdam RD: E ~ 121k, N ~ 487k
+        assert 115_000 < o["e"] < 128_000 and 480_000 < o["n"] < 493_000
+        spec = proj.OBLST_CRS["EPSG:28992"]
+        E0, N0 = proj.oblst_forward(4.9041, 52.3676, *spec[:5], ellps=spec[5])
+        shift = ((o["e"] - float(E0)) ** 2 + (o["n"] - float(N0)) ** 2) ** 0.5
+        assert 30.0 < shift < 200.0  # the Amersfoort<->WGS84 datum offset
+        back = df.select(st.ST_AsText(st.ST_Transform(
+            st.ST_Transform(F.col("g"), F.lit("EPSG:4326"), F.lit("EPSG:28992")),
+            F.lit("EPSG:28992"), F.lit("EPSG:4326"))).alias("t")).collect()[0]
+        xs = back["t"].replace("POINT (", "").rstrip(")").split()
+        assert abs(float(xs[0]) - 4.9041) < 1e-6
+        assert abs(float(xs[1]) - 52.3676) < 1e-6
+        # proj4 spelling routes to the same kernel (no datum shift term)
+        spec4 = proj.parse_proj4(
+            "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 "
+            "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel")
+        assert spec4[0] == "OBLST" and spec4[1][5] == "BESSEL"
