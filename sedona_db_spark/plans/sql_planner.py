@@ -431,8 +431,16 @@ def plan_spatial_sql(spark: SparkSession, sql: str) -> Optional[DataFrame]:
                      r"Covered_By|Touches|Crosses|Overlaps|Equals|DWithin|"
                      r"KNN|Distance)\s*\(", masked, re.IGNORECASE):
         return None
-    if re.search(rf"\bFROM\s*\(", masked, re.IGNORECASE):
-        return None  # subquery in FROM
+    if re.search(rf"\b(?:FROM|JOIN)\s*\(", masked, re.IGNORECASE):
+        # subqueries in FROM/JOIN position: lift each into a temp view
+        # (planning the subquery itself recursively) and re-plan the
+        # rewritten query over plain table names (round 4 — the reference's
+        # plan-level rules compose with arbitrary child plans,
+        # optimizer.rs:233-420)
+        lifted = _lift_from_subqueries(spark, sql)
+        if lifted is None:
+            return None
+        return plan_spatial_sql(spark, lifted)
     if re.search(rf"\bJOIN\b.*\bJOIN\b", masked, re.IGNORECASE | re.DOTALL):
         # multi-join chain: fold left-to-right through repeated
         # spatial_join calls (reference: optimizer.rs:233-420 composes
@@ -704,6 +712,52 @@ def _plan_or_join(spark: SparkSession, sql: str, masked: str, m, cond_raw,
     new_sql = _substitute_idents(new_sql, sides)
     new_sql = _alias_bare_select_items(new_sql, view, sides)
     return spark.sql(new_sql)
+
+
+_SUBQ_RE = re.compile(r"\b(FROM|JOIN)\s*\(", re.IGNORECASE)
+
+
+def _lift_from_subqueries(spark: SparkSession, sql: str) -> Optional[str]:
+    """Replace every ``FROM/JOIN ( SELECT ... ) [AS] alias`` with a temp
+    view name so the join planners operate on plain tables. The subquery
+    body is itself planned recursively (spatial joins inside it get the
+    two-phase plan too) and falls back to vanilla spark.sql otherwise.
+    Returns the rewritten SQL, or None for unsupported shapes (a
+    parenthesized non-SELECT, a missing alias)."""
+    out = sql
+    for _ in range(16):  # bounded: each pass lifts one subquery
+        masked = _mask_strings(out)
+        m = _SUBQ_RE.search(masked)
+        if m is None:
+            return out
+        open_at = masked.index("(", m.end() - 1)
+        depth, close_at = 0, -1
+        for i in range(open_at, len(masked)):
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    close_at = i
+                    break
+        if close_at < 0:
+            return None
+        inner = out[open_at + 1: close_at]
+        if not re.match(r"\s*SELECT\b", masked[open_at + 1: close_at],
+                        re.IGNORECASE):
+            return None  # VALUES/LATERAL/etc — unsupported
+        # an alias must follow, or the rewritten query loses the name
+        tail = masked[close_at + 1:]
+        if not re.match(rf"\s+(?:AS\s+)?{_IDENT}", tail, re.IGNORECASE):
+            return None
+        sub = plan_spatial_sql(spark, inner)
+        if sub is None:
+            sub = spark.sql(inner)
+        _view_counter[0] += 1
+        view = f"__sedona_subq_{_view_counter[0]}"
+        sub.createOrReplaceTempView(view)
+        out = out[:m.end(1)] + " " + view + out[close_at + 1:]
+    return None
 
 
 def _resolve_in(ref, sides):

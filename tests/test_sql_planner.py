@@ -367,3 +367,35 @@ def test_chain_with_outer_step_falls_back(con, tables, sup_table, spark):
         "SELECT p.pid FROM pts_t p JOIN admin_t a ON ST_Within(p.geom, a.geometry) "
         "LEFT JOIN sup_t s ON ST_DWithin(p.geom, s.sgeom, 12.0)")
     assert out is None
+
+
+def test_subquery_in_from_lifted(con, tables, spark):
+    """Round-4: FROM/JOIN-position subqueries are lifted into temp views
+    and the outer spatial join still gets the two-phase plan."""
+    df = con.sql(
+        "SELECT p.pid AS pid, a.bid AS bid "
+        "FROM (SELECT pid, geom FROM pts_t WHERE pid < 100) p "
+        "JOIN admin_t a ON ST_Within(p.geom, a.geometry)")
+    plan = _plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    got = {(r["pid"], r["bid"]) for r in df.collect()}
+    want = {(p, b) for p, b in _expected_pairs(*tables) if p < 100}
+    assert got == want
+
+    # subquery on the BUILD side + aggregation tail
+    df2 = con.sql(
+        "SELECT a.bid AS bid, count(*) AS cnt FROM pts_t p "
+        "JOIN (SELECT bid, geometry FROM admin_t WHERE bid < 10) a "
+        "ON ST_Within(p.geom, a.geometry) GROUP BY a.bid ORDER BY bid")
+    rows = {r["bid"]: r["cnt"] for r in df2.collect()}
+    from collections import Counter
+
+    wantc = Counter(b for _, b in _expected_pairs(*tables) if b < 10)
+    assert rows == dict(wantc)
+
+    # spatial join INSIDE the subquery is planned too (no cartesian)
+    df3 = con.sql(
+        "SELECT count(*) AS n FROM "
+        "(SELECT p.pid AS pid, a.bid AS bid FROM pts_t p JOIN admin_t a "
+        " ON ST_Within(p.geom, a.geometry)) j WHERE j.bid >= 0")
+    assert df3.collect()[0]["n"] == len(_expected_pairs(*tables))
