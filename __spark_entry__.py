@@ -870,6 +870,111 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_st_processing(spark, sf_dir):
+    """Processing-family functions with closed-form SQL recomputes:
+    ST_Translate, ST_FlipCoordinates, ST_LineInterpolatePoint (on a
+    3-4-5 segment), ST_Azimuth (north-based clockwise, NULL at identical
+    points) — reference files st_translate.rs / st_flipcoordinates.rs /
+    referencing.rs / st_azimuth.rs."""
+    from sedona_db_spark.functions import st
+
+    c = _cust_pts(spark, sf_dir)
+    cx = F.lit(-180.0) + ((F.col("c_custkey") * 7) % 3600) * F.lit(0.1) + F.lit(0.005)
+    cy = F.lit(-90.0) + ((F.col("c_custkey") * 13) % 1800) * F.lit(0.1) + F.lit(0.005)
+    frac = ((F.col("c_custkey") % 10) * F.lit(0.1)).cast("double")
+    line = st.ST_MakeLine(
+        F.col("geom"), st.ST_Point(cx + F.lit(3.0), cy + F.lit(4.0))
+    )
+    interp = st.ST_LineInterpolatePoint(line, frac)
+    dx = ((F.col("c_custkey") % 7) - F.lit(3)).cast("double")
+    dy = ((F.col("c_custkey") % 5) - F.lit(2)).cast("double")
+    other = st.ST_Point(cx + dx, cy + dy)
+    az = st.ST_Azimuth(F.col("geom"), other)
+    return c.select(
+        "c_custkey",
+        F.round(st.ST_X(st.ST_Translate(F.col("geom"), F.lit(2.5), F.lit(-1.25))), 6).alias("tx"),
+        F.round(st.ST_Y(st.ST_Translate(F.col("geom"), F.lit(2.5), F.lit(-1.25))), 6).alias("ty"),
+        F.round(st.ST_X(st.ST_FlipCoordinates(F.col("geom"))), 6).alias("flip_x"),
+        F.round(st.ST_X(interp), 6).alias("interp_x"),
+        F.round(st.ST_Y(interp), 6).alias("interp_y"),
+        (F.round(az, 6) + F.lit(0.0)).alias("azimuth"),
+    )
+
+
+def _q_st_distance_fns(spark, sf_dir):
+    """Distance family: planar ST_Distance and great-circle
+    ST_DistanceSphere between per-row point pairs, both closed-form SQL
+    (haversine mirrored term-by-term, R = 6371008.8)."""
+    from sedona_db_spark.functions import st
+
+    c = _cust_pts(spark, sf_dir)
+    cx = F.lit(-180.0) + ((F.col("c_custkey") * 7) % 3600) * F.lit(0.1) + F.lit(0.005)
+    cy = F.lit(-90.0) + ((F.col("c_custkey") * 13) % 1800) * F.lit(0.1) + F.lit(0.005)
+    # second point: bounded offsets keep it on the globe
+    ox = ((F.col("c_custkey") * 3 % 17) - F.lit(8)).cast("double") * F.lit(0.5)
+    oy = ((F.col("c_custkey") * 5 % 13) - F.lit(6)).cast("double") * F.lit(0.5)
+    b = st.ST_Point(cx + ox, cy + oy)
+    return c.select(
+        "c_custkey",
+        F.round(st.ST_Distance(F.col("geom"), b), 6).alias("dist_planar"),
+        F.round(st.ST_DistanceSphere(F.col("geom"), b), 3).alias("dist_sphere_m"),
+    )
+
+
+def _q_st_validity(spark, sf_dir):
+    """Validity family (GEOS-only kernels in the reference,
+    c/sedona-geos/src/st_isvalid.rs etc.): bowtie polygons are invalid,
+    self-crossing lines are non-simple, closed simple lines are rings —
+    all recomputable as CASE on the key."""
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    x0 = ((F.col("c_custkey") * 3) % 100).cast("double")
+    y0 = ((F.col("c_custkey") * 11) % 80).cast("double")
+    def fmt(col):
+        return F.format_string("%.1f", col)
+
+    sx0 = fmt(x0)
+    sy0 = fmt(y0)
+    bowtie = F.col("c_custkey") % 3 == 0
+    poly_wkt = F.when(
+        bowtie,
+        F.concat(F.lit("POLYGON (("), sx0, F.lit(" "), sy0,
+                 F.lit(", "), fmt(x0 + 2), F.lit(" "), fmt(y0 + 2),
+                 F.lit(", "), fmt(x0 + 2), F.lit(" "), sy0,
+                 F.lit(", "), sx0, F.lit(" "), fmt(y0 + 2),
+                 F.lit(", "), sx0, F.lit(" "), sy0, F.lit("))")),
+    ).otherwise(
+        F.concat(F.lit("POLYGON (("), sx0, F.lit(" "), sy0,
+                 F.lit(", "), fmt(x0 + 2), F.lit(" "), sy0,
+                 F.lit(", "), fmt(x0 + 2), F.lit(" "), fmt(y0 + 2),
+                 F.lit(", "), sx0, F.lit(" "), sy0, F.lit("))")),
+    )
+    cross = F.col("c_custkey") % 2 == 0
+    line_wkt = F.when(
+        cross,
+        # self-crossing Z line
+        F.concat(F.lit("LINESTRING ("), sx0, F.lit(" "), sy0,
+                 F.lit(", "), fmt(x0 + 2), F.lit(" "), fmt(y0 + 2),
+                 F.lit(", "), fmt(x0 + 2), F.lit(" "), sy0,
+                 F.lit(", "), sx0, F.lit(" "), fmt(y0 + 2), F.lit(")")),
+    ).otherwise(
+        # closed triangle ring
+        F.concat(F.lit("LINESTRING ("), sx0, F.lit(" "), sy0,
+                 F.lit(", "), fmt(x0 + 2), F.lit(" "), sy0,
+                 F.lit(", "), fmt(x0 + 1), F.lit(" "), fmt(y0 + 2),
+                 F.lit(", "), sx0, F.lit(" "), sy0, F.lit(")")),
+    )
+    poly = st.ST_GeomFromWKT(poly_wkt)
+    line = st.ST_GeomFromWKT(line_wkt)
+    return c.select(
+        "c_custkey",
+        st.ST_IsValid(poly).alias("poly_valid"),
+        st.ST_IsSimple(line).alias("line_simple"),
+        st.ST_IsRing(line).alias("line_ring"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -1051,6 +1156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "sql_sjoin_chain": _q_sql_sjoin_chain,
         "sjoin_left_outer": _q_sjoin_left_outer,
+        "st_processing": _q_st_processing,
+        "st_distance_fns": _q_st_distance_fns,
+        "st_validity": _q_st_validity,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -1731,6 +1839,46 @@ def oracle_sql() -> dict[str, str]:
             f"AND {_CY} > {_NY0} AND {_CY} < {_NY0} + 36.0 "
             f"JOIN supplier s ON sqrt(({_CX} - {_SX})*({_CX} - {_SX}) "
             f"+ ({_CY} - {_SY})*({_CY} - {_SY})) <= CAST(4.95 AS DOUBLE)"
+        ),
+        # processing family: all closed-form. interp mirrors the kernel's
+        # t = (frac*len)/len on the single 3-4-5 segment; azimuth is
+        # atan2(dx, dy) wrapped to [0, 2pi), NULL at identical points;
+        # `+ 0` normalizes a potential -0.0 on both sides
+        "st_processing": (
+            f"SELECT c_custkey, "
+            f"round({_CX} + CAST(2.5 AS DOUBLE), 6) AS tx, "
+            f"round({_CY} + CAST(-1.25 AS DOUBLE), 6) AS ty, "
+            f"round({_CY}, 6) AS flip_x, "
+            f"round({_CX} + ((f * CAST(5.0 AS DOUBLE)) / CAST(5.0 AS DOUBLE)) * CAST(3.0 AS DOUBLE), 6) AS interp_x, "
+            f"round({_CY} + ((f * CAST(5.0 AS DOUBLE)) / CAST(5.0 AS DOUBLE)) * CAST(4.0 AS DOUBLE), 6) AS interp_y, "
+            f"CASE WHEN dx = 0 AND dy = 0 THEN NULL ELSE "
+            f"round(CASE WHEN atan2(dx, dy) < 0 THEN atan2(dx, dy) + 2*pi() "
+            f"ELSE atan2(dx, dy) END, 6) + 0 END AS azimuth "
+            f"FROM (SELECT c_custkey, "
+            f"CAST((c_custkey % 10) AS DOUBLE) * CAST(0.1 AS DOUBLE) AS f, "
+            f"CAST((c_custkey % 7) - 3 AS DOUBLE) AS dx, "
+            f"CAST((c_custkey % 5) - 2 AS DOUBLE) AS dy FROM customer) c"
+        ),
+        # distance family: planar hypot + haversine mirrored term-by-term
+        "st_distance_fns": (
+            f"SELECT c_custkey, "
+            f"round(sqrt(ox*ox + oy*oy), 6) AS dist_planar, "
+            f"round(2 * CAST(6371008.8 AS DOUBLE) * asin(sqrt(least(greatest("
+            f"  sin((radians({_CY} + oy) - radians({_CY})) / 2) * sin((radians({_CY} + oy) - radians({_CY})) / 2) "
+            f"  + cos(radians({_CY})) * cos(radians({_CY} + oy)) "
+            f"    * sin((radians({_CX} + ox) - radians({_CX})) / 2) * sin((radians({_CX} + ox) - radians({_CX})) / 2), "
+            f"  CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)))), 3) AS dist_sphere_m "
+            f"FROM (SELECT c_custkey, "
+            f"CAST((c_custkey * 3 % 17) - 8 AS DOUBLE) * CAST(0.5 AS DOUBLE) AS ox, "
+            f"CAST((c_custkey * 5 % 13) - 6 AS DOUBLE) * CAST(0.5 AS DOUBLE) AS oy "
+            f"FROM customer) c"
+        ),
+        "st_validity": (
+            "SELECT c_custkey, "
+            "c_custkey % 3 <> 0 AS poly_valid, "
+            "c_custkey % 2 <> 0 AS line_simple, "
+            "c_custkey % 2 <> 0 AS line_ring "
+            "FROM customer"
         ),
         "sjoin_left_outer": (
             f"SELECT c.c_custkey AS c_custkey, n.n_nationkey AS n_nationkey "
