@@ -1042,35 +1042,50 @@ def geography_dwithin_join(
         cand = Lb.join(Rb, on="_band", how="inner").drop("_band")
 
     out = cand.where(refine(F.col(lg), F.col(rg)))
+    return _geography_join_finish(out, L, R, lcols, rcols, how, seed=11)
+
+
+def _geography_join_finish(out, L, R, lcols, rcols, how: str, seed: int):
+    """Join-type finishing shared by the geography joins — full parity
+    with the planar spatial_join's how= surface (round 4). Matched pairs
+    carry both payloads (no id-keyed rejoin — identical rows share
+    content ids, and a rejoin would multiply their matches); ids only
+    drive unmatched/semi/anti detection, 2x64-bit for 10^12-row
+    collision safety."""
     out_l = [F.col(f"_l_{c}").alias(c) for c in lcols]
     out_r = [F.col(f"_r_{c}").alias(c) for c in rcols]
     how = how.lower()
     if how == "inner":
         return out.select(*out_l, *out_r)
-    # outer variants mirror spatial_join: matched pairs carry both payloads
-    # (no id-keyed rejoin — identical rows share content ids, and a rejoin
-    # would multiply their matches); ids only drive left_anti unmatched
-    # detection, 2x64-bit for 10^12-row collision safety
-    lid = _wide_id(11, [F.col(f"_l_{c}") for c in lcols])
-    rid = _wide_id(13, [F.col(f"_r_{c}") for c in rcols])
+    lid = _wide_id(seed, [F.col(f"_l_{c}") for c in lcols])
+    rid = _wide_id(seed + 2, [F.col(f"_r_{c}") for c in rcols])
     null_r = [F.lit(None).cast(R.schema[f"_r_{c}"].dataType).alias(c) for c in rcols]
     null_l = [F.lit(None).cast(L.schema[f"_l_{c}"].dataType).alias(c) for c in lcols]
-    if how == "left":
-        inner = out.select(*out_l, *out_r)
-        l_unmatched = (
+    if how in ("left_semi", "left_anti"):
+        matched = out.select(lid.alias("_lid")).distinct()
+        side = "left_semi" if how == "left_semi" else "left_anti"
+        return (
             L.withColumn("_lid", lid)
-            .join(out.select(lid.alias("_lid")).distinct(), "_lid", "left_anti")
-            .select(*out_l, *null_r)
+            .join(matched, "_lid", side)
+            .select(*out_l)
         )
+    inner = out.select(*out_l, *out_r)
+    l_unmatched = (
+        L.withColumn("_lid", lid)
+        .join(out.select(lid.alias("_lid")).distinct(), "_lid", "left_anti")
+        .select(*out_l, *null_r)
+    )
+    r_unmatched = (
+        R.withColumn("_rid", rid)
+        .join(out.select(rid.alias("_rid")).distinct(), "_rid", "left_anti")
+        .select(*null_l, *out_r)
+    )
+    if how == "left":
         return inner.union(l_unmatched)
     if how == "right":
-        inner = out.select(*out_l, *out_r)
-        r_unmatched = (
-            R.withColumn("_rid", rid)
-            .join(out.select(rid.alias("_rid")).distinct(), "_rid", "left_anti")
-            .select(*null_l, *out_r)
-        )
         return inner.union(r_unmatched)
+    if how == "full":
+        return inner.union(l_unmatched).union(r_unmatched)
     raise ValueError(f"unsupported how={how!r}")
 
 
@@ -1183,23 +1198,7 @@ def geography_pip_join(
         return pd.Series(out)
 
     out = cand.where(refine(F.col(lg), F.col(rg)))
-    out_l = [F.col(f"_l_{c}").alias(c) for c in lcols]
-    out_r = [F.col(f"_r_{c}").alias(c) for c in rcols]
-    how = how.lower()
-    if how == "inner":
-        return out.select(*out_l, *out_r)
-    if how == "left":
-        # matched pairs carry both payloads; no id-keyed rejoin (duplicate
-        # rows share content ids — a rejoin multiplies their matches)
-        lid = _wide_id(21, [F.col(f"_l_{c}") for c in lcols])
-        inner = out.select(*out_l, *out_r)
-        l_unmatched = (
-            L.withColumn("_lid", lid)
-            .join(out.select(lid.alias("_lid")).distinct(), "_lid", "left_anti")
-            .select(*out_l, *[F.lit(None).cast(R.schema[f"_r_{c}"].dataType).alias(c) for c in rcols])
-        )
-        return inner.union(l_unmatched)
-    raise ValueError(f"unsupported how={how!r}")
+    return _geography_join_finish(out, L, R, lcols, rcols, how, seed=21)
 
 
 def _with_probe_ordinal(df: DataFrame, pid_col: str, pos_col: str) -> DataFrame:

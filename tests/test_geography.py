@@ -269,3 +269,54 @@ def test_geography_pip_nonareal_right_raises(spark):
         "zone_id LONG, geometry BINARY")
     with pytest.raises(Exception, match="polygonal"):
         geography_pip_join(pts, right, predicate="within").collect()
+
+
+def test_geography_join_type_parity(spark):
+    """Round-4: geography joins expose the same how= surface as the
+    planar spatial_join (inner/left/right/full/left_semi/left_anti)."""
+    import numpy as np
+
+    from sedona_db_spark.geometry import wkb as W
+    from sedona_db_spark.operators.spatial_join import (
+        geography_dwithin_join,
+        geography_pip_join,
+    )
+
+    pts = _pts(spark, [0.5, 50.0, -120.0], [0.5, 10.0, 40.0], "pid")
+    ring = np.array([[-1.0, -1.0], [2.0, -1.0], [2.0, 2.0], [-1.0, 2.0], [-1.0, -1.0]])
+    far = np.array([[100.0, -60.0], [102.0, -60.0], [102.0, -58.0], [100.0, -60.0]])
+    zones = spark.createDataFrame(
+        [(0, bytes(W.encode(W.Geometry(W.POLYGON, [ring])))),
+         (1, bytes(W.encode(W.Geometry(W.POLYGON, [far]))))],
+        "zid LONG, geometry BINARY")
+
+    def _k(t):
+        return tuple((v is None, v if v is not None else 0) for v in t)
+
+    def pairs(how):
+        return sorted(
+            ((r["pid"], r["zid"])
+             for r in geography_pip_join(pts, zones, predicate="within",
+                                         how=how).collect()),
+            key=_k,
+        )
+
+    assert pairs("inner") == [(0, 0)]
+    assert pairs("left") == sorted([(0, 0), (1, None), (2, None)], key=_k)
+    assert pairs("right") == sorted([(0, 0), (None, 1)], key=_k)
+    assert pairs("full") == sorted([(0, 0), (1, None), (2, None), (None, 1)], key=_k)
+    semi = geography_pip_join(pts, zones, predicate="within", how="left_semi")
+    assert [r["pid"] for r in semi.collect()] == [0]
+    assert semi.columns == ["pid", "geometry"]
+    anti = geography_pip_join(pts, zones, predicate="within", how="left_anti")
+    assert sorted(r["pid"] for r in anti.collect()) == [1, 2]
+
+    B = _pts(spark, [0.6, 179.0], [0.6, 0.0], "bid")
+    dw = lambda how: sorted(
+        ((r["pid"], r["bid"])
+         for r in geography_dwithin_join(pts, B, 50_000.0, how=how).collect()),
+        key=_k)
+    assert dw("inner") == [(0, 0)]
+    assert dw("full") == sorted([(0, 0), (1, None), (2, None), (None, 1)], key=_k)
+    assert sorted(r["pid"] for r in geography_dwithin_join(
+        pts, B, 50_000.0, how="left_anti").collect()) == [1, 2]
