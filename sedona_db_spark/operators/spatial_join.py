@@ -1262,6 +1262,27 @@ def spatial_join_ordered(
     )
 
 
+def knn_join_ordered(probe: DataFrame, build: DataFrame, k: int = 1, **kw) -> DataFrame:
+    """:func:`..knn_join.knn_join` with probe-side order preservation —
+    output iterates in probe arrival order, each probe row's k neighbors
+    adjacent in rank order (the reference's kNN joins stream probe-ordered
+    too, rust/sedona-spatial-join/src/exec.rs:204-225)."""
+    from .knn_join import knn_join
+
+    pid_col, pos_col = "_probe_ord_pid", "_probe_ord_pos"
+    if pid_col in probe.columns or pos_col in probe.columns:
+        raise ValueError(f"column name collision on {pid_col}/{pos_col}")
+    tagged = _with_probe_ordinal(probe, pid_col, pos_col)
+    J = knn_join(tagged, build, k=k, **kw)
+    nparts = max(tagged.rdd.getNumPartitions(), 1)
+    sort_cols = [pid_col, pos_col] + (["knn_rank"] if "knn_rank" in J.columns else [])
+    return (
+        J.repartitionByRange(nparts, pid_col, pos_col)
+        .sortWithinPartitions(*sort_cols)
+        .drop(pid_col, pos_col)
+    )
+
+
 def salt_hot_cells(df: DataFrame, cell_col: str, hot_threshold: int, replicas: int) -> DataFrame:
     """Skew mitigation: split cells whose row count exceeds `hot_threshold`
     into `replicas` salted sub-keys. Join the other side after exploding its

@@ -231,3 +231,31 @@ def test_spherical_tagged_columns_force_haversine(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="edges"):
         knn_join(gp, build, k=1, probe_geom="geom", build_geom="geom")
+
+
+def test_knn_probe_order_preserved(spark):
+    """Round-4: knn_join_ordered emits probe rows in arrival order with
+    each row's k neighbors adjacent and rank-sorted."""
+    import numpy as np
+
+    from sedona_db_spark.geometry import wkb as W
+    from sedona_db_spark.operators.spatial_join import knn_join_ordered
+
+    rng = np.random.default_rng(13)
+    perm = rng.permutation(120)
+    xs = rng.uniform(-50, 50, 120)
+    ys = rng.uniform(-50, 50, 120)
+    probe = spark.createDataFrame(
+        [(int(perm[i]), bytes(b)) for i, b in enumerate(W.encode_points_xy(xs, ys))],
+        "pid LONG, geom BINARY")
+    probe_order = [r["pid"] for r in probe.select("pid").collect()]
+    bx = rng.uniform(-50, 50, 40)
+    by = rng.uniform(-50, 50, 40)
+    build = spark.createDataFrame(
+        [(int(i), bytes(b)) for i, b in enumerate(W.encode_points_xy(bx, by))],
+        "bid LONG, geometry BINARY")
+    out = knn_join_ordered(probe, build, k=3, probe_geom="geom",
+                           build_geom="geometry", build_id="bid")
+    rows = out.select("pid", "knn_rank").collect()
+    assert [r["pid"] for r in rows] == [p for p in probe_order for _ in range(3)]
+    assert [r["knn_rank"] for r in rows] == [1, 2, 3] * 120
