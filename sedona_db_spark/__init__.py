@@ -30,7 +30,19 @@ Submodules:
 from .context import SedonaContext, connect
 from .functions.st import register_all
 from .operators.knn_join import knn_join
-from .operators.spatial_join import spatial_join
+from .operators.spatial_join import (
+    knn_join_ordered,
+    spatial_join,
+    spatial_join_ordered,
+)
 
-__all__ = ["connect", "SedonaContext", "register_all", "spatial_join", "knn_join"]
+__all__ = [
+    "connect",
+    "SedonaContext",
+    "register_all",
+    "spatial_join",
+    "knn_join",
+    "spatial_join_ordered",
+    "knn_join_ordered",
+]
 __version__ = "0.1.0"
