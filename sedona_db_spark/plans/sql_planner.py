@@ -401,7 +401,7 @@ def _table_df(spark: SparkSession, name: str) -> Optional[DataFrame]:
 _JOIN_RE = re.compile(
     rf"\bFROM\s+(?P<t1>{_TBL})"
     rf"(?:\s+(?:AS\s+)?(?P<a1>{_IDENT}))?"
-    rf"\s+(?P<jt>(?:INNER|LEFT(?:\s+OUTER)?|RIGHT(?:\s+OUTER)?)\s+)?JOIN\s+"
+    rf"\s+(?P<jt>(?:INNER|LEFT(?:\s+OUTER)?|RIGHT(?:\s+OUTER)?|FULL(?:\s+OUTER)?)\s+)?JOIN\s+"
     rf"(?P<t2>{_TBL})"
     rf"(?:\s+(?:AS\s+)?(?P<a2>{_IDENT}))?"
     rf"\s+ON\b",
@@ -468,6 +468,8 @@ def plan_spatial_sql(spark: SparkSession, sql: str) -> Optional[DataFrame]:
             how = "left"
         elif jt.startswith("RIGHT"):
             how = "right"
+        elif jt.startswith("FULL"):
+            how = "full"
 
     cond_start = m.end()
     cond_end = _scan_balanced_expr(masked, cond_start)

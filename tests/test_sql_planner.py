@@ -399,3 +399,22 @@ def test_subquery_in_from_lifted(con, tables, spark):
         "(SELECT p.pid AS pid, a.bid AS bid FROM pts_t p JOIN admin_t a "
         " ON ST_Within(p.geom, a.geometry)) j WHERE j.bid >= 0")
     assert df3.collect()[0]["n"] == len(_expected_pairs(*tables))
+
+
+def test_full_outer_spatial_join_sql(con, tables, spark):
+    """Round-4: FULL [OUTER] JOIN ON ST_Within plans through the two-phase
+    join's full-outer mode (both sides NULL-extended)."""
+    pts, admin = tables
+    df = con.sql(
+        "SELECT p.pid AS pid, a.bid AS bid FROM pts_t p "
+        "FULL OUTER JOIN (SELECT * FROM admin_t WHERE bid < 5) a "
+        "ON ST_Within(p.geom, a.geometry)")
+    rows = [(r["pid"], r["bid"]) for r in df.collect()]
+    matched = {(p, b) for p, b in _expected_pairs(pts, admin) if b < 5}
+    l_unmatched = {p for p in range(400)} - {p for p, _ in matched}
+    r_unmatched = {b for b in range(5)} - {b for _, b in matched}
+    got_matched = {(p, b) for p, b in rows if p is not None and b is not None}
+    assert got_matched == matched
+    assert {p for p, b in rows if b is None} == l_unmatched
+    assert {b for p, b in rows if p is None} == r_unmatched
+    assert len(rows) == len(matched) + len(l_unmatched) + len(r_unmatched)
