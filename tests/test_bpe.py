@@ -103,11 +103,14 @@ def test_incremental_trainer_speed():
         sym = tuple(w) + (END,)
         vocab[sym] = vocab.get(sym, 0) + int(rng.integers(1, 1000))
     nm = 500
-    t0 = time.perf_counter()
-    fast = _learn_merges(dict(vocab), nm)
-    t_fast = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    slow = _learn_merges_rescan(dict(vocab), nm)
-    t_slow = time.perf_counter() - t0
+    # best-of-2 each side: single timings are load-sensitive on shared hosts
+    t_fast, t_slow = float("inf"), float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fast = _learn_merges(dict(vocab), nm)
+        t_fast = min(t_fast, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        slow = _learn_merges_rescan(dict(vocab), nm)
+        t_slow = min(t_slow, time.perf_counter() - t0)
     assert fast == slow
     assert t_slow / max(t_fast, 1e-9) >= 10.0, (t_fast, t_slow)

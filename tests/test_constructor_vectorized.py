@@ -51,17 +51,21 @@ class TestByteIdentity:
 
 class TestMicrobench:
     def test_pointz_vectorized_speedup(self):
-        t0 = time.perf_counter()
-        wkb.encode_points_xyzm(X, Y, z=Z)
-        t1 = time.perf_counter()
-        t2 = time.perf_counter()
-        _ = [
-            wkb.encode(wkb.point(float(a), float(b), float(c)))
-            for a, b, c in zip(X[:20000], Y[:20000], Z[:20000])
-        ]
-        t3 = time.perf_counter()
-        per_row = (t3 - t2) / 20000 * N
-        speedup = per_row / (t1 - t0)
+        # best-of-3 each side: single timings are load-sensitive on shared
+        # hosts (one stall on either side flips the ratio)
+        t_fast, t_slow = float("inf"), float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            wkb.encode_points_xyzm(X, Y, z=Z)
+            t_fast = min(t_fast, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _ = [
+                wkb.encode(wkb.point(float(a), float(b), float(c)))
+                for a, b, c in zip(X[:20000], Y[:20000], Z[:20000])
+            ]
+            t_slow = min(t_slow, time.perf_counter() - t0)
+        per_row = t_slow / 20000 * N
+        speedup = per_row / t_fast
         # observed ~11x; assert a conservative floor for noisy CI hosts
         assert speedup >= 3.0, f"speedup {speedup:.1f}x"
 
@@ -170,6 +174,14 @@ class TestHeaderWalkAccessors:
                 out.append(None if i % 30 == 5 else W.encode(W.from_wkt("POINT EMPTY")))
         return out
 
+    @staticmethod
+    def _timed(f):
+        import time
+
+        t0 = time.perf_counter()
+        f()
+        return time.perf_counter() - t0
+
     def test_parity_and_speed(self):
         import time
 
@@ -186,12 +198,15 @@ class TestHeaderWalkAccessors:
             return [None if v is None else W.TYPE_NAMES[W.parse(v).type_id]
                     for v in bs]
 
-        t0 = time.perf_counter()
+        # best-of-3 on both sides: a single timing is load-sensitive when
+        # the suite shares the host with other work, and one transient
+        # stall on either side flips the ratio
+        t_new = min(
+            self._timed(lambda: _geometrytype_batch(bufs)) for _ in range(3)
+        )
+        t_old = min(self._timed(lambda: parse_types(bufs)) for _ in range(3))
         got = _geometrytype_batch(bufs)
-        t_new = time.perf_counter() - t0
-        t0 = time.perf_counter()
         want = parse_types(bufs)
-        t_old = time.perf_counter() - t0
         assert got == want
         assert t_old / max(t_new, 1e-9) >= 3.0, (t_new, t_old)
 
