@@ -1095,6 +1095,23 @@ def _q_st_transform_roundtrip(spark, sf_dir):
     )
 
 
+def _q_doc_ppl(spark, sf_dir):
+    """CCNet-style bigram-LM perplexity per document (operators/lm.py):
+    self-trained add-one bigram LM with a 16-word vocabulary (small so the
+    OOV→'<unk>' path is exercised at sf0.01), scored back over the same
+    corpus.  The oracle recomputes train + score end-to-end in SQL."""
+    from sedona_db_spark.operators.lm import score_perplexity, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs, "text", "doc_id", vocab_size=16)
+    out = score_perplexity(docs, lm, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.round("ppl", 6).alias("ppl"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-polygon spatial join of customer points against
     the 5x5 world partition of nation boxes at sf0.001."""
@@ -1162,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
+        "doc_ppl": _q_doc_ppl,
     }
 
 
@@ -1915,5 +1933,31 @@ def oracle_sql() -> dict[str, str]:
             f"      AND {_CY} >= -60.0 AND {_CY} <= -5.0 "
             f"THEN CAST(0.0 AS DOUBLE) ELSE NULL END AS tmerc_rt_err "
             f"FROM customer c"
+        ),
+        # add-one bigram LM trained and scored on the same corpus
+        # (operators/lm.py semantics recomputed end-to-end: top-16 vocab by
+        # (count DESC, word ASC), OOV -> '<unk>', contexts from the bigram
+        # table so the smoothed conditional sums to 1)
+        "doc_ppl": (
+            r"WITH toks AS ("
+            r"  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t"
+            r"  FROM documents WHERE length(trim(text)) > 0"
+            r"), "
+            r"uni AS (SELECT u.w AS w, count(*) AS c FROM toks, unnest(t) AS u(w) GROUP BY 1), "
+            r"vocab AS (SELECT w FROM uni ORDER BY c DESC, w ASC LIMIT 16), "
+            r"vn AS (SELECT count(*) AS v FROM vocab), "
+            r"big AS ("
+            r"  SELECT doc_id,"
+            r"    CASE WHEN t[i] IN (SELECT w FROM vocab) THEN t[i] ELSE '<unk>' END AS w1,"
+            r"    CASE WHEN t[i+1] IN (SELECT w FROM vocab) THEN t[i+1] ELSE '<unk>' END AS w2"
+            r"  FROM toks, unnest(generate_series(1, len(t)-1)) AS g(i)"
+            r"  WHERE len(t) >= 2"
+            r"), "
+            r"bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2), "
+            r"cc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1) "
+            r"SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+            r"round(exp(-sum(ln((bc.c12 + 1.0)/(cc.c1 + vn.v + 1.0)))/count(*)), 6) AS ppl "
+            r"FROM big b JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN vn "
+            r"GROUP BY b.doc_id"
         ),
     }
