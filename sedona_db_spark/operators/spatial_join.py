@@ -563,13 +563,50 @@ def spatial_join(
     rgeom = f"_r_{right_geom}"
     dist_col = "_dist" if predicate == "dwithin" else None
 
-    # --- ONE sampled collect of the right side drives every planner
-    # decision (grid level, dwithin expansion, rect detection, point
-    # detection) — the round-1 build issued a separate driver job per
-    # decision, which dominated small-join latency
+    # --- broadcast decision FIRST (round 4: it used to come after the
+    # planner sample + rect/areal confirm jobs; when the right side is
+    # going to be broadcast anyway — the dominant small-dim-layer shape —
+    # ONE driver collect now serves EVERY planner decision: grid-level
+    # stats, the rect/areal/point full-coverage confirms (exact,
+    # driver-side, replacing one small Spark job each) and the PIP
+    # refine's id->WKB map. Warm small-join latency was 3-5 driver jobs
+    # per call; it is now 1 when broadcasting, unchanged when not.)
+    if broadcast_right is None:
+        # BYTE-based, like spark.sql.autoBroadcastJoinThreshold: estimated
+        # geometry payload (row count x avg WKB size) must fit a broadcast.
+        # The round-1 build used a bare 2M-row threshold, which at ~1 KB of
+        # WKB per polygon pushes GBs through the driver (VERDICT item 2).
+        try:
+            stats = R.agg(
+                F.count("*").alias("n"),
+                F.avg(F.length(F.col(rgeom))).alias("avg_wkb"),
+            ).collect()[0]
+            n_r = int(stats["n"] or 0)
+            avg_wkb = float(stats["avg_wkb"] or 0.0)
+            est_bytes = n_r * (avg_wkb + 64.0)  # + per-row overhead
+            broadcast_right = est_bytes <= BROADCAST_BYTES_CAP
+        except Exception:
+            broadcast_right = False
+
     rs_cols = [rgeom] + ([dist_col] if dist_col else [])
-    _rsample_rows = R.select(*rs_cols).limit(1000).collect()
-    rsample_geoms = [r[0] for r in _rsample_rows if r[0] is not None]
+    _rmap = None           # broadcast id->WKB map (set iff broadcast_right)
+    _r_has_null_geom = False
+    if broadcast_right:
+        # byte-capped by the decision above (or asserted by the caller,
+        # same contract as F.broadcast); _rid is content-derived so this
+        # collect pairs exactly with the candidate plan's ids
+        _rsample_rows = R.select(*rs_cols, "_rid").collect()
+        rsample_geoms = [r[0] for r in _rsample_rows if r[0] is not None]
+        _r_has_null_geom = any(r[0] is None for r in _rsample_rows)
+        _rmap = {int(r[-1]): bytes(r[0]) for r in _rsample_rows
+                 if r[0] is not None}
+    else:
+        # ONE sampled collect drives every planner decision (grid level,
+        # dwithin expansion, rect detection, point detection) — the
+        # round-1 build issued a separate driver job per decision, which
+        # dominated small-join latency
+        _rsample_rows = R.select(*rs_cols).limit(1000).collect()
+        rsample_geoms = [r[0] for r in _rsample_rows if r[0] is not None]
 
     # --- stats + grid level -------------------------------------------------
     if grid_level is None:
@@ -625,12 +662,20 @@ def spatial_join(
         if left_is_points and predicate in ("within", "covered_by", "intersects", "touches"):
             rsample0 = rsample_geoms[:200]
             if bool(rsample0) and all(_is_axis_rect_wkb(v) for v in rsample0):
-                @F.pandas_udf(BooleanType())
-                def _all_rect(s: pd.Series) -> pd.Series:
-                    return pd.Series([_is_axis_rect_wkb(v) if v is not None else False for v in s], dtype=bool)
+                if _rmap is not None:
+                    # broadcast side is fully collected: the confirm is an
+                    # exact driver-side pass over EVERY row (null geoms
+                    # disqualify, matching the distributed confirm below)
+                    right_is_rects = not _r_has_null_geom and all(
+                        _is_axis_rect_wkb(v) for v in rsample_geoms
+                    )
+                else:
+                    @F.pandas_udf(BooleanType())
+                    def _all_rect(s: pd.Series) -> pd.Series:
+                        return pd.Series([_is_axis_rect_wkb(v) if v is not None else False for v in s], dtype=bool)
 
-                n_bad = R.where(~_all_rect(F.col(rgeom))).limit(1).count()
-                right_is_rects = n_bad == 0
+                    n_bad = R.where(~_all_rect(F.col(rgeom))).limit(1).count()
+                    right_is_rects = n_bad == 0
     else:
         right_is_rects = bool(right_is_rects) and left_is_points and predicate in (
             "within", "covered_by", "intersects", "touches")
@@ -664,14 +709,21 @@ def spatial_join(
 
         rsample0 = rsample_geoms[:200]
         if bool(rsample0) and all(_is_areal_wkb(v) for v in rsample0):
-            @F.pandas_udf(BooleanType())
-            def _all_areal(s: pd.Series) -> pd.Series:
-                return pd.Series(
-                    [_is_areal_wkb(v) if v is not None else False for v in s],
-                    dtype=bool,
+            if _rmap is not None:
+                # exact full-coverage confirm over the collected broadcast
+                # side — no extra Spark job
+                right_is_areal = not _r_has_null_geom and all(
+                    _is_areal_wkb(v) for v in rsample_geoms
                 )
+            else:
+                @F.pandas_udf(BooleanType())
+                def _all_areal(s: pd.Series) -> pd.Series:
+                    return pd.Series(
+                        [_is_areal_wkb(v) if v is not None else False for v in s],
+                        dtype=bool,
+                    )
 
-            right_is_areal = R.where(~_all_areal(F.col(rgeom))).limit(1).count() == 0
+                right_is_areal = R.where(~_all_areal(F.col(rgeom))).limit(1).count() == 0
 
     # --- cover both sides -----------------------------------------------------
     # point left sides NEVER explode — for dwithin the distance expansion
@@ -720,23 +772,8 @@ def spatial_join(
         )
         right_exploded = True
 
-    # --- broadcast decision ---------------------------------------------------
-    if broadcast_right is None:
-        # BYTE-based, like spark.sql.autoBroadcastJoinThreshold: estimated
-        # geometry payload (row count x avg WKB size) must fit a broadcast.
-        # The round-1 build used a bare 2M-row threshold, which at ~1 KB of
-        # WKB per polygon pushes GBs through the driver (VERDICT item 2).
-        try:
-            stats = R.agg(
-                F.count("*").alias("n"),
-                F.avg(F.length(F.col(rgeom))).alias("avg_wkb"),
-            ).collect()[0]
-            n_r = int(stats["n"] or 0)
-            avg_wkb = float(stats["avg_wkb"] or 0.0)
-            est_bytes = n_r * (avg_wkb + 64.0)  # + per-row overhead
-            broadcast_right = est_bytes <= BROADCAST_BYTES_CAP
-        except Exception:
-            broadcast_right = False
+    # (broadcast decision moved above the planner sample — see the
+    # round-4 comment there)
     if salt_replicas > 1 and not broadcast_right:
         # Zipf-skewed cells (hotspot cities) overwhelm single reduce tasks
         # in a shuffled cell join; salting splits each hot cell across
@@ -815,16 +852,10 @@ def spatial_join(
                     ok = inside_closed & ~inside_open
                 cand = cand.withColumn("_ok", ok)
             elif broadcast_right:
-                # broadcast the polygon bytes once; candidates carry only ids.
-                # Safe by construction: broadcast_right is byte-capped above,
-                # and _rid is content-derived so this separate collect job
-                # yields exactly the ids the candidate plan computes.
-                rmap = {
-                    int(r["_rid"]): bytes(r[rgeom])
-                    for r in R.select("_rid", rgeom).collect()
-                    if r[rgeom] is not None
-                }
-                bc = left.sparkSession.sparkContext.broadcast(rmap)
+                # broadcast the polygon bytes once; candidates carry only
+                # ids. The id->WKB map was already collected by the planner
+                # (byte-capped, content-derived ids) — no second collect.
+                bc = left.sparkSession.sparkContext.broadcast(_rmap)
                 pipb = _point_in_polygon_refine_bcast_udf(pred_map[predicate], bc)
                 cand = cand.withColumn("_ok", pipb(px, py, F.col("_rid")))
             else:
@@ -838,10 +869,26 @@ def spatial_join(
         if right_is_points:
             # full confirm, same reason as left_is_points: a non-point tail
             # under the point×point refine decodes invalid and drops pairs
-            right_is_points = (
-                R.where(F.col(rgeom).isNotNull() & ~_is_le_point(rgeom))
-                .limit(1).count() == 0
-            )
+            if _rmap is not None:
+                # exact driver-side confirm over the collected broadcast
+                # side (parses big-endian/EWKB points too, so it is at
+                # least as permissive as the JVM header test)
+                def _pt_ok(v) -> bool:
+                    b = bytes(v)
+                    if len(b) == 21 and b[0] == 1 and b[1] == wkb.POINT:
+                        return True
+                    try:
+                        g = wkb.parse(b)
+                    except Exception:
+                        return False
+                    return g is not None and g.type_id == wkb.POINT
+
+                right_is_points = all(_pt_ok(v) for v in rsample_geoms)
+            else:
+                right_is_points = (
+                    R.where(F.col(rgeom).isNotNull() & ~_is_le_point(rgeom))
+                    .limit(1).count() == 0
+                )
         if left_is_points and right_is_points:
             # point x point: one vectorized decode + hypot per Arrow batch
             # (the generic per-pair parser is ~50x slower here)
