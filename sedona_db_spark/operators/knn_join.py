@@ -156,7 +156,7 @@ def _gdist_udf():
 
 def _broadcast_knn(spark, P: DataFrame, B: DataFrame, k: int, pcols, bcols,
                    build_id, use_spheroid: bool, include_ties: bool,
-                   build_geom_col: str) -> DataFrame:
+                   build_geom_col: str, brows=None) -> DataFrame:
     """Exact kNN with the build side broadcast: per probe Arrow batch, one
     vectorized (batch x n_build) distance matrix + vectorized top-k.
 
@@ -168,8 +168,11 @@ def _broadcast_knn(spark, P: DataFrame, B: DataFrame, k: int, pcols, bcols,
     from .spatial_join import _is_axis_rect_wkb
 
     tie_col = f"_b_{build_id}" if build_id else "_bid"
-    B = B.persist()
-    brows = B.select("_bid", build_geom_col, tie_col).collect()
+    if brows is None:
+        B = B.persist()
+        brows = B.select("_bid", build_geom_col, tie_col).collect()
+    # else: the caller already persisted B and hands us its capped collect
+    # (one driver job instead of count + collect)
     brows = [r for r in brows if r[build_geom_col] is not None]
     bufs = [bytes(r[build_geom_col]) for r in brows]
     # exact driver-side classification of EVERY build geometry
@@ -477,13 +480,21 @@ def knn_join(
     # = a broadcast variable). No shuffle of the probe side at all; build
     # classification and coordinate decode happen driver-side from the one
     # collect, so the whole path is count + collect + one execute job.
-    n_build = B.count()
-    if n_build <= min(broadcast_threshold, 20_000):
+    # ONE capped collect decides the small-build broadcast route AND
+    # provides its rows: a limit(cap+1) over the persisted build side
+    # replaces the previous count-then-collect pair (two driver jobs).
+    # Only when the build side exceeds the cap do we pay a real count.
+    cap = min(broadcast_threshold, 20_000)
+    tie_col = f"_b_{build_id}" if build_id else "_bid"
+    B = B.persist()
+    _head = B.select("_bid", bgeom, tie_col).limit(cap + 1).collect()
+    if len(_head) <= cap:
         return _broadcast_knn(
             spark, P, B, k, pcols, bcols, build_id,
             use_spheroid=use_spheroid, include_ties=include_ties,
-            build_geom_col=bgeom,
+            build_geom_col=bgeom, brows=_head,
         )
+    n_build = B.count()
     mode = _classify_build(B, bgeom)
     if n_build <= broadcast_threshold and (mode != "general" or use_spheroid):
         return _broadcast_knn(
