@@ -1579,6 +1579,9 @@ def _crs_tag(code: str):
     ob = _proj.OBLST_CRS.get(up)
     if ob is not None:
         return ("OBLST", ob)
+    om = _proj.OMERC_CRS.get(up)
+    if om is not None:
+        return ("OMERC", om)
     utm = _proj.parse_utm_epsg(up)
     if utm is not None:
         return ("UTM",) + utm
@@ -1644,6 +1647,22 @@ def _to_lonlat_fn(tag):
             return out
 
         return ft
+    if tag[0] == "OMERC":
+
+        def fo(arr, _p=tag[1]):
+            lat_c, lon_c, alpha_c, gamma_c, k0, fe, fn, ellps, towgs84 = _p
+            out = arr.copy()
+            lon, lat = _proj.omerc_inverse(
+                arr[:, 0], arr[:, 1], lat_c, lon_c, alpha_c, gamma_c,
+                k0=k0, fe=fe, fn=fn, ellps=ellps,
+            )
+            if towgs84 is not None:
+                a, f_ = _proj.ELLIPSOIDS[ellps.upper()]
+                lon, lat = _proj.datum_to_wgs84(lon, lat, a, f_, towgs84)
+            out[:, 0], out[:, 1] = lon, lat
+            return out
+
+        return fo
 
     def f(arr, _z=tag[1], _n=tag[2]):
         out = arr.copy()
@@ -1712,6 +1731,22 @@ def _from_lonlat_fn(tag):
             return out
 
         return ft
+    if tag[0] == "OMERC":
+
+        def fo(arr, _p=tag[1]):
+            lat_c, lon_c, alpha_c, gamma_c, k0, fe, fn, ellps, towgs84 = _p
+            out = arr.copy()
+            lon, lat = arr[:, 0], arr[:, 1]
+            if towgs84 is not None:
+                a, f_ = _proj.ELLIPSOIDS[ellps.upper()]
+                lon, lat = _proj.datum_from_wgs84(lon, lat, a, f_, towgs84)
+            out[:, 0], out[:, 1] = _proj.omerc_forward(
+                lon, lat, lat_c, lon_c, alpha_c, gamma_c,
+                k0=k0, fe=fe, fn=fn, ellps=ellps,
+            )
+            return out
+
+        return fo
 
     def f(arr, _z=tag[1], _n=tag[2]):
         out = arr.copy()

@@ -42,6 +42,10 @@ ELLIPSOIDS = {
     "BESSEL": (6377397.155, 1.0 / 299.1528128),
     "CLRK66": (6378206.4, 1.0 / 294.978698214),
     "KRASS": (6378245.0, 1.0 / 298.3),
+    # Clarke 1880 (IGN) — defined by a and b (NTF / France Lambert zones)
+    "CLRK80IGN": (6378249.2, 1.0 - 6356515.0 / 6378249.2),
+    # Everest 1830 (1967 definition) — Timbalai / RSO Borneo
+    "EVRST67": (6377298.556, 1.0 / 300.8017),
 }
 
 
@@ -214,8 +218,8 @@ def meridian_arc(lat_deg: float, steps: int = 200_000) -> float:
 _QP = None  # q at the pole, lazy
 
 
-def _q_auth(phi):
-    e = _E
+def _q_auth(phi, e=None):
+    e = _E if e is None else e
     s = np.sin(phi)
     return (1 - e * e) * (s / (1 - e * e * s * s)
                           - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s)))
@@ -287,58 +291,70 @@ def laea_inverse(E_, N_, lon0=10.0, lat0=52.0, fe=4_321_000.0, fn=3_210_000.0):
 # delegates to PROJ, c/sedona-proj/src/st_transform.rs).
 
 
-def _m_snyder(phi):
+def _m_snyder(phi, e=None):
+    e = _E if e is None else e
     s = np.sin(phi)
-    return np.cos(phi) / np.sqrt(1 - _E * _E * s * s)
+    return np.cos(phi) / np.sqrt(1 - e * e * s * s)
 
 
-def _t_snyder(phi):
+def _t_snyder(phi, e=None):
+    e = _E if e is None else e
     s = np.sin(phi)
     return np.tan(np.pi / 4 - phi / 2) / np.power(
-        (1 - _E * s) / (1 + _E * s), _E / 2
+        (1 - e * s) / (1 + e * s), e / 2
     )
 
 
-def _lcc_constants(lat1, lat2, lat0):
+def _lcc_constants(lat1, lat2, lat0, k0=1.0, a=None, e=None):
+    """n, F (k0-folded), rho0. With lat1 == lat2 this is the 1SP method
+    (EPSG 9801): n = sin(lat1) and the scale factor k0 multiplies every
+    radius — the 2SP method (9802) has k0 = 1 by definition."""
+    a = _A if a is None else a
     p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
-    m1, m2 = float(_m_snyder(p1)), float(_m_snyder(p2))
-    t1, t2, t0 = float(_t_snyder(p1)), float(_t_snyder(p2)), float(_t_snyder(p0))
+    m1, m2 = float(_m_snyder(p1, e)), float(_m_snyder(p2, e))
+    t1, t2, t0 = (float(_t_snyder(p, e)) for p in (p1, p2, p0))
     if abs(lat1 - lat2) < 1e-12:
         n = math.sin(p1)
     else:
         n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
-    Fc = m1 / (n * t1 ** n)
-    rho0 = _A * Fc * t0 ** n
+    Fc = k0 * m1 / (n * t1 ** n)
+    rho0 = a * Fc * t0 ** n
     return n, Fc, rho0
 
 
-def lcc_forward(lon, lat, lat1, lat2, lat0, lon0, fe=0.0, fn=0.0):
-    """(lon°, lat°) -> LCC-2SP (easting, northing) meters, vectorized
-    (Snyder eqs. 15-1..15-10)."""
+def lcc_forward(lon, lat, lat1, lat2, lat0, lon0, fe=0.0, fn=0.0,
+                k0=1.0, ellps="WGS84"):
+    """(lon°, lat°) -> LCC (easting, northing) meters, vectorized
+    (Snyder eqs. 15-1..15-10; 2SP, or 1SP via lat1 == lat2 + k0)."""
+    a, f = ELLIPSOIDS[ellps.upper()]
+    e = math.sqrt(f * (2.0 - f))
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
-    n, Fc, rho0 = _lcc_constants(lat1, lat2, lat0)
-    t = _t_snyder(np.radians(lat))
-    rho = _A * Fc * np.power(t, n)
+    n, Fc, rho0 = _lcc_constants(lat1, lat2, lat0, k0, a, e)
+    t = _t_snyder(np.radians(lat), e)
+    rho = a * Fc * np.power(t, n)
     theta = n * (np.radians(lon) - math.radians(lon0))
     return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
 
 
-def lcc_inverse(E_, N_, lat1, lat2, lat0, lon0, fe=0.0, fn=0.0):
-    """LCC-2SP meters -> (lon°, lat°), vectorized (Snyder 15-11..15-14 +
+def lcc_inverse(E_, N_, lat1, lat2, lat0, lon0, fe=0.0, fn=0.0,
+                k0=1.0, ellps="WGS84"):
+    """LCC meters -> (lon°, lat°), vectorized (Snyder 15-11..15-14 +
     the iterative phi from t', eq. 7-9)."""
+    a, f = ELLIPSOIDS[ellps.upper()]
+    e = math.sqrt(f * (2.0 - f))
     x = np.asarray(E_, dtype=np.float64) - fe
     y = np.asarray(N_, dtype=np.float64) - fn
-    n, Fc, rho0 = _lcc_constants(lat1, lat2, lat0)
+    n, Fc, rho0 = _lcc_constants(lat1, lat2, lat0, k0, a, e)
     sgn = 1.0 if n >= 0 else -1.0
     rho = sgn * np.sqrt(x * x + (rho0 - y) ** 2)
     theta = np.arctan2(sgn * x, sgn * (rho0 - y))
-    tp = np.power(rho / (_A * Fc), 1.0 / n)
+    tp = np.power(rho / (a * Fc), 1.0 / n)
     phi = np.pi / 2 - 2 * np.arctan(tp)
     for _ in range(8):
         s = np.sin(phi)
         phi = np.pi / 2 - 2 * np.arctan(
-            tp * np.power((1 - _E * s) / (1 + _E * s), _E / 2)
+            tp * np.power((1 - e * s) / (1 + e * s), e / 2)
         )
     return np.degrees(theta / n) + lon0, np.degrees(phi)
 
@@ -346,82 +362,129 @@ def lcc_inverse(E_, N_, lat1, lat2, lat0, lon0, fe=0.0, fn=0.0):
 # --- Albers Equal-Area Conic (ellipsoidal, Snyder 1987 §14) -----------------
 
 
-def _aea_constants(lat1, lat2, lat0):
+def _aea_constants(lat1, lat2, lat0, a=None, e=None):
+    a = _A if a is None else a
     p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
-    m1, m2 = float(_m_snyder(p1)), float(_m_snyder(p2))
-    q1, q2, q0 = float(_q_auth(p1)), float(_q_auth(p2)), float(_q_auth(p0))
+    m1, m2 = float(_m_snyder(p1, e)), float(_m_snyder(p2, e))
+    q1, q2, q0 = (float(_q_auth(p, e)) for p in (p1, p2, p0))
     if abs(lat1 - lat2) < 1e-12:
         n = math.sin(p1)
     else:
         n = (m1 * m1 - m2 * m2) / (q2 - q1)
     C = m1 * m1 + n * q1
-    rho0 = _A * math.sqrt(C - n * q0) / n
+    rho0 = a * math.sqrt(C - n * q0) / n
     return n, C, rho0
 
 
-def aea_forward(lon, lat, lat1, lat2, lat0, lon0, fe=0.0, fn=0.0):
+def aea_forward(lon, lat, lat1, lat2, lat0, lon0, fe=0.0, fn=0.0,
+                k0=1.0, ellps="WGS84"):
     """(lon°, lat°) -> Albers (easting, northing), vectorized
-    (Snyder eqs. 14-1..14-5)."""
+    (Snyder eqs. 14-1..14-5). k0 accepted for signature parity with
+    lcc_forward; EPSG defines no scale factor for Albers (must be 1)."""
+    if k0 != 1.0:
+        raise ValueError("Albers (EPSG 9822) has no scale factor; k0 must be 1")
+    a, f = ELLIPSOIDS[ellps.upper()]
+    e = math.sqrt(f * (2.0 - f))
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
-    n, C, rho0 = _aea_constants(lat1, lat2, lat0)
-    q = _q_auth(np.radians(lat))
-    rho = _A * np.sqrt(C - n * q) / n
+    n, C, rho0 = _aea_constants(lat1, lat2, lat0, a, e)
+    q = _q_auth(np.radians(lat), e)
+    rho = a * np.sqrt(C - n * q) / n
     theta = n * (np.radians(lon) - math.radians(lon0))
     return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
 
 
-def aea_inverse(E_, N_, lat1, lat2, lat0, lon0, fe=0.0, fn=0.0):
+def aea_inverse(E_, N_, lat1, lat2, lat0, lon0, fe=0.0, fn=0.0,
+                k0=1.0, ellps="WGS84"):
     """Albers meters -> (lon°, lat°) (Snyder 14-8..14-11 + authalic
     latitude series 3-18)."""
+    if k0 != 1.0:
+        raise ValueError("Albers (EPSG 9822) has no scale factor; k0 must be 1")
+    a, f = ELLIPSOIDS[ellps.upper()]
+    e = math.sqrt(f * (2.0 - f))
+    e2 = e * e
     x = np.asarray(E_, dtype=np.float64) - fe
     y = np.asarray(N_, dtype=np.float64) - fn
-    n, C, rho0 = _aea_constants(lat1, lat2, lat0)
+    n, C, rho0 = _aea_constants(lat1, lat2, lat0, a, e)
     sgn = 1.0 if n >= 0 else -1.0
     rho = np.sqrt(x * x + (rho0 - y) ** 2)
     theta = np.arctan2(sgn * x, sgn * (rho0 - y))
-    q = (C - (rho * n / _A) ** 2) / n
-    qp = _q_auth(np.pi / 2)
+    q = (C - (rho * n / a) ** 2) / n
+    qp = _q_auth(np.pi / 2, e)
     beta = np.arcsin(np.clip(q / qp, -1, 1))
     # exact phi by Newton on q(phi) = q (Snyder eq. 3-16) — the truncated
     # authalic series leaves ~1e-8 deg; this converges to machine precision
-    e, e2 = _E, _E * _E
     phi = beta
     for _ in range(6):
         s = np.sin(phi)
         den = 1 - e2 * s * s
-        f = (q / (1 - e2)) - s / den + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
-        dphi = (den * den / (2 * np.cos(phi))) * f
+        f_ = (q / (1 - e2)) - s / den + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        dphi = (den * den / (2 * np.cos(phi))) * f_
         phi = phi + dphi
     return np.degrees(theta / n) + lon0, np.degrees(phi)
 
 
-# EPSG registry for the conic families: (kind, lat1, lat2, lat0, lon0, fe, fn)
-# Parameters are the published EPSG definitions; the underlying datums
-# (RGF93, NAD83, ETRS89) agree with WGS84 to well under a meter, matching
-# how PROJ treats them in the no-datum-shift path.
+# EPSG registry for the conic families:
+# (kind, lat1, lat2, lat0, lon0, fe, fn[, k0, ellps, towgs84-or-None]).
+# 7-tuples are WGS84-equivalent datums (RGF93, NAD83, ETRS89 agree with
+# WGS84 to well under a meter, matching how PROJ treats them in the
+# no-datum-shift path); 10-tuples carry the legacy ellipsoid + published
+# Helmert set. lat1 == lat2 with k0 is the LCC 1SP method (EPSG 9801).
 CONIC_CRS = {
-    # RGF93 / Lambert-93 (France national grid)
-    "EPSG:2154": ("lcc", 49.0, 44.0, 46.5, 3.0, 700_000.0, 6_600_000.0),
+    # RGF93 / Lambert-93 (France national grid) — GRS80, no shift
+    "EPSG:2154": ("lcc", 49.0, 44.0, 46.5, 3.0, 700_000.0, 6_600_000.0,
+                  1.0, "GRS80", None),
     # NAD83 / Canada Atlas Lambert
-    "EPSG:3978": ("lcc", 49.0, 77.0, 49.0, -95.0, 0.0, 0.0),
+    "EPSG:3978": ("lcc", 49.0, 77.0, 49.0, -95.0, 0.0, 0.0,
+                  1.0, "GRS80", None),
     # ETRS89-extended / LCC Europe
-    "EPSG:3034": ("lcc", 35.0, 65.0, 52.0, 10.0, 4_000_000.0, 2_800_000.0),
+    "EPSG:3034": ("lcc", 35.0, 65.0, 52.0, 10.0, 4_000_000.0, 2_800_000.0,
+                  1.0, "GRS80", None),
     # NAD83 / Conus Albers (USGS national products)
-    "EPSG:5070": ("aea", 29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+    "EPSG:5070": ("aea", 29.5, 45.5, 23.0, -96.0, 0.0, 0.0,
+                  1.0, "GRS80", None),
+    # Jamaica 1969 / Jamaica National Grid — LCC 1SP (EPSG GN 7-2 worked
+    # example), Clarke 1866, published Helmert set
+    "EPSG:24200": ("lcc", 18.0, 18.0, 18.0, -77.0, 250_000.0, 150_000.0,
+                   1.0, "CLRK66", (70.0, 207.0, 389.5, 0.0, 0.0, 0.0, 0.0)),
+    # NTF (Paris) / Lambert zone II — LCC 1SP with scale, Clarke 1880 IGN;
+    # lon0 folds in the Paris prime meridian (2°20'14.025" E of Greenwich)
+    "EPSG:27572": ("lcc", 46.8, 46.8, 46.8, 2.0 + 20.0 / 60 + 14.025 / 3600,
+                   600_000.0, 2_200_000.0,
+                   0.99987742, "CLRK80IGN", (-168.0, -60.0, 320.0, 0.0, 0.0, 0.0, 0.0)),
 }
 
 
+def _conic_params(params):
+    kind, lat1, lat2, lat0, lon0, fe, fn = params[:7]
+    k0 = params[7] if len(params) > 7 else 1.0
+    ellps = params[8] if len(params) > 8 else "WGS84"
+    towgs84 = params[9] if len(params) > 9 else None
+    return kind, lat1, lat2, lat0, lon0, fe, fn, k0, ellps, towgs84
+
+
 def conic_forward(lon, lat, params):
-    kind, lat1, lat2, lat0, lon0, fe, fn = params
+    """WGS84 (lon°, lat°) -> conic CRS meters (datum shift applied when
+    the registry entry carries a towgs84 set)."""
+    kind, lat1, lat2, lat0, lon0, fe, fn, k0, ellps, towgs84 = _conic_params(params)
+    if towgs84 is not None:
+        a, f_ = ELLIPSOIDS[ellps.upper()]
+        lon, lat = datum_from_wgs84(
+            np.asarray(lon, dtype=np.float64),
+            np.asarray(lat, dtype=np.float64), a, f_, towgs84)
     f = lcc_forward if kind == "lcc" else aea_forward
-    return f(lon, lat, lat1, lat2, lat0, lon0, fe, fn)
+    return f(lon, lat, lat1, lat2, lat0, lon0, fe, fn, k0, ellps)
 
 
 def conic_inverse(E_, N_, params):
-    kind, lat1, lat2, lat0, lon0, fe, fn = params
+    """Conic CRS meters -> WGS84 (lon°, lat°)."""
+    kind, lat1, lat2, lat0, lon0, fe, fn, k0, ellps, towgs84 = _conic_params(params)
     f = lcc_inverse if kind == "lcc" else aea_inverse
-    return f(E_, N_, lat1, lat2, lat0, lon0, fe, fn)
+    lon, lat = f(E_, N_, lat1, lat2, lat0, lon0, fe, fn, k0, ellps)
+    if towgs84 is not None:
+        a, f_ = ELLIPSOIDS[ellps.upper()]
+        lon, lat = datum_to_wgs84(lon, lat, a, f_, towgs84)
+    return lon, lat
 
 
 def parse_utm_epsg(code: str):
@@ -618,6 +681,119 @@ OBLST_CRS = {
 }
 
 
+# --- Hotine Oblique Mercator, variant B (EPSG method 9815) -------------------
+# Swiss LV95/LV03 (azimuth 90° at the center — PROJ spells this `somerc`),
+# Borneo RSO, Malaysian grids. Formulas: EPSG Guidance Note 7-2 §3.2.4 /
+# Snyder 1987 §9 — the same math PROJ's `omerc +no_uoff`-less variant
+# implements. Ellipsoid-parameterized like tmerc/sterea; the reference
+# reaches these CRS through PROJ (c/sedona-proj/src/st_transform.rs).
+
+
+def _omerc_constants(lat_c: float, lon_c: float, alpha_c: float,
+                     k0: float, a: float, f: float):
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    pc = math.radians(lat_c)
+    lc = math.radians(lon_c)
+    ac = math.radians(alpha_c)
+    sc, cc = math.sin(pc), math.cos(pc)
+    B = math.sqrt(1.0 + e2 * cc ** 4 / (1.0 - e2))
+    A_ = a * B * k0 * math.sqrt(1.0 - e2) / (1.0 - e2 * sc * sc)
+    t0 = math.tan(math.pi / 4 - pc / 2) / (
+        (1.0 - e * sc) / (1.0 + e * sc)) ** (e / 2)
+    D = B * math.sqrt(1.0 - e2) / (cc * math.sqrt(1.0 - e2 * sc * sc))
+    D = max(D, 1.0)
+    sgn = 1.0 if pc >= 0 else -1.0
+    Fh = D + math.sqrt(D * D - 1.0) * sgn
+    H = Fh * t0 ** B
+    G = (Fh - 1.0 / Fh) / 2.0
+    g0 = math.asin(min(1.0, max(-1.0, math.sin(ac) / D)))
+    l0 = lc - math.asin(min(1.0, max(-1.0, G * math.tan(g0)))) / B
+    # center offset u_c (variant B): special-cased for the 90° azimuth
+    # (Swiss) where the general atan2 form is 0/0 at the center
+    if abs(alpha_c - 90.0) < 1e-12:
+        uc = A_ * (lc - l0)
+    else:
+        uc = (A_ / B) * math.atan2(math.sqrt(D * D - 1.0), math.cos(ac)) * sgn
+    return e, B, A_, H, g0, l0, uc, sgn
+
+
+def omerc_forward(lon, lat, lat_c, lon_c, alpha_c, gamma_c,
+                  k0=1.0, fe=0.0, fn=0.0, ellps="WGS84"):
+    """(lon°, lat°) on the CRS datum -> Hotine Oblique Mercator variant B
+    (easting, northing) meters, vectorized (EPSG GN 7-2 §3.2.4)."""
+    a, f = ELLIPSOIDS[ellps.upper()]
+    e, B, A_, H, g0, l0, uc, sgn = _omerc_constants(lat_c, lon_c, alpha_c, k0, a, f)
+    gc = math.radians(gamma_c)
+    lon = np.radians(np.asarray(lon, dtype=np.float64))
+    lat = np.radians(np.asarray(lat, dtype=np.float64))
+    s = np.sin(lat)
+    t = np.tan(np.pi / 4 - lat / 2) / np.power((1.0 - e * s) / (1.0 + e * s), e / 2)
+    Q = H / np.power(t, B)
+    S = (Q - 1.0 / Q) / 2.0
+    T = (Q + 1.0 / Q) / 2.0
+    dl = B * (lon - l0)
+    # wrap to (-pi, pi] so grids straddling the anti-origin stay finite
+    dl = np.arctan2(np.sin(dl), np.cos(dl))
+    V = np.sin(dl)
+    U = (-V * math.cos(g0) + S * math.sin(g0)) / T
+    v = A_ * np.log((1.0 - U) / (1.0 + U)) / (2.0 * B)
+    u = (A_ / B) * np.arctan2(S * math.cos(g0) + V * math.sin(g0), np.cos(dl))
+    u = u - np.abs(uc) * sgn  # variant B: u referenced to the center
+    E_ = v * math.cos(gc) + u * math.sin(gc) + fe
+    N_ = u * math.cos(gc) - v * math.sin(gc) + fn
+    return E_, N_
+
+
+def omerc_inverse(E_, N_, lat_c, lon_c, alpha_c, gamma_c,
+                  k0=1.0, fe=0.0, fn=0.0, ellps="WGS84"):
+    """Hotine Oblique Mercator variant B meters -> (lon°, lat°) on the CRS
+    datum, vectorized (EPSG GN 7-2 §3.2.4 reverse + iterative phi)."""
+    a, f = ELLIPSOIDS[ellps.upper()]
+    e, B, A_, H, g0, l0, uc, sgn = _omerc_constants(lat_c, lon_c, alpha_c, k0, a, f)
+    gc = math.radians(gamma_c)
+    x = np.asarray(E_, dtype=np.float64) - fe
+    y = np.asarray(N_, dtype=np.float64) - fn
+    v = x * math.cos(gc) - y * math.sin(gc)
+    u = y * math.cos(gc) + x * math.sin(gc) + np.abs(uc) * sgn
+    Qp = np.exp(-B * v / A_)
+    Sp = (Qp - 1.0 / Qp) / 2.0
+    Tp = (Qp + 1.0 / Qp) / 2.0
+    Vp = np.sin(B * u / A_)
+    Up = (Vp * math.cos(g0) + Sp * math.sin(g0)) / Tp
+    tp = np.power(H / np.sqrt(np.clip((1.0 + Up) / (1.0 - Up), 1e-300, None)), 1.0 / B)
+    phi = np.pi / 2 - 2 * np.arctan(tp)
+    for _ in range(8):
+        sphi = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            tp * np.power((1.0 - e * sphi) / (1.0 + e * sphi), e / 2)
+        )
+    lam = l0 - np.arctan2(Sp * math.cos(g0) - Vp * math.sin(g0), np.cos(B * u / A_)) / B
+    return np.degrees(lam), np.degrees(phi)
+
+
+# Hotine Oblique Mercator variant B EPSG registry:
+# (lat_c, lon_c, alpha_c, gamma_c, k0, fe, fn, ellps, towgs84-or-None)
+OMERC_CRS = {
+    # CH1903+ / LV95 (Swiss national grid; azimuth 90 at Bern — PROJ somerc)
+    "EPSG:2056": (46.0 + 57.0 / 60 + 8.66 / 3600,
+                  7.0 + 26.0 / 60 + 22.5 / 3600,
+                  90.0, 90.0, 1.0, 2_600_000.0, 1_200_000.0, "BESSEL",
+                  (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)),
+    # CH1903 / LV03 (legacy Swiss grid, same projection, small offsets)
+    "EPSG:21781": (46.0 + 57.0 / 60 + 8.66 / 3600,
+                   7.0 + 26.0 / 60 + 22.5 / 3600,
+                   90.0, 90.0, 1.0, 600_000.0, 200_000.0, "BESSEL",
+                   (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)),
+    # Timbalai 1948 / RSO Borneo (m) — the EPSG GN 7-2 worked example
+    "EPSG:29873": (4.0, 115.0,
+                   53.0 + 18.0 / 60 + 56.9537 / 3600,
+                   53.0 + 7.0 / 60 + 48.3685 / 3600,
+                   0.99984, 590_476.87, 442_857.65, "EVRST67",
+                   (-679.0, 669.0, -48.0, 0.0, 0.0, 0.0, 0.0)),
+}
+
+
 # --- Datum shifts: geocentric conversion + 7-parameter Helmert ---------------
 # Public formulas (EPSG Guidance Note 7-2 §4.1.1/§4.3.1, the same math PROJ
 # applies for +towgs84). Position-vector rotation convention (EPSG 9606 —
@@ -720,11 +896,14 @@ def parse_proj4(s: str):
     vocabulary functions/st.py dispatches on: 'LL' | 'WM' |
     ('UTM', zone, north) | ('MERC', (lon0, k0, fe, fn)) |
     ('PS', (lon0, k0, north, fe, fn)) | ('LAEA', (lon0, lat0, fe, fn)) |
-    ('CONIC', (kind, lat1, lat2, lat0, lon0, fe, fn)) |
-    ('TMERC', (lat0, lon0, k0, fe, fn, ellps, towgs84)).
+    ('CONIC', (kind, lat1, lat2, lat0, lon0, fe, fn, k0, ellps, towgs84)) |
+    ('TMERC', (lat0, lon0, k0, fe, fn, ellps, towgs84)) |
+    ('OMERC', (lat_c, lon_c, alpha_c, gamma_c, k0, fe, fn, ellps, towgs84)).
 
-    Only the WGS84/GRS80 ellipsoid is supported (the sandbox has no PROJ
-    datum grids); any +datum/+ellps other than WGS84/GRS80 raises.
+    The ellipsoid-parameterized families (tmerc, sterea, lcc, aea, omerc,
+    somerc) accept any registered +ellps plus a +towgs84 Helmert set; the
+    remaining families are hard-wired to WGS84/GRS80 and raise on any
+    other +datum/+ellps (the sandbox has no PROJ datum grids).
     Returns None when the string is not a proj4 string at all.
     """
     s = s.strip()
@@ -759,7 +938,7 @@ def parse_proj4(s: str):
         raise NotImplementedError(
             f"+datum={datum!r} is not implemented (use +ellps + +towgs84)"
         )
-    if proj in ("tmerc", "sterea"):
+    if proj in ("tmerc", "sterea", "lcc", "aea", "omerc", "somerc"):
         # these kernels are ellipsoid-parameterized
         if ellps not in ELLIPSOIDS:
             raise NotImplementedError(
@@ -804,11 +983,35 @@ def parse_proj4(s: str):
     if proj == "laea":
         return ("LAEA", (f("lon_0"), f("lat_0"), f("x_0"), f("y_0")))
     if proj == "lcc":
+        # 2SP (+lat_1 +lat_2, k0 = 1) or 1SP (+lat_1 only, optional +k_0 —
+        # EPSG 9801; silently dropping k_0 would scale every coordinate)
         lat1 = f("lat_1")
         lat2 = f("lat_2", kv.get("lat_1", 0.0))
-        return ("CONIC", ("lcc", lat1, lat2, f("lat_0"), f("lon_0"), f("x_0"), f("y_0")))
+        k0 = f("k_0", kv.get("k", 1.0))
+        return ("CONIC", ("lcc", lat1, lat2, f("lat_0"), f("lon_0"),
+                          f("x_0"), f("y_0"), k0, ellps, towgs84))
     if proj == "aea":
-        return ("CONIC", ("aea", f("lat_1"), f("lat_2"), f("lat_0"), f("lon_0"), f("x_0"), f("y_0")))
+        return ("CONIC", ("aea", f("lat_1"), f("lat_2"), f("lat_0"), f("lon_0"),
+                          f("x_0"), f("y_0"), 1.0, ellps, towgs84))
+    if proj in ("omerc", "somerc"):
+        # Hotine Oblique Mercator variant B (EPSG 9815). `somerc` is the
+        # Swiss spelling: azimuth = rectified grid angle = 90°. For
+        # `omerc` PROJ's +no_uoff selects variant A — not implemented
+        # here, so refuse rather than return u-shifted coordinates.
+        if "no_uoff" in flags or "no_off" in flags:
+            raise NotImplementedError(
+                "+proj=omerc +no_uoff (variant A) is not implemented; "
+                "only variant B (centered grid) is supported"
+            )
+        k0 = f("k_0", kv.get("k", 1.0))
+        if proj == "somerc":
+            alpha, gamma = 90.0, 90.0
+        else:
+            alpha = f("alpha", 90.0)
+            gamma = f("gamma", alpha)
+        lon_c = float(kv.get("lonc", kv.get("lon_0", 0.0)))
+        return ("OMERC", (f("lat_0"), lon_c, alpha, gamma, k0,
+                          f("x_0"), f("y_0"), ellps, towgs84))
     if proj == "stere":
         lat0 = f("lat_0")
         if abs(abs(lat0) - 90.0) > 1e-9:
@@ -824,5 +1027,6 @@ def parse_proj4(s: str):
         return ("PS", (f("lon_0"), k0, north, f("x_0"), f("y_0")))
     raise NotImplementedError(
         f"+proj={proj!r} is not implemented (supported: longlat, webmerc, "
-        f"merc, tmerc, utm, laea, lcc, aea, polar stere)"
+        f"merc, tmerc, utm, laea, lcc, aea, polar stere, sterea, omerc, "
+        f"somerc)"
     )

@@ -161,7 +161,7 @@ class TestConic:
 
     def test_lcc_central_meridian_is_false_easting(self):
         p = proj.CONIC_CRS["EPSG:2154"]
-        E, N = proj.lcc_forward(3.0, 46.5, *p[1:])
+        E, N = proj.lcc_forward(3.0, 46.5, *p[1:9])
         assert float(E) == pytest.approx(700000.0, abs=1e-6)
         assert float(N) == pytest.approx(6600000.0, abs=1e-6)
 
@@ -173,8 +173,8 @@ class TestConic:
 
         def k_at(lat):
             d = 1e-6
-            E1, N1 = proj.lcc_forward(3.0 - d, lat, *p[1:])
-            E2, N2 = proj.lcc_forward(3.0 + d, lat, *p[1:])
+            E1, N1 = proj.lcc_forward(3.0 - d, lat, *p[1:9])
+            E2, N2 = proj.lcc_forward(3.0 + d, lat, *p[1:9])
             dproj = float(np.hypot(E2 - E1, N2 - N1))
             phi = np.radians(lat)
             nu = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
@@ -193,9 +193,9 @@ class TestConic:
         a, e2 = 6378137.0, 0.00669437999014132
         for lon, lat in ((1.0, 43.0), (6.0, 48.5), (-3.0, 50.0)):
             d = 1e-6
-            E0, N0 = proj.lcc_forward(lon, lat, *p[1:])
-            E1, N1 = proj.lcc_forward(lon + d, lat, *p[1:])
-            E2, N2 = proj.lcc_forward(lon, lat + d, *p[1:])
+            E0, N0 = proj.lcc_forward(lon, lat, *p[1:9])
+            E1, N1 = proj.lcc_forward(lon + d, lat, *p[1:9])
+            E2, N2 = proj.lcc_forward(lon, lat + d, *p[1:9])
             phi = np.radians(lat)
             W = np.sqrt(1 - e2 * np.sin(phi) ** 2)
             nu, rho = a / W, a * (1 - e2) / W**3
@@ -213,9 +213,9 @@ class TestConic:
         a, e2 = 6378137.0, 0.00669437999014132
         for lon, lat in ((-120.0, 35.0), (-96.0, 23.0), (-70.0, 45.0)):
             d = 1e-6
-            E0, N0 = proj.aea_forward(lon, lat, *p[1:])
-            E1, N1 = proj.aea_forward(lon + d, lat, *p[1:])
-            E2, N2 = proj.aea_forward(lon, lat + d, *p[1:])
+            E0, N0 = proj.aea_forward(lon, lat, *p[1:9])
+            E1, N1 = proj.aea_forward(lon + d, lat, *p[1:9])
+            E2, N2 = proj.aea_forward(lon, lat + d, *p[1:9])
             J = abs(float(E1 - E0) * float(N2 - N0) - float(E2 - E0) * float(N1 - N0))
             J /= np.radians(d) ** 2
             phi = np.radians(lat)
@@ -234,7 +234,7 @@ class TestConic:
         g = wkb.parse(bytes(out))
         E, N = g.coords[0][0], g.coords[0][1]
         p = proj.CONIC_CRS["EPSG:2154"]
-        Ek, Nk = proj.lcc_forward(2.3522, 48.8566, *p[1:])
+        Ek, Nk = proj.lcc_forward(2.3522, 48.8566, *p[1:9])
         assert E == pytest.approx(float(Ek), abs=1e-9)
         assert N == pytest.approx(float(Nk), abs=1e-9)
         # Paris in Lambert-93 is ~(652.5 km, 6.862 Mm) — coarse envelope
@@ -422,10 +422,10 @@ class TestProj4Strings:
 
         with pytest.raises(NotImplementedError, match="not implemented"):
             parse_proj4("+proj=utm +zone=30 +datum=NAD27")
-        # non-tmerc projections stay WGS84-only (their kernels are
-        # hard-wired to WGS84 constants)
+        # families whose kernels stay hard-wired to WGS84 constants
+        # (lcc/aea/omerc are ellipsoid-parameterized since round 4)
         with pytest.raises(NotImplementedError, match="WGS84"):
-            parse_proj4("+proj=lcc +lat_1=49 +lat_2=44 +ellps=airy")
+            parse_proj4("+proj=laea +lat_0=52 +lon_0=10 +ellps=airy")
         with pytest.raises(NotImplementedError, match="polar"):
             parse_proj4("+proj=stere +lat_0=52 +lon_0=4")
         assert parse_proj4("EPSG:4326") is None
@@ -735,3 +735,190 @@ class TestObliqueStereographic:
             "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 "
             "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel")
         assert spec4[0] == "OBLST" and spec4[1][5] == "BESSEL"
+
+
+class TestObliqueMercator:
+    """Hotine Oblique Mercator variant B (EPSG 9815): the EPSG GN 7-2
+    worked example (Timbalai 1948 / RSO Borneo) pins the general-azimuth
+    branch; Swiss LV95/LV03 (azimuth 90°, PROJ `somerc`) pins the special
+    case — its projection center maps to the false origin by definition."""
+
+    def test_gn72_borneo_worked_example(self):
+        from sedona_db_spark.geometry import proj
+
+        p = proj.OMERC_CRS["EPSG:29873"]
+        lat = 5 + 23 / 60 + 14.1129 / 3600
+        lon = 115 + 48 / 60 + 19.8196 / 3600
+        E, N = proj.omerc_forward(np.array([lon]), np.array([lat]),
+                                  *p[:7], ellps=p[7])
+        # EPSG GN 7-2 §3.2.4 publishes E 679245.73, N 596562.78
+        assert abs(float(E[0]) - 679245.73) < 0.02
+        assert abs(float(N[0]) - 596562.78) < 0.02
+        lo, la = proj.omerc_inverse(E, N, *p[:7], ellps=p[7])
+        assert abs(float(lo[0]) - lon) < 1e-12
+        assert abs(float(la[0]) - lat) < 1e-12
+
+    def test_swiss_center_and_directions(self):
+        from sedona_db_spark.geometry import proj
+
+        p = proj.OMERC_CRS["EPSG:2056"]
+        E, N = proj.omerc_forward(np.array([p[1], p[1] + 0.1, p[1]]),
+                                  np.array([p[0], p[0], p[0] + 0.1]),
+                                  *p[:7], ellps=p[7])
+        assert abs(float(E[0]) - 2_600_000.0) < 1e-6
+        assert abs(float(N[0]) - 1_200_000.0) < 1e-6
+        assert E[1] > E[0] and N[2] > N[0]  # east -> +E, north -> +N
+        rng = np.random.default_rng(0)
+        lons = rng.uniform(5.9, 10.5, 200)
+        lats = rng.uniform(45.8, 47.8, 200)
+        Eg, Ng = proj.omerc_forward(lons, lats, *p[:7], ellps=p[7])
+        lo, la = proj.omerc_inverse(Eg, Ng, *p[:7], ellps=p[7])
+        assert np.abs(lo - lons).max() < 1e-12
+        assert np.abs(la - lats).max() < 1e-12
+
+    def test_st_transform_lv95_roundtrip(self, spark):
+        from sedona_db_spark.functions import st
+        from sedona_db_spark.geometry import wkb
+
+        df = spark.createDataFrame(
+            [(0, bytes(wkb.encode_points_xy(np.array([7.4474]),
+                                            np.array([46.9480]))[0]))],
+            "id LONG, g BINARY")  # Bern city, WGS84
+        o = df.select(
+            st.ST_X(st.ST_Transform(F.col("g"), F.lit("EPSG:4326"),
+                                    F.lit("EPSG:2056"))).alias("e"),
+            st.ST_Y(st.ST_Transform(F.col("g"), F.lit("EPSG:4326"),
+                                    F.lit("EPSG:2056"))).alias("n"),
+        ).collect()[0]
+        # Bern LV95: E ~ 2600.6 km, N ~ 1199.5 km
+        assert 2_595_000 < o["e"] < 2_606_000
+        assert 1_194_000 < o["n"] < 1_205_000
+        back = df.select(st.ST_AsText(st.ST_Transform(
+            st.ST_Transform(F.col("g"), F.lit("EPSG:4326"), F.lit("EPSG:2056")),
+            F.lit("EPSG:2056"), F.lit("EPSG:4326"))).alias("t")).collect()[0]
+        xs = back["t"].replace("POINT (", "").rstrip(")").split()
+        assert abs(float(xs[0]) - 7.4474) < 1e-6
+        assert abs(float(xs[1]) - 46.9480) < 1e-6
+        # LV03 differs from LV95 by exactly the 2,000,000/1,000,000 offset
+        o3 = df.select(
+            st.ST_X(st.ST_Transform(F.col("g"), F.lit("EPSG:4326"),
+                                    F.lit("EPSG:21781"))).alias("e")).collect()[0]
+        assert abs((o["e"] - 2_000_000.0) - o3["e"]) < 1e-6
+
+    def test_somerc_proj4_matches_epsg(self):
+        from sedona_db_spark.geometry import proj
+
+        pj = proj.parse_proj4(
+            "+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 "
+            "+k_0=1 +x_0=2600000 +y_0=1200000 +ellps=bessel "
+            "+towgs84=674.374,15.056,405.346,0,0,0,0")
+        assert pj[0] == "OMERC"
+        p = proj.OMERC_CRS["EPSG:2056"]
+        E1, N1 = proj.omerc_forward(np.array([8.0]), np.array([47.0]),
+                                    *pj[1][:7], ellps=pj[1][7])
+        E2, N2 = proj.omerc_forward(np.array([8.0]), np.array([47.0]),
+                                    *p[:7], ellps=p[7])
+        assert abs(float(E1[0] - E2[0])) < 1e-6
+        assert abs(float(N1[0] - N2[0])) < 1e-6
+
+    def test_omerc_variant_a_refused(self):
+        import pytest
+
+        from sedona_db_spark.geometry import proj
+
+        with pytest.raises(NotImplementedError):
+            proj.parse_proj4("+proj=omerc +lat_0=4 +lonc=115 +alpha=53.3 "
+                             "+k_0=0.99984 +no_uoff +ellps=WGS84")
+
+
+class TestLcc1SP:
+    """LCC one-standard-parallel (EPSG 9801): GN 7-2 Jamaica worked
+    example + the NTF France Lambert zone II (k0, Clarke 1880 IGN, Paris
+    meridian folded into lon0, Helmert datum shift)."""
+
+    def test_gn72_jamaica_worked_example(self):
+        from sedona_db_spark.geometry import proj
+
+        lat = 17 + 55 / 60 + 55.80 / 3600
+        lon = -(76 + 56 / 60 + 37.26 / 3600)
+        E, N = proj.lcc_forward(np.array([lon]), np.array([lat]),
+                                18.0, 18.0, 18.0, -77.0,
+                                250_000.0, 150_000.0, k0=1.0, ellps="CLRK66")
+        # EPSG GN 7-2 §3.1.1.2 publishes E 255966.58, N 142493.51
+        assert abs(float(E[0]) - 255966.58) < 0.02
+        assert abs(float(N[0]) - 142493.51) < 0.02
+
+    def test_1sp_degenerates_to_2sp_at_k0_1(self):
+        from sedona_db_spark.geometry import proj
+
+        E1, N1 = proj.lcc_forward(np.array([3.0]), np.array([45.0]),
+                                  46.5, 46.5, 46.5, 3.0, 0.0, 0.0, k0=1.0)
+        E2, N2 = proj.lcc_forward(np.array([3.0]), np.array([45.0]),
+                                  46.5, 46.5, 46.5, 3.0, 0.0, 0.0)
+        assert abs(float(E1[0] - E2[0])) < 1e-9
+        assert abs(float(N1[0] - N2[0])) < 1e-9
+
+    def test_france_lambert_ii_roundtrip_and_proj4_twin(self):
+        from sedona_db_spark.geometry import proj
+
+        p = proj.CONIC_CRS["EPSG:27572"]
+        rng = np.random.default_rng(1)
+        lons = rng.uniform(-1.0, 6.0, 100)
+        lats = rng.uniform(44.0, 50.0, 100)
+        E, N = proj.conic_forward(lons, lats, p)
+        lo, la = proj.conic_inverse(E, N, p)
+        # Helmert inverse iteration leaves < 1e-8 deg (~1 mm)
+        assert np.abs(lo - lons).max() < 1e-7
+        assert np.abs(la - lats).max() < 1e-7
+        pj = proj.parse_proj4(
+            "+proj=lcc +lat_1=46.8 +lat_0=46.8 +lon_0=2.337229166666667 "
+            "+k_0=0.99987742 +x_0=600000 +y_0=2200000 +ellps=CLRK80IGN "
+            "+towgs84=-168,-60,320,0,0,0,0")
+        assert pj[0] == "CONIC"
+        E2, N2 = proj.conic_forward(np.array([2.3522]), np.array([48.8566]), pj[1])
+        E3, N3 = proj.conic_forward(np.array([2.3522]), np.array([48.8566]), p)
+        assert abs(float(E2[0] - E3[0])) < 1e-9
+        assert abs(float(N2[0] - N3[0])) < 1e-9
+
+    def test_st_transform_jamaica(self, spark):
+        from sedona_db_spark.functions import st
+        from sedona_db_spark.geometry import wkb
+
+        df = spark.createDataFrame(
+            [(0, bytes(wkb.encode_points_xy(np.array([-76.8]),
+                                            np.array([18.0]))[0]))],
+            "id LONG, g BINARY")
+        o = df.select(
+            st.ST_X(st.ST_Transform(F.col("g"), F.lit("EPSG:4326"),
+                                    F.lit("EPSG:24200"))).alias("e"),
+            st.ST_Y(st.ST_Transform(F.col("g"), F.lit("EPSG:4326"),
+                                    F.lit("EPSG:24200"))).alias("n"),
+        ).collect()[0]
+        # ~0.2 deg east of the CM at the origin parallel
+        assert 260_000 < o["e"] < 285_000 and 140_000 < o["n"] < 165_000
+        back = df.select(st.ST_AsText(st.ST_Transform(
+            st.ST_Transform(F.col("g"), F.lit("EPSG:4326"), F.lit("EPSG:24200")),
+            F.lit("EPSG:24200"), F.lit("EPSG:4326"))).alias("t")).collect()[0]
+        xs = back["t"].replace("POINT (", "").rstrip(")").split()
+        assert abs(float(xs[0]) + 76.8) < 1e-6
+        assert abs(float(xs[1]) - 18.0) < 1e-6
+
+    def test_lcc_proj4_k0_not_dropped(self):
+        from sedona_db_spark.geometry import proj
+
+        with_k0 = proj.parse_proj4("+proj=lcc +lat_1=46.8 +lat_0=46.8 "
+                                   "+lon_0=0 +k_0=0.99987742 +ellps=WGS84")
+        without = proj.parse_proj4("+proj=lcc +lat_1=46.8 +lat_0=46.8 "
+                                   "+lon_0=0 +ellps=WGS84")
+        E1, _ = proj.conic_forward(np.array([2.0]), np.array([45.0]), with_k0[1])
+        E2, _ = proj.conic_forward(np.array([2.0]), np.array([45.0]), without[1])
+        assert abs(float(E1[0] / E2[0]) - 0.99987742) < 1e-9
+
+    def test_albers_refuses_scale_factor(self):
+        import pytest
+
+        from sedona_db_spark.geometry import proj
+
+        with pytest.raises(ValueError):
+            proj.aea_forward(np.array([0.0]), np.array([45.0]),
+                             29.5, 45.5, 23.0, -96.0, k0=0.5)
