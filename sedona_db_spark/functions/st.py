@@ -1558,6 +1558,19 @@ def _crs_tag(code: str):
     if raw.startswith("+"):
         # proj4 string: "+proj=utm +zone=33 +south", "+proj=stere ..." etc.
         return _proj.parse_proj4(raw)
+    if raw.startswith("{"):
+        # PROJJSON object (the reference's crs.rs parses authority codes
+        # or PROJJSON; GeoParquet 1.1 carries CRS in this form) — resolve
+        # through its id to the authority:code spelling
+        import json as _json
+
+        from ..sources.geoparquet import crs_to_string
+
+        try:
+            s = crs_to_string(_json.loads(raw))
+        except ValueError:
+            return None
+        return _crs_tag(s) if s is not None and s != raw else None
     up = raw.upper()
     tag = _CRS_ALIASES.get(up)
     if tag is not None:

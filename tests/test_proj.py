@@ -922,3 +922,29 @@ class TestLcc1SP:
         with pytest.raises(ValueError):
             proj.aea_forward(np.array([0.0]), np.array([45.0]),
                              29.5, 45.5, 23.0, -96.0, k0=0.5)
+
+
+def test_projjson_crs_input(spark):
+    """ST_Transform accepts a PROJJSON object string as a CRS (the
+    reference's crs.rs parses authority codes or PROJJSON; GeoParquet 1.1
+    metadata carries CRS in this shape)."""
+    import json
+
+    from sedona_db_spark.functions import st
+
+    pj = json.dumps({"type": "ProjectedCRS", "name": "CH1903+ / LV95",
+                     "id": {"authority": "EPSG", "code": 2056}})
+    df = spark.createDataFrame(
+        [(0, bytes(wkb.encode_points_xy(np.array([7.4474]),
+                                        np.array([46.9480]))[0]))],
+        "id LONG, g BINARY")
+    e_pj = df.select(st.ST_X(st.ST_Transform(
+        F.col("g"), F.lit("EPSG:4326"), F.lit(pj))).alias("e")).collect()[0]["e"]
+    e_code = df.select(st.ST_X(st.ST_Transform(
+        F.col("g"), F.lit("EPSG:4326"), F.lit("EPSG:2056"))).alias("e")).collect()[0]["e"]
+    assert e_pj == e_code
+    # malformed / id-less PROJJSON fails loudly, not silently
+    with pytest.raises(Exception):
+        df.select(st.ST_Transform(
+            F.col("g"), F.lit("EPSG:4326"),
+            F.lit('{"type":"GeographicCRS","name":"weird"}'))).collect()
