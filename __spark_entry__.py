@@ -1112,6 +1112,23 @@ def _q_doc_ppl(spark, sf_dir):
     )
 
 
+def _q_doc_dsir(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py): hashed word uni+bigram
+    features (md5-prefix buckets, 16384 bins), target = the corpus's
+    English subset, raw = the whole corpus.  The oracle recomputes
+    features, bucket counts and the smoothed log-likelihood ratio in SQL
+    (md5 agrees byte-for-byte between Spark and DuckDB)."""
+    from sedona_db_spark.operators.dsir import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_weights(docs, docs.where(F.col("lang") == "en"))
+    return w.select(
+        "doc_id",
+        F.col("n_feats").cast("bigint").alias("n_feats"),
+        F.round("logweight", 6).alias("logweight"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-polygon spatial join of customer points against
     the 5x5 world partition of nation boxes at sf0.001."""
@@ -1180,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
         "doc_ppl": _q_doc_ppl,
+        "doc_dsir": _q_doc_dsir,
     }
 
 
@@ -1959,5 +1977,33 @@ def oracle_sql() -> dict[str, str]:
             r"round(exp(-sum(ln((bc.c12 + 1.0)/(cc.c1 + vn.v + 1.0)))/count(*)), 6) AS ppl "
             r"FROM big b JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN vn "
             r"GROUP BY b.doc_id"
+        ),
+        # DSIR importance weights: hashed word uni+bigram features (md5
+        # prefix % 16384 — byte-identical to Spark's md5/conv), add-one
+        # smoothed target/raw log-likelihood ratio per document
+        "doc_dsir": (
+            r"WITH toks AS ("
+            r"  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS t"
+            r"  FROM documents WHERE length(trim(text)) > 0"
+            r"), "
+            r"feats AS ("
+            r"  SELECT doc_id, lang, u.w AS feat FROM toks, unnest(t) AS u(w)"
+            r"  UNION ALL"
+            r"  SELECT doc_id, lang, t[i] || ' ' || t[i+1]"
+            r"  FROM toks, unnest(generate_series(1, len(t)-1)) AS g(i)"
+            r"  WHERE len(t) >= 2"
+            r"), "
+            r"fb AS (SELECT doc_id, lang, "
+            r"  ('0x' || substr(md5(feat),1,8))::BIGINT % 16384 AS bucket FROM feats), "
+            r"rawc AS (SELECT bucket, count(*) AS c FROM fb GROUP BY 1), "
+            r"tgtc AS (SELECT bucket, count(*) AS c FROM fb WHERE lang = 'en' GROUP BY 1), "
+            r"rt AS (SELECT sum(c) AS s FROM rawc), "
+            r"tt AS (SELECT sum(c) AS s FROM tgtc) "
+            r"SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats, "
+            r"round(sum( ln((coalesce(tgtc.c, 0) + 1.0)/(tt.s + 16384.0))"
+            r"         - ln((rawc.c + 1.0)/(rt.s + 16384.0)) ), 6) AS logweight "
+            r"FROM fb LEFT JOIN rawc USING (bucket) LEFT JOIN tgtc USING (bucket) "
+            r"CROSS JOIN rt CROSS JOIN tt "
+            r"GROUP BY fb.doc_id"
         ),
     }
