@@ -143,11 +143,19 @@ def _decode_real(kind: str, payload: bytes, meta) -> np.ndarray:
 
         arr = decode_baseline_jpeg(payload)
         return (arr.astype(np.float32).ravel() - 127.5) / 127.5
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # PNG decodes natively too (round-4b): stdlib-zlib + numpy
+        # unfiltering in .png — with JPEG this covers both dominant web
+        # image formats without any codec library
+        from .png import decode_png
+
+        arr = decode_png(payload)
+        return (arr.astype(np.float32).ravel() - 127.5) / 127.5
     raise NotImplementedError(
         "decoding this format requires ffmpeg/librosa, not present in "
-        "this container — run with decode='fake', or supply PPM/PGM or "
-        "baseline-JPEG images, PCM16 WAV audio, or YUV4MPEG2 (y4m) video "
-        "which decode natively"
+        "this container — run with decode='fake', or supply PPM/PGM, "
+        "baseline-JPEG or PNG images, PCM16 WAV audio, or YUV4MPEG2 "
+        "(y4m) video which decode natively"
     )
 
 
