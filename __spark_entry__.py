@@ -1129,6 +1129,24 @@ def _q_doc_dsir(spark, sf_dir):
     )
 
 
+def _q_dbscan(spark, sf_dir):
+    """Distributed DBSCAN (operators/dbscan.py) over the customer point
+    lattice: eps=3.0, min_pts=5 — mixes core points, border points
+    (min-core-cluster assignment) and multiple components. The oracle
+    recomputes the full algorithm in SQL: brute-force eps-pairs, degree
+    threshold, recursive-CTE closure over core-core edges, min-cluster
+    border assignment."""
+    from sedona_db_spark.operators.dbscan import dbscan
+
+    pts = _cust_pts(spark, sf_dir).select("c_custkey", "geom")
+    out = dbscan(pts, eps=3.0, min_pts=5, geom_col="geom", id_col="c_custkey")
+    return out.select(
+        F.col("c_custkey").cast("bigint").alias("id"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "is_core",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-polygon spatial join of customer points against
     the 5x5 world partition of nation boxes at sf0.001."""
@@ -1198,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_transform_roundtrip": _q_st_transform_roundtrip,
         "doc_ppl": _q_doc_ppl,
         "doc_dsir": _q_doc_dsir,
+        "dbscan_customers": _q_dbscan,
     }
 
 
@@ -2005,5 +2024,31 @@ def oracle_sql() -> dict[str, str]:
             r"FROM fb LEFT JOIN rawc USING (bucket) LEFT JOIN tgtc USING (bucket) "
             r"CROSS JOIN rt CROSS JOIN tt "
             r"GROUP BY fb.doc_id"
+        ),
+        # DBSCAN recomputed whole: brute-force eps-pairs (the same
+        # sqrt(dx*dx+dy*dy) the dwithin refine evaluates), degree>=min_pts
+        # cores, recursive-CTE closure over core-core edges with min-id
+        # cluster labels, min-cluster border assignment, NULL = noise
+        "dbscan_customers": (
+            f"WITH RECURSIVE s AS (SELECT c_custkey AS id, {_CX} AS x, {_CY} AS y FROM customer c), "
+            f"pairs AS (SELECT a.id AS ia, b.id AS ib FROM s a JOIN s b "
+            f"          ON sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) <= CAST(3.0 AS DOUBLE)), "
+            f"deg AS (SELECT ia AS id, count(*) AS c FROM pairs GROUP BY 1), "
+            f"core AS (SELECT id FROM deg WHERE c >= 5), "
+            f"ee AS (SELECT ia, ib FROM pairs WHERE ia < ib "
+            f"       AND ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)), "
+            f"edges AS (SELECT ia AS es, ib AS ed FROM ee UNION SELECT ib, ia FROM ee), "
+            f"reach(id, root) AS ( "
+            f"  SELECT es, es FROM (SELECT DISTINCT es FROM edges) "
+            f"  UNION "
+            f"  SELECT e.ed, r.root FROM reach r JOIN edges e ON e.es = r.id), "
+            f"comp AS (SELECT id, MIN(root) AS component FROM reach GROUP BY id), "
+            f"corec AS (SELECT c.id, COALESCE(m.component, c.id) AS cluster "
+            f"          FROM core c LEFT JOIN comp m ON m.id = c.id), "
+            f"border AS (SELECT p.ia AS id, MIN(k.cluster) AS bcluster "
+            f"           FROM pairs p JOIN corec k ON k.id = p.ib GROUP BY 1) "
+            f"SELECT s.id AS id, COALESCE(cc.cluster, b.bcluster) AS cluster, "
+            f"       (cc.cluster IS NOT NULL) AS is_core "
+            f"FROM s LEFT JOIN corec cc ON cc.id = s.id LEFT JOIN border b ON b.id = s.id"
         ),
     }
