@@ -1147,6 +1147,50 @@ def _q_dbscan(spark, sf_dir):
     )
 
 
+def _q_geohash_cells(spark, sf_dir):
+    """ST_GeoHash over the supplier point lattice at precision 7, plus the
+    3-char prefix cell (the coarse-partitioning use case).  The oracle
+    recomputes the base-32 bit interleave as generated SQL arithmetic —
+    same quantize → interleave → char-map pipeline, value-hash exact."""
+    from sedona_db_spark.functions import st
+
+    s = _supp_pts(spark, sf_dir)
+    gh = st.ST_GeoHash(F.col("geom"), F.lit(7))
+    return s.select(
+        "s_suppkey", gh.alias("gh7"), F.substring(gh, 1, 3).alias("cell3")
+    )
+
+
+def _geohash7_oracle_sql(lon: str, lat: str, key: str, table: str) -> str:
+    """Generate DuckDB SQL computing the precision-7 geohash of (lon, lat):
+    quantize both axes, interleave 35 bits (lon leads), map 5-bit groups
+    through the base-32 alphabet.  Mirrors functions/st.py
+    _geohash_encode_np bit-for-bit (same IEEE double ops, same order)."""
+    p, nbits = 7, 35
+    lon_bits, lat_bits = 18, 17
+    ql = f"CAST(floor((({lon}) + 180.0) / 360.0 * {float(1 << lon_bits)}) AS BIGINT)"
+    qa = f"CAST(floor((({lat}) + 90.0) / 180.0 * {float(1 << lat_bits)}) AS BIGINT)"
+    terms = []
+    for i in range(nbits):
+        w = 1 << (nbits - 1 - i)
+        if i % 2 == 0:
+            terms.append(f"((ql >> {lon_bits - 1 - i // 2}) & 1) * {w}")
+        else:
+            terms.append(f"((qa >> {lat_bits - 1 - i // 2}) & 1) * {w}")
+    code = " + ".join(terms)
+    chars = " || ".join(
+        "substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST(((code >> {5 * (p - 1 - k)}) & 31) AS INTEGER) + 1, 1)"
+        for k in range(p)
+    )
+    return (
+        f"SELECT {key}, gh7, substr(gh7, 1, 3) AS cell3 FROM ("
+        f"  SELECT {key}, {chars} AS gh7 FROM ("
+        f"    SELECT {key}, {code} AS code FROM ("
+        f"      SELECT {key}, {ql} AS ql, {qa} AS qa FROM {table})))"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-polygon spatial join of customer points against
     the 5x5 world partition of nation boxes at sf0.001."""
@@ -1217,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ppl": _q_doc_ppl,
         "doc_dsir": _q_doc_dsir,
         "dbscan_customers": _q_dbscan,
+        "geohash_cells": _q_geohash_cells,
     }
 
 
@@ -2050,5 +2095,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT s.id AS id, COALESCE(cc.cluster, b.bcluster) AS cluster, "
             f"       (cc.cluster IS NOT NULL) AS is_core "
             f"FROM s LEFT JOIN corec cc ON cc.id = s.id LEFT JOIN border b ON b.id = s.id"
+        ),
+        "geohash_cells": _geohash7_oracle_sql(
+            _SX, _SY, "s_suppkey", "supplier s"
         ),
     }

@@ -1030,6 +1030,111 @@ def _st_azimuth(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
+# geohash (base-32 interleaved-bit cell keys — PostGIS/Sedona ST_GeoHash
+# semantics; handy as join/dedup keys and coarse spatial partitioning)
+# ---------------------------------------------------------------------------
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH32_INV = {c: i for i, c in enumerate(_GH32)}
+
+
+def _geohash_encode_np(lon: np.ndarray, lat: np.ndarray, precision: int):
+    """Vectorized geohash of (lon, lat) arrays — ≤ 12 chars (60 bits)."""
+    p = max(1, min(12, int(precision)))
+    nbits = 5 * p
+    lon_bits = (nbits + 1) // 2  # lon leads the interleave
+    lat_bits = nbits // 2
+    ql = np.floor((lon + 180.0) / 360.0 * (1 << lon_bits))
+    qa = np.floor((lat + 90.0) / 180.0 * (1 << lat_bits))
+    ql = np.clip(ql, 0, (1 << lon_bits) - 1).astype(np.uint64)
+    qa = np.clip(qa, 0, (1 << lat_bits) - 1).astype(np.uint64)
+    code = np.zeros(len(lon), dtype=np.uint64)
+    for i in range(nbits):
+        code <<= np.uint64(1)
+        if i % 2 == 0:
+            code |= (ql >> np.uint64(lon_bits - 1 - i // 2)) & np.uint64(1)
+        else:
+            code |= (qa >> np.uint64(lat_bits - 1 - i // 2)) & np.uint64(1)
+    chars = np.empty((len(lon), p), dtype="U1")
+    for k in range(p):
+        idx = ((code >> np.uint64(5 * (p - 1 - k))) & np.uint64(31)).astype(int)
+        chars[:, k] = np.array(list(_GH32))[idx]
+    return ["".join(row) for row in chars]
+
+
+def _geohash_decode_bbox(gh: str):
+    """geohash string -> (lon_min, lat_min, lon_max, lat_max)."""
+    lon_lo, lon_hi = -180.0, 180.0
+    lat_lo, lat_hi = -90.0, 90.0
+    even = True
+    for c in gh.lower():
+        v = _GH32_INV[c]  # raises KeyError on invalid chars (caller wraps)
+        for b in (16, 8, 4, 2, 1):
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if v & b:
+                    lon_lo = mid
+                else:
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if v & b:
+                    lat_lo = mid
+                else:
+                    lat_hi = mid
+            even = not even
+    return lon_lo, lat_lo, lon_hi, lat_hi
+
+
+@F.pandas_udf(StringType())
+def _st_geohash(g: pd.Series, precision: pd.Series) -> pd.Series:
+    x, y, valid = wkb.decode_points_xy(list(g))
+    # non-point geometries hash their envelope centroid (PostGIS uses the
+    # bbox; the centroid of the bbox is its canonical representative cell)
+    out = [None] * len(g)
+    idx = np.nonzero(valid)[0]
+    prec = precision.fillna(9).astype(int)
+    for pval in set(prec[idx]) if len(idx) else ():
+        sel = idx[prec.iloc[idx].to_numpy() == pval]
+        enc = _geohash_encode_np(x[sel], y[sel], int(pval))
+        for j, s in zip(sel, enc):
+            out[j] = s
+    for i, v in enumerate(g):
+        if v is None or valid[i]:
+            continue
+        geom = wkb.parse(bytes(v))
+        if geom is None or geom.is_empty:
+            continue
+        xmin, ymin, xmax, ymax = algos.bounds(geom)
+        out[i] = _geohash_encode_np(
+            np.array([(xmin + xmax) / 2]), np.array([(ymin + ymax) / 2]),
+            int(prec.iloc[i]))[0]
+    return pd.Series(out, dtype=object)
+
+
+@F.pandas_udf(BinaryType())
+def _st_geomfromgeohash(s: pd.Series) -> pd.Series:
+    def box_of(v):
+        if v is None:
+            return None
+        x0, y0, x1, y1 = _geohash_decode_bbox(str(v))
+        return wkb.encode(wkb.box(x0, y0, x1, y1))
+
+    return pd.Series([box_of(v) for v in s], dtype=object)
+
+
+@F.pandas_udf(BinaryType())
+def _st_pointfromgeohash(s: pd.Series) -> pd.Series:
+    def pt_of(v):
+        if v is None:
+            return None
+        x0, y0, x1, y1 = _geohash_decode_bbox(str(v))
+        return wkb.encode(wkb.point((x0 + x1) / 2, (y0 + y1) / 2))
+
+    return pd.Series([pt_of(v) for v in s], dtype=object)
+
+
+# ---------------------------------------------------------------------------
 # overlay / processing
 # ---------------------------------------------------------------------------
 
@@ -2003,6 +2108,9 @@ _UDFS: Dict[str, object] = {
     "ST_ClosestPoint": _st_closestpoint,
     "ST_ShortestLine": _st_shortestline,
     "ST_Azimuth": _st_azimuth,
+    "ST_GeoHash": _st_geohash,
+    "ST_GeomFromGeoHash": _st_geomfromgeohash,
+    "ST_PointFromGeoHash": _st_pointfromgeohash,
     "ST_Intersection": _st_intersection,
     "ST_Union": _st_union,
     "ST_Difference": _st_difference,
