@@ -1161,6 +1161,68 @@ def _q_geohash_cells(spark, sf_dir):
     )
 
 
+def _q_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup (operators/dedup.py::substring_dedup, Lee et
+    al. arXiv:2107.06499): every word span duplicated verbatim anywhere in
+    the corpus is erased except its first occurrence, via the 8-gram cover
+    pipeline (md5-prefix digests so DuckDB recomputes them byte-for-byte).
+    The oracle reruns the whole algorithm in SQL: grams, global
+    first-occurrence rule, island merge, rebuild."""
+    from sedona_db_spark.operators.dedup import substring_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_dedup(docs, "text", "doc_id", min_len=8)
+
+
+_SUBSTR_DEDUP_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+), occ AS (
+  SELECT doc_id, p - 1 AS pos,
+         substr(md5(array_to_string(ws[p:p+7], ' ')), 1, 16) AS gh
+  FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(p)
+  WHERE len(ws) >= 8
+), marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn,
+           count(*) OVER (PARTITION BY gh) AS c
+    FROM occ)
+  WHERE c > 1 AND rn > 1
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 7
+              THEN 1 ELSE 0 END AS ni
+  FROM marked
+), isl2 AS (
+  SELECT doc_id, pos,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM isl
+), rng AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+  FROM isl2 GROUP BY doc_id, grp
+), rem AS (
+  SELECT doc_id, sum(e - s + 1) AS n_removed FROM rng GROUP BY doc_id
+), widx AS (
+  SELECT doc_id, wi - 1 AS i, ws[wi] AS word
+  FROM w, unnest(generate_series(1, len(ws))) AS t(wi)
+), kept AS (
+  SELECT wx.doc_id, wx.i, wx.word FROM widx wx
+  WHERE NOT EXISTS (SELECT 1 FROM rng r
+                    WHERE r.doc_id = wx.doc_id AND wx.i BETWEEN r.s AND r.e)
+), agg AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS kept_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.kept_text, '') AS kept_text,
+       CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_words_removed
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+LEFT JOIN rem r ON r.doc_id = d.doc_id
+"""
+
+
 def _geohash7_oracle_sql(lon: str, lat: str, key: str, table: str) -> str:
     """Generate DuckDB SQL computing the precision-7 geohash of (lon, lat):
     quantize both axes, interleave 35 bits (lon leads), map 5-bit groups
@@ -1262,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir": _q_doc_dsir,
         "dbscan_customers": _q_dbscan,
         "geohash_cells": _q_geohash_cells,
+        "doc_substring_dedup": _q_substring_dedup,
     }
 
 
@@ -2099,4 +2162,5 @@ def oracle_sql() -> dict[str, str]:
         "geohash_cells": _geohash7_oracle_sql(
             _SX, _SY, "s_suppkey", "supplier s"
         ),
+        "doc_substring_dedup": _SUBSTR_DEDUP_ORACLE,
     }

@@ -805,3 +805,118 @@ def semdedup(
         )
 
     return a.groupBy("cluster").applyInPandas(_cluster_dedup, out_schema)
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499):
+    remove every word span that also occurs verbatim elsewhere in the
+    corpus, keeping only the first occurrence.
+
+    The paper builds a corpus-wide suffix array; the distributed
+    re-expression here uses the L-gram cover property instead: a
+    duplicated span of >= ``min_len`` words is exactly a maximal run of
+    duplicated ``min_len``-grams, so marking every non-first occurrence
+    of a duplicated L-gram and erasing the union of their covers removes
+    the same spans without any global suffix sort.
+
+    Pipeline (zero Python rows, linear in total corpus words):
+
+    1. split -> per-doc L-gram digests via ``transform(sequence(...))``
+       (md5-prefix, byte-identical in external SQL oracles);
+    2. ``posexplode`` -> one ``groupBy(gh)`` with map-side partial
+       ``min(struct(id, pos))`` + count: the "first occurrence" rule is
+       a deterministic total order, stable under any partitioning;
+    3. join the (typically tiny) duplicated-gram set back -> marked
+       (id, pos) starts; AQE skew-join handles boilerplate grams that
+       occur millions of times;
+    4. per-doc island merge of the fixed-length covers (one window on
+       the doc key), then a JVM ``filter(ws, (w, i) -> ...)`` rebuild.
+
+    Output: ``(id_col, kept_text string, n_words_removed bigint)`` —
+    one row per input row.  Whitespace is normalised to single spaces in
+    ``kept_text`` (the paper operates on token streams where this is a
+    no-op).
+    """
+    from pyspark.sql import Window
+
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be >= 2")
+
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("_id"), ws.alias("ws"))
+
+    occ = (
+        base.where(F.size("ws") >= L)
+        .select(
+            "_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(ws) - {L}), "
+                    f"i -> substr(md5(array_join(slice(ws, i + 1, {L}), ' ')), 1, 16))"
+                )
+            ).alias("pos", "gh"),
+        )
+    )
+
+    firsts = occ.groupBy("gh").agg(
+        F.min(F.struct(F.col("_id"), F.col("pos"))).alias("first_occ"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    marked = (
+        occ.join(firsts.where(F.col("c") > 1), "gh")
+        .where(
+            (F.col("_id") != F.col("first_occ._id"))
+            | (F.col("pos") != F.col("first_occ.pos"))
+        )
+        .select("_id", "pos")
+    )
+
+    # fixed-length covers [pos, pos+L-1]: islands merge wherever covers
+    # overlap (gap > L-1 starts a new island); equal lengths make the
+    # island end simply max(pos) + L - 1
+    w = Window.partitionBy("_id").orderBy("pos")
+    isl = (
+        marked.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "ni",
+            (
+                F.col("prev").isNull()
+                | (F.col("pos") > F.col("prev") + F.lit(L - 1))
+            ).cast("int"),
+        )
+        .withColumn("isl", F.sum("ni").over(w))
+    )
+    ranges = isl.groupBy("_id", "isl").agg(
+        F.min("pos").alias("s"), (F.max("pos") + F.lit(L - 1)).alias("e")
+    )
+    per_doc = ranges.groupBy("_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("ranges"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("n_removed"),
+    )
+
+    empty_ranges = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+    return (
+        base.join(per_doc, "_id", "left")
+        .withColumn("ranges", F.coalesce("ranges", empty_ranges))
+        .withColumn(
+            "kept_text",
+            F.expr(
+                "array_join(filter(ws, (wd, i) -> "
+                "NOT exists(ranges, r -> i >= r.s AND i <= r.e)), ' ')"
+            ),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "kept_text",
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias(
+                "n_words_removed"
+            ),
+        )
+    )

@@ -1,0 +1,130 @@
+"""substring_dedup — exact-substring deduplication (Lee et al. 2022,
+arXiv:2107.06499) re-expressed as the L-gram cover pipeline.
+
+Differential oracle: a pure-python replica of the same semantics (global
+first-occurrence rule by (doc_id, pos), fixed-length cover union, rebuild).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from sedona_db_spark.operators.dedup import substring_dedup
+
+
+def _brute(docs, L):
+    """docs: list[(id, text)] -> {id: (kept_text, n_removed)}."""
+    words = {}
+    grams = {}  # gram-string -> list[(id, pos)]
+    for did, text in docs:
+        wsl = re.split(r"\s+", text.strip())
+        words[did] = wsl
+        for p in range(0, len(wsl) - L + 1):
+            grams.setdefault(" ".join(wsl[p : p + L]), []).append((did, p))
+    marked = {}
+    for occs in grams.values():
+        if len(occs) < 2:
+            continue
+        first = min(occs)
+        for o in occs:
+            if o != first:
+                marked.setdefault(o[0], set()).add(o[1])
+    out = {}
+    for did, wsl in words.items():
+        covered = set()
+        for p in sorted(marked.get(did, ())):
+            covered.update(range(p, p + L))
+        kept = " ".join(w for i, w in enumerate(wsl) if i not in covered)
+        out[did] = (kept, len(covered))
+    return out
+
+
+def _run(spark, docs, L, parts=1):
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    if parts > 1:
+        df = df.repartition(parts)
+    got = substring_dedup(df, "text", "doc_id", min_len=L).collect()
+    return {r["doc_id"]: (r["kept_text"], r["n_words_removed"]) for r in got}
+
+
+def test_duplicated_phrase_removed_keep_first(spark):
+    phrase = "the quick brown fox jumps over the lazy dog"
+    docs = [
+        (1, f"alpha {phrase} omega"),
+        (2, f"start {phrase} end"),
+        (3, "nothing shared here at all whatsoever today friends"),
+    ]
+    got = _run(spark, docs, L=9)
+    exp = _brute(docs, 9)
+    assert got == exp
+    # doc 1 is the first occurrence -> keeps the phrase
+    assert phrase in got[1][0]
+    # doc 2 loses it
+    assert phrase not in got[2][0]
+    assert got[2][1] == 9
+    assert got[3] == (docs[2][1], 0)
+
+
+def test_overlapping_spans_merge(spark):
+    # doc 2 repeats a 12-word span of doc 1: its 10 overlapping 3-grams
+    # merge into ONE removed island of 12 words
+    span = " ".join(f"w{i}" for i in range(12))
+    docs = [(1, f"{span} one tail"), (2, f"head {span} two tail")]
+    got = _run(spark, docs, L=3)
+    exp = _brute(docs, 3)
+    assert got == exp
+    assert got[2][1] == 12
+
+
+def test_short_docs_unchanged(spark):
+    docs = [(1, "too short"), (2, "also brief"), (3, "  padded   text  ")]
+    got = _run(spark, docs, L=5)
+    # whitespace normalised but nothing removed
+    assert got[1] == ("too short", 0)
+    assert got[3] == ("padded text", 0)
+
+
+def test_entire_doc_removed(spark):
+    t = "a b c d e"
+    docs = [(1, t), (2, t)]
+    got = _run(spark, docs, L=5)
+    assert got[1] == (t, 0)
+    assert got[2] == ("", 5)
+
+
+def test_within_doc_repetition(spark):
+    # the same 4-gram twice inside ONE doc: second occurrence removed
+    docs = [(7, "x y z q filler x y z q trailer pad")]
+    got = _run(spark, docs, L=4)
+    exp = _brute(docs, 4)
+    assert got == exp
+    assert got[7][1] == 4
+
+
+def test_partitioning_invariance(spark):
+    docs = [
+        (i, f"shared prefix tokens run long here {i % 3} suffix bit {i}")
+        for i in range(30)
+    ]
+    a = _run(spark, docs, L=6, parts=1)
+    b = _run(spark, docs, L=6, parts=7)
+    assert a == b == _brute(docs, 6)
+
+
+def test_min_len_guard(spark):
+    with pytest.raises(ValueError):
+        substring_dedup(
+            spark.createDataFrame([(1, "a b")], "doc_id bigint, text string"),
+            min_len=1,
+        )
+
+
+def test_plan_has_no_python_stages(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id bigint, text string"
+    )
+    plan = substring_dedup(df, min_len=3)._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
