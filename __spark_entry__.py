@@ -1253,6 +1253,59 @@ def _geohash7_oracle_sql(lon: str, lat: str, key: str, table: str) -> str:
     )
 
 
+def _q_domain_pagerank(spark, sf_dir):
+    """PageRank over the deterministic domain link graph (5 iterations,
+    d=0.85). Oracle: the SAME edge derivation (md5-prefix target pick)
+    and the SAME five power iterations unrolled as chained CTEs."""
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.operators.graph import domain_link_graph, pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = domain_link_graph(docs, "source", "doc_id", out_links=3)
+    pr = pagerank(edges, iterations=5, damping=0.85)
+    return pr.select(F.col("node").alias("domain"),
+                     F.round("rank", 6).alias("pr"))
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled power-iteration PageRank in DuckDB SQL: identical edge
+    derivation, identical dangling-mass fold, identical double ops."""
+    head = (
+        "WITH dom AS (SELECT source AS domain,"
+        " row_number() OVER (ORDER BY source) - 1 AS idx"
+        " FROM (SELECT DISTINCT source FROM documents)), "
+        "ndom AS (SELECT count(*) AS n FROM dom), "
+        "links AS (SELECT d.source AS src,"
+        " ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#' ||"
+        " CAST(j AS VARCHAR)), 1, 8))::BIGINT % ndom.n AS idx"
+        " FROM documents d CROSS JOIN ndom, unnest([1, 2, 3]) AS t(j)), "
+        "edges AS (SELECT DISTINCT l.src, m.domain AS dst"
+        " FROM links l JOIN dom m USING (idx) WHERE l.src <> m.domain), "
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges), "
+        "nn AS (SELECT count(*) AS n FROM nodes), "
+        "outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1), "
+        "r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"
+    )
+    stages = []
+    for i in range(iterations):
+        stages.append(
+            f"d{i} AS (SELECT coalesce(sum(pr), 0.0) AS dang FROM r{i}"
+            f" WHERE node NOT IN (SELECT src FROM outdeg)), "
+            f"c{i} AS (SELECT e.dst AS node, sum(r.pr / o.od) AS csum"
+            f" FROM edges e JOIN r{i} r ON r.node = e.src"
+            f" JOIN outdeg o ON o.src = e.src GROUP BY 1), "
+            f"r{i + 1} AS (SELECT n.node,"
+            f" (1.0 - 0.85) / nn.n + 0.85 * (coalesce(c.csum, 0.0)"
+            f" + d.dang / nn.n) AS pr"
+            f" FROM nodes n CROSS JOIN nn CROSS JOIN d{i} d"
+            f" LEFT JOIN c{i} c ON c.node = n.node)"
+        )
+    return (head + ", " + ", ".join(stages)
+            + f" SELECT node AS domain, round(pr, 6) AS pr FROM r{iterations}")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-polygon spatial join of customer points against
     the 5x5 world partition of nation boxes at sf0.001."""
@@ -1325,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_customers": _q_dbscan,
         "geohash_cells": _q_geohash_cells,
         "doc_substring_dedup": _q_substring_dedup,
+        "domain_pagerank": _q_domain_pagerank,
     }
 
 
@@ -2163,4 +2217,5 @@ def oracle_sql() -> dict[str, str]:
             _SX, _SY, "s_suppkey", "supplier s"
         ),
         "doc_substring_dedup": _SUBSTR_DEDUP_ORACLE,
+        "domain_pagerank": _pagerank_oracle_sql(5),
     }
