@@ -1306,6 +1306,42 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
             + f" SELECT node AS domain, round(pr, 6) AS pr FROM r{iterations}")
 
 
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+def _q_bm25_scores(spark, sf_dir):
+    """BM25 scores of every document matching the fixed 3-term query.
+    Oracle: identical tokenization (trim/lower/split \\s+), identical
+    idf/tf formula with the same literal constants and operator order."""
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.operators.bm25 import bm25_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = bm25_scores(docs, _BM25_TERMS, k1=1.2, b=0.75)
+    return s.select("doc_id", F.round("bm25", 6).alias("bm25"))
+
+
+_BM25_ORACLE = (
+    r"WITH toks AS (SELECT doc_id,"
+    r" regexp_split_to_array(trim(lower(text)), '\s+') AS t"
+    r" FROM documents WHERE length(trim(text)) > 0), "
+    r"dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) >= 1), "
+    r"stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl), "
+    r"tf AS (SELECT doc_id, w AS term, count(*) AS tf"
+    r" FROM toks, unnest(t) AS u(w)"
+    r" WHERE w IN ('spark', 'join', 'window') GROUP BY 1, 2), "
+    r"dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1) "
+    r"SELECT tf.doc_id, round(sum("
+    r" ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))"
+    r" * tf.tf * (1.2 + 1.0)"
+    r" / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / stats.avgdl))"
+    r"), 6) AS bm25"
+    r" FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)"
+    r" CROSS JOIN stats GROUP BY tf.doc_id"
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-polygon spatial join of customer points against
     the 5x5 world partition of nation boxes at sf0.001."""
@@ -1379,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_cells": _q_geohash_cells,
         "doc_substring_dedup": _q_substring_dedup,
         "domain_pagerank": _q_domain_pagerank,
+        "bm25_scores": _q_bm25_scores,
     }
 
 
@@ -2218,4 +2255,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_substring_dedup": _SUBSTR_DEDUP_ORACLE,
         "domain_pagerank": _pagerank_oracle_sql(5),
+        "bm25_scores": _BM25_ORACLE,
     }
