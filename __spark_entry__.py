@@ -1306,6 +1306,56 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
             + f" SELECT node AS domain, round(pr, 6) AS pr FROM r{iterations}")
 
 
+def _q_hll_lang_cardinality(spark, sf_dir):
+    """HyperLogLog distinct-text count per language (p=8, m=256).
+    The sketch hash is md5-derived so DuckDB recomputes every register
+    AND the estimator fold exactly: register = first-8-hex-digits % m,
+    rank = 41 - bit_length(40-bit suffix) via minimal binary strings,
+    harmonic sum of exact powers of two. Output is the register-table
+    summary (exact integers) plus the estimate rounded to 4 dp."""
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.operators.sketch import hll_estimate, hll_sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    regs = hll_sketch(docs, "text", ["lang"], p=8)
+    agg = regs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_reg"),
+        F.sum("mj").cast("long").alias("sum_mj"),
+    )
+    est = hll_estimate(regs, p=8, group_cols=["lang"])
+    return (agg.join(est, "lang")
+            .select("lang", "n_reg", "sum_mj",
+                    F.round("hll_est", 4).alias("hll_est"))
+            .orderBy("lang"))
+
+
+# alpha_m * m^2 for m=256 — the same double the Spark side materializes
+# via F.lit(_alpha(256) * 256 * 256)
+_HLL_AMM = "47072.71267120224"
+
+_HLL_ORACLE = (
+    "WITH base AS (SELECT lang,"
+    " CAST(('0x' || substr(md5(CAST(text AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 256 AS reg,"
+    " CAST(('0x' || substr(md5(CAST(text AS VARCHAR)), 9, 10)) AS BIGINT)"
+    " AS suf"
+    " FROM documents WHERE text IS NOT NULL), "
+    "regs AS (SELECT lang, reg,"
+    " MAX(CASE WHEN suf = 0 THEN 41 ELSE 41 - length(bin(suf)) END) AS mj"
+    " FROM base GROUP BY lang, reg), "
+    "agg AS (SELECT lang, COUNT(*) AS n_reg,"
+    " CAST(SUM(mj) AS BIGINT) AS sum_mj,"
+    " SUM(power(2.0, -mj)) AS s1 FROM regs GROUP BY lang) "
+    "SELECT lang, n_reg, sum_mj,"
+    f" round(CASE WHEN ({_HLL_AMM} / (s1 + (256 - n_reg))) <= 640.0"
+    " AND n_reg < 256"
+    " THEN 256.0 * ln(256.0 / (256 - n_reg))"
+    f" ELSE {_HLL_AMM} / (s1 + (256 - n_reg)) END, 4) AS hll_est"
+    " FROM agg ORDER BY lang"
+)
+
+
 _BM25_TERMS = ["spark", "join", "window"]
 
 
@@ -1416,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substring_dedup": _q_substring_dedup,
         "domain_pagerank": _q_domain_pagerank,
         "bm25_scores": _q_bm25_scores,
+        "hll_lang_cardinality": _q_hll_lang_cardinality,
     }
 
 
@@ -2256,4 +2307,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_substring_dedup": _SUBSTR_DEDUP_ORACLE,
         "domain_pagerank": _pagerank_oracle_sql(5),
         "bm25_scores": _BM25_ORACLE,
+        "hll_lang_cardinality": _HLL_ORACLE,
     }

@@ -1,0 +1,117 @@
+"""Mergeable distinct-count sketches: HyperLogLog.
+
+Flajolet et al. 2007 ("HyperLogLog: the analysis of a near-optimal
+cardinality estimation algorithm"). At 10^12 rows, ``COUNT(DISTINCT
+text)`` per group is a full shuffle of every distinct value; the HLL
+register table is ``m = 2^p`` rows per group, mergeable across
+partitions, days, and datasets by a plain ``MAX`` — the shape every
+warehouse sketch column uses.
+
+This is a from-scratch DETERMINISTIC construction (not a binding):
+
+* hash: two independent md5-prefix integers per value — register
+  ``('0x'||substr(md5(v),1,8)) % m`` and a 40-bit suffix
+  ``('0x'||substr(md5(v),9,10))``; md5 agrees byte-for-byte between
+  Spark and DuckDB, so a SQL oracle recomputes every register and the
+  final estimate exactly (Spark's builtin ``approx_count_distinct``
+  is a different, non-reproducible sketch — the point here is an
+  oracle-checkable one);
+* rank: ``rho = 41 - bit_length(suffix)`` via ``length(bin(v))`` —
+  both engines print minimal binary strings, so rho is exact integer
+  math, no float log2;
+* estimator: ``alpha_m · m² / (Σ 2^-M_j)`` with the small-range
+  linear-counting correction ``m·ln(m/V)`` when ``E ≤ 2.5m`` and empty
+  registers exist. Every 2^-M_j term is a power of two and the sum
+  stays under 53 mantissa bits for p ≤ 12, so the fold is EXACT and
+  order-independent — no float-accumulation drift between engines.
+
+Scale notes: the only shuffle is ``groupBy(group, register)`` — at most
+``m`` rows per group survive the map-side partial MAX, so a 10^12-row
+scan reduces to ``groups × m`` rows on the wire. ``hll_merge`` unions
+register tables and re-MAXes: sketch once per partition/day, merge
+cheaply forever (the cross-dataset dedup-accounting pattern).
+
+Reference scope: SedonaDB has no sketch surface; beyond-the-reference
+training-data op (corpus-size accounting, per-domain URL cardinality).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["hll_sketch", "hll_merge", "hll_estimate", "hll_count_distinct"]
+
+_SUFFIX_BITS = 40
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    if m == 64:
+        return 0.709
+    if m == 32:
+        return 0.697
+    if m == 16:
+        return 0.673
+    raise ValueError("p must be >= 4")
+
+
+def hll_sketch(df: DataFrame, col: str, group_cols: list[str] | None = None,
+               p: int = 12) -> DataFrame:
+    """Register table ``(group..., reg, mj)`` for the values in ``col``.
+
+    NULL values are ignored (SQL COUNT(DISTINCT) semantics). The table
+    has ≤ 2^p rows per group and merges with :func:`hll_merge`."""
+    if not 4 <= p <= 12:
+        # p > 12 would push the estimator fold past the exact-double
+        # window the oracle parity relies on (see module docstring)
+        raise ValueError("p must be in [4, 12]")
+    m = 1 << p
+    group_cols = list(group_cols or [])
+    v = F.col(col).cast("string")
+    reg = (F.conv(F.substring(F.md5(v), 1, 8), 16, 10).cast("long")
+           % F.lit(m)).alias("reg")
+    suf = F.conv(F.substring(F.md5(v), 9, 10), 16, 10).cast("long")
+    rho = F.when(suf == 0, F.lit(_SUFFIX_BITS + 1)).otherwise(
+        F.lit(_SUFFIX_BITS + 1) - F.length(F.bin(suf))).alias("rho")
+    base = df.where(F.col(col).isNotNull()).select(*group_cols, reg, rho)
+    return base.groupBy(*group_cols, "reg").agg(F.max("rho").alias("mj"))
+
+
+def hll_merge(*sketches: DataFrame,
+              group_cols: list[str] | None = None) -> DataFrame:
+    """Merge register tables built with the same ``p``: union + MAX."""
+    group_cols = list(group_cols or [])
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "reg").agg(F.max("mj").alias("mj"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 12,
+                 group_cols: list[str] | None = None) -> DataFrame:
+    """Fold a register table to ``(group..., hll_est)``.
+
+    Missing registers contribute 2^0 = 1 to the harmonic denominator;
+    V = count of missing registers drives the linear-counting branch."""
+    m = 1 << p
+    group_cols = list(group_cols or [])
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("s1"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    denom = F.col("s1") + (F.lit(m) - F.col("c")) * F.lit(1.0)
+    raw = F.lit(_alpha(m) * m * m) / denom
+    v_zero = F.lit(m) - F.col("c")
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero)
+    est = F.when((raw <= F.lit(2.5 * m)) & (v_zero > 0), lin).otherwise(raw)
+    return agg.select(*group_cols, est.alias("hll_est"))
+
+
+def hll_count_distinct(df: DataFrame, col: str,
+                       group_cols: list[str] | None = None,
+                       p: int = 12) -> DataFrame:
+    """One-shot sketch + estimate: ``(group..., hll_est)``."""
+    return hll_estimate(hll_sketch(df, col, group_cols, p), p, group_cols)

@@ -1,0 +1,80 @@
+"""HyperLogLog sketch: accuracy, merge semantics, null handling.
+
+The construction is deterministic (md5-derived registers), so the merge
+test asserts EXACT register-table equality, not just estimate closeness.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sedona_db_spark.operators.sketch import (
+    hll_count_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
+
+
+def _vals(spark, n, prefix="v", dup=1):
+    rows = [(f"{prefix}{i % n}",) for i in range(n * dup)]
+    return spark.createDataFrame(rows, "v string")
+
+
+def test_estimate_within_expected_error(spark):
+    # standard HLL error is ~1.04/sqrt(m); allow 4 sigma
+    n, p = 2000, 10
+    df = _vals(spark, n, dup=3)  # duplicates must not change the estimate
+    est = hll_count_distinct(df, "v", p=p).collect()[0]["hll_est"]
+    tol = 4 * 1.04 / math.sqrt(1 << p)
+    assert abs(est - n) / n < tol
+
+
+def test_small_range_linear_counting(spark):
+    # 30 distinct values in m=256 registers -> linear-counting branch,
+    # which is near-exact at this fill factor
+    df = _vals(spark, 30)
+    est = hll_count_distinct(df, "v", p=8).collect()[0]["hll_est"]
+    assert abs(est - 30) < 3
+
+
+def test_grouped_and_nulls_ignored(spark):
+    rows = [("a", f"x{i}") for i in range(50)] + [
+        ("b", f"y{i}") for i in range(10)
+    ] + [("a", None), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {
+        r["g"]: r["hll_est"]
+        for r in hll_count_distinct(df, "v", ["g"], p=8).collect()
+    }
+    assert abs(out["a"] - 50) < 6 and abs(out["b"] - 10) < 3
+
+
+def test_merge_equals_union_sketch(spark):
+    a = _vals(spark, 500, prefix="a")
+    b = _vals(spark, 500, prefix="b")
+    merged = hll_merge(
+        hll_sketch(a, "v", p=8), hll_sketch(b, "v", p=8)
+    )
+    direct = hll_sketch(a.unionByName(b), "v", p=8)
+    # deterministic construction -> exact register equality
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    est = hll_estimate(merged, p=8).collect()[0]["hll_est"]
+    assert abs(est - 1000) / 1000 < 4 * 1.04 / math.sqrt(256)
+
+
+def test_register_table_bounded(spark):
+    # the shuffle payload is at most m rows per group regardless of input
+    df = _vals(spark, 5000)
+    assert hll_sketch(df, "v", p=4).count() <= 16
+
+
+def test_p_validation():
+    with pytest.raises(ValueError):
+        hll_sketch(None, "v", p=3)
+    with pytest.raises(ValueError):
+        hll_sketch(None, "v", p=13)
