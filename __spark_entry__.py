@@ -1306,6 +1306,115 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
             + f" SELECT node AS domain, round(pr, 6) AS pr FROM r{iterations}")
 
 
+def _q_s2_cells_customers(spark, sf_dir):
+    """S2 cell ids of the synthetic customer points: leaf (level 30)
+    via the vectorized cube-face + Hilbert kernel, then level-12/8
+    parents and the level-12 leaf range in pure JVM bit algebra.
+    Oracle: a DuckDB recursive CTE re-derives the whole pipeline from
+    the published algorithm — face selection, quadratic ST transform,
+    the 30-step Hilbert walk with the s2coords table constants, and the
+    same two's-complement parent/range identities."""
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.functions import s2 as s2f
+
+    c = _t(spark, sf_dir, "customer")
+    cx = F.lit(-180.0) + ((F.col("c_custkey") * 7) % 3600) * F.lit(0.1) + F.lit(0.005)
+    cy = F.lit(-90.0) + ((F.col("c_custkey") * 13) % 1800) * F.lit(0.1) + F.lit(0.005)
+    pts = c.select("c_custkey", cy.alias("lat"), cx.alias("lng"))
+    out = pts.select(
+        "c_custkey", s2f.s2_cell_id("lat", "lng", 30).alias("s2_leaf")
+    ).select(
+        "c_custkey",
+        "s2_leaf",
+        s2f.s2_parent("s2_leaf", 12).alias("s2_cell12"),
+    )
+    return out.select(
+        "c_custkey",
+        "s2_leaf",
+        "s2_cell12",
+        s2f.s2_parent("s2_cell12", 8).alias("s2_cell8"),
+        s2f.s2_range_min("s2_cell12").alias("rmin12"),
+        s2f.s2_range_max("s2_cell12").alias("rmax12"),
+    ).orderBy("c_custkey")
+
+
+# 1 << 36 and 1 << 44: level-12 / level-8 trailing bits
+_S2_LSB12 = 68719476736
+_S2_LSB8 = 17592186044416
+
+_S2_ORACLE = f"""
+WITH RECURSIVE pts AS (
+  SELECT c_custkey AS k, {_CX} AS lng, {_CY} AS lat FROM customer
+), xyz AS (
+  SELECT k,
+    cos(radians(lat))*cos(radians(lng)) AS x,
+    cos(radians(lat))*sin(radians(lng)) AS y,
+    sin(radians(lat)) AS z
+  FROM pts
+), fuv AS (
+  SELECT k, face,
+    CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+              WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+    CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+              WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM (SELECT *,
+          CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                 THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+               WHEN abs(y) >= abs(z)
+                 THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+               ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END AS face
+        FROM xyz)
+), ij AS (
+  SELECT k, face,
+    CAST(least(greatest(floor(
+      (CASE WHEN u >= 0 THEN 0.5*sqrt(1 + 3*u)
+            ELSE 1 - 0.5*sqrt(1 - 3*u) END) * 1073741824.0), 0), 1073741823)
+      AS BIGINT) AS i,
+    CAST(least(greatest(floor(
+      (CASE WHEN v >= 0 THEN 0.5*sqrt(1 + 3*v)
+            ELSE 1 - 0.5*sqrt(1 - 3*v) END) * 1073741824.0), 0), 1073741823)
+      AS BIGINT) AS j
+  FROM fuv
+), walk AS (
+  SELECT k, face, i, j, face % 2 AS o, CAST(0 AS HUGEINT) AS pos, 29 AS lvl
+  FROM ij
+  UNION ALL
+  SELECT k, face, i, j,
+    xor(o, CASE p WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END) AS o,
+    pos*4 + p AS pos, lvl - 1
+  FROM (
+    SELECT *, CASE o
+        WHEN 0 THEN CASE ijb WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 2 END
+        WHEN 1 THEN CASE ijb WHEN 0 THEN 0 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 2 END
+        WHEN 2 THEN CASE ijb WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 0 END
+        ELSE        CASE ijb WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 0 END
+      END AS p
+    FROM (SELECT *, ((i // (1 << lvl)) % 2)*2 + ((j // (1 << lvl)) % 2) AS ijb
+          FROM walk WHERE lvl >= 0)
+  )
+), ids AS (
+  SELECT k,
+    CAST(face AS HUGEINT)*2305843009213693952 + pos*2 + 1 AS hu
+  FROM walk WHERE lvl = -1
+), sid AS (
+  SELECT k, CAST(CASE WHEN hu >= 9223372036854775808
+                      THEN hu - 18446744073709551616
+                      ELSE hu END AS BIGINT) AS s2_leaf
+  FROM ids
+), lv AS (
+  SELECT k, s2_leaf,
+    ((s2_leaf & -{_S2_LSB12}) | {_S2_LSB12}) AS s2_cell12
+  FROM sid
+)
+SELECT k AS c_custkey, s2_leaf, s2_cell12,
+  ((s2_cell12 & -{_S2_LSB8}) | {_S2_LSB8}) AS s2_cell8,
+  s2_cell12 - ({_S2_LSB12} - 1) AS rmin12,
+  s2_cell12 + ({_S2_LSB12} - 1) AS rmax12
+FROM lv ORDER BY c_custkey
+"""
+
+
 def _q_hll_lang_cardinality(spark, sf_dir):
     """HyperLogLog distinct-text count per language (p=8, m=256).
     The sketch hash is md5-derived so DuckDB recomputes every register
@@ -1467,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_pagerank": _q_domain_pagerank,
         "bm25_scores": _q_bm25_scores,
         "hll_lang_cardinality": _q_hll_lang_cardinality,
+        "s2_cells_customers": _q_s2_cells_customers,
     }
 
 
@@ -2308,4 +2418,5 @@ def oracle_sql() -> dict[str, str]:
         "domain_pagerank": _pagerank_oracle_sql(5),
         "bm25_scores": _BM25_ORACLE,
         "hll_lang_cardinality": _HLL_ORACLE,
+        "s2_cells_customers": _S2_ORACLE,
     }
