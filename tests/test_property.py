@@ -39,6 +39,25 @@ def _ring_is_simple(ring):
     return _ring_simple(np.asarray(ring, dtype=np.float64))
 
 
+def _rings_cross(ra, rb):
+    """True if any closed segment of ring `ra` intersects any of `rb`
+    (brute force — tiny rings only; independent of the engine kernels)."""
+    for i in range(len(ra) - 1):
+        p1, p2 = ra[i], ra[i + 1]
+        d1 = p2 - p1
+        for j in range(len(rb) - 1):
+            p3, p4 = rb[j], rb[j + 1]
+            d2 = p4 - p3
+            den = d1[0] * d2[1] - d1[1] * d2[0]
+            if den == 0.0:
+                continue
+            t = ((p3[0] - p1[0]) * d2[1] - (p3[1] - p1[1]) * d2[0]) / den
+            u = ((p3[0] - p1[0]) * d1[1] - (p3[1] - p1[1]) * d1[0]) / den
+            if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+                return True
+    return False
+
+
 @st.composite
 def star_polygon(draw, quantize=None):
     """A random simple ('star-shaped') polygon: quantize vertices FIRST,
@@ -276,6 +295,11 @@ def holed_polygon(draw):
     hy = np.array([p[1] for p in hole] + [cy])
     ins, onb = algos.locate_points_in_ring(hx, hy, ring)
     assume(bool(np.all(ins & ~onb)))
+    # ... and NO shell edge may cross the hole square: corners-inside is
+    # not containment (hypothesis found a concave shell whose edge chain
+    # dipped through the square between two corners — an INVALID polygon,
+    # on which overlay semantics are undefined)
+    assume(not _rings_cross(ring, np.asarray(hole, dtype=np.float64)))
     return _polygon([shell, hole]), shell_poly, 4 * h * h
 
 
