@@ -1465,6 +1465,50 @@ _HLL_ORACLE = (
 )
 
 
+def _q_doc_bloom_filter(spark, sf_dir):
+    """Bloom-filter exclude-list probe: build a 256-bit / k=3 filter over
+    the sources of German-language docs, probe EVERY doc's source against
+    the packed bitset (broadcast, no join, no corpus shuffle). Flags are
+    deterministic incl. false positives: the md5 double-hash arithmetic
+    (h1 = first-8-hex % m, h2 = next-10-hex % (m-1) + 1, pos_j =
+    (h1 + j*h2) % m) is recomputed verbatim by the DuckDB oracle, which
+    checks all k positions against the distinct set-bit table."""
+    from sedona_db_spark.operators.bloom import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    excl = docs.where(F.col("lang") == "de").select("source")
+    bits = bloom_build(excl, "source", m_bits=256, k=3)
+    out = bloom_probe(docs, "source", bits, m_bits=256, k=3,
+                      out_col="maybe_blocked")
+    return out.select("doc_id", "source", "maybe_blocked").orderBy("doc_id")
+
+
+_BLOOM_ORACLE = """
+WITH ex AS (
+  SELECT DISTINCT source FROM documents WHERE lang = 'de' AND source IS NOT NULL
+), hh AS (
+  SELECT CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 256 AS h1,
+         CAST(('0x' || substr(md5(source), 9, 10)) AS BIGINT) % 255 + 1 AS h2
+  FROM ex
+), bits AS (
+  SELECT DISTINCT (h1 + j * h2) % 256 AS pos
+  FROM hh CROSS JOIN (VALUES (0), (1), (2)) t(j)
+), dh AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 256 AS h1,
+         CAST(('0x' || substr(md5(source), 9, 10)) AS BIGINT) % 255 + 1 AS h2
+  FROM documents
+), dp AS (
+  SELECT doc_id, source, (h1 + j * h2) % 256 AS pos
+  FROM dh CROSS JOIN (VALUES (0), (1), (2)) t(j)
+)
+SELECT doc_id, source,
+       CASE WHEN source IS NULL THEN NULL ELSE
+         bool_and(pos IN (SELECT pos FROM bits)) END AS maybe_blocked
+FROM dp GROUP BY doc_id, source ORDER BY doc_id
+"""
+
+
 _BM25_TERMS = ["spark", "join", "window"]
 
 
@@ -1577,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": _q_bm25_scores,
         "hll_lang_cardinality": _q_hll_lang_cardinality,
         "s2_cells_customers": _q_s2_cells_customers,
+        "doc_bloom_filter": _q_doc_bloom_filter,
     }
 
 
@@ -2419,4 +2464,5 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _BM25_ORACLE,
         "hll_lang_cardinality": _HLL_ORACLE,
         "s2_cells_customers": _S2_ORACLE,
+        "doc_bloom_filter": _BLOOM_ORACLE,
     }
