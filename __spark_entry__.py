@@ -1509,6 +1509,40 @@ FROM dp GROUP BY doc_id, source ORDER BY doc_id
 """
 
 
+def _q_docs_temperature(spark, sf_dir):
+    """Temperature-balanced language rebalancing (mC4/CC-100 alpha
+    sampling, alpha=0.5, largest language keeps 50%): kept counts
+    proportional to sqrt(lang count). Normalization-free rule
+    p_g = min(1, 0.5*sqrt(n_max/n_g)) — integer MAX instead of a float
+    sum constant, so every p is a chain of exactly rounded IEEE ops the
+    oracle reproduces bit-for-bit; keep decision is the stratified-sample
+    content-hash ppm rule."""
+    from sedona_db_spark.operators.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = temperature_sample(docs, "lang", "doc_id", alpha=0.5,
+                              keep_max_frac=0.5, seed=1)
+    return kept.select("doc_id", "lang").orderBy("doc_id")
+
+
+_TEMPERATURE_ORACLE = """
+WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+mx AS (SELECT MAX(n) AS nmax FROM cnt),
+pp AS (
+  SELECT lang,
+         CAST(floor(least(1.0, 0.5 * sqrt(CAST(nmax AS DOUBLE) /
+                                          CAST(n AS DOUBLE)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS ppm
+  FROM cnt CROSS JOIN mx
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN pp ON d.lang = pp.lang
+WHERE ((abs(CAST(d.doc_id AS BIGINT)) % 2147483647) * 2654435761 + 1)
+      % 2147483647 % 1000000 < ppm
+ORDER BY d.doc_id
+"""
+
+
 _BM25_TERMS = ["spark", "join", "window"]
 
 
@@ -1622,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_lang_cardinality": _q_hll_lang_cardinality,
         "s2_cells_customers": _q_s2_cells_customers,
         "doc_bloom_filter": _q_doc_bloom_filter,
+        "docs_temperature": _q_docs_temperature,
     }
 
 
@@ -2465,4 +2500,5 @@ def oracle_sql() -> dict[str, str]:
         "hll_lang_cardinality": _HLL_ORACLE,
         "s2_cells_customers": _S2_ORACLE,
         "doc_bloom_filter": _BLOOM_ORACLE,
+        "docs_temperature": _TEMPERATURE_ORACLE,
     }

@@ -108,3 +108,66 @@ def domain_top_k(
     return df.withColumn(rank_name, F.row_number().over(w)).where(
         F.col(rank_name) <= k
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    keep_max_frac: float = 1.0,
+    seed: int = 1,
+) -> DataFrame:
+    """Temperature-balanced per-group downsampling: kept ∝ count^alpha.
+
+    The multilingual-corpus rebalancing rule (mC4 / CC-100 style): with
+    alpha < 1, head groups (English) are downsampled harder than tail
+    groups (Welsh), flattening the distribution toward uniform as
+    alpha -> 0 while alpha = 1 keeps everything. The keep probability is
+    NORMALIZATION-FREE:
+
+        p_g = min(1, keep_max_frac * (n_max / n_g) ** (1 - alpha))
+
+    so the largest group keeps exactly ``keep_max_frac`` and expected
+    kept counts are proportional to n_g^alpha. Avoiding the usual
+    sum-normalization constant is deliberate: n_max is an integer MAX
+    (no float summation order), so every p_g is a short chain of exactly
+    rounded IEEE ops that any SQL engine reproduces bit-for-bit. For
+    alpha = 0.5 the power is computed with sqrt() (exactly rounded and
+    engine-portable, unlike general pow()).
+
+    Scale shape: one groupBy over ``group_col`` (#groups rows — languages,
+    not documents), a 1-row max cross-joined back, and ONE broadcast join
+    of the tiny ppm table onto the corpus; the keep decision is the same
+    content-hash rule as :func:`stratified_sample` (retry/partitioning
+    stable), zero Python, zero corpus shuffle.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    if not 0.0 <= keep_max_frac <= 1.0:
+        raise ValueError(f"keep_max_frac must be in [0, 1], got {keep_max_frac}")
+    cnt = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    mx = cnt.agg(F.max("_n").alias("_nmax"))
+    ratio = cnt.crossJoin(F.broadcast(mx)).select(
+        group_col,
+        (F.col("_nmax").cast("double") / F.col("_n").cast("double")).alias("_ratio"),
+    )
+    if alpha == 0.5:
+        boost = F.sqrt(F.col("_ratio"))
+    elif alpha == 1.0:
+        boost = F.lit(1.0)
+    else:
+        # general pow() is not guaranteed identically rounded across
+        # engines; fine for the engine itself, but oracle queries should
+        # stick to alpha in {0.5, 1.0}
+        boost = F.pow(F.col("_ratio"), F.lit(1.0 - alpha))
+    ppm = ratio.select(
+        group_col,
+        F.floor(F.least(F.lit(1.0), F.lit(keep_max_frac) * boost)
+                * F.lit(float(_BUCKETS)) + F.lit(0.5)).cast("long").alias("_ppm"),
+    )
+    return (
+        df.join(F.broadcast(ppm), group_col)
+        .where(sample_bucket(F.col(key_col), seed) < F.col("_ppm"))
+        .drop("_ppm")
+    )

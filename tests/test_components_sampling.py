@@ -112,3 +112,69 @@ def test_domain_top_k(spark):
                         tiebreak_col="doc_id", salt_replicas=4)
     got2 = {(r["domain"], r["doc_id"]): r["rank_in_group"] for r in out2.collect()}
     assert got2 == exp
+
+
+def test_temperature_sample_proportions(spark):
+    from sedona_db_spark.operators.sampling import temperature_sample
+
+    # zipf-ish language mix: en 1600, de 400, fr 100, cy 25
+    rows = []
+    i = 0
+    for lang, n in [("en", 1600), ("de", 400), ("fr", 100), ("cy", 25)]:
+        for _ in range(n):
+            rows.append((i, lang))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_sample(df, "lang", "doc_id", alpha=0.5,
+                              keep_max_frac=1.0)
+    by = {r["lang"]: r["n"] for r in
+          kept.groupBy("lang").agg(__import__("pyspark").sql.functions
+                                   .count("*").alias("n")).collect()}
+    # p_g = min(1, sqrt(nmax/n)): en keeps 100%, de ~ sqrt(4)=2 -> 100%?
+    # no: p_de = min(1, sqrt(1600/400)) = 1 -> everything kept when
+    # keep_max_frac=1. Use keep_max_frac=0.25 for real downsampling.
+    assert by["en"] == 1600 and by["cy"] == 25
+
+    kept = temperature_sample(df, "lang", "doc_id", alpha=0.5,
+                              keep_max_frac=0.25)
+    by = {r["lang"]: r["n"] for r in
+          kept.groupBy("lang").agg(__import__("pyspark").sql.functions
+                                   .count("*").alias("n")).collect()}
+    # expected kept ∝ sqrt(n): en 400, de 200, fr 100, cy 25 (p=1 capped)
+    assert abs(by["en"] - 400) < 60          # hash-rule binomial noise
+    assert abs(by["de"] - 200) < 40
+    assert by["cy"] == 25                    # p = min(1, 0.25*8) = 1
+    # flattening: en/cy kept ratio shrinks from 64x toward sqrt -> 16x
+    assert by["en"] / by["cy"] < 64 / 2
+
+
+def test_temperature_sample_deterministic(spark):
+    from sedona_db_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "en" if i % 5 else "de") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = sorted(r["doc_id"] for r in temperature_sample(
+        df.repartition(7), "lang", "doc_id", 0.5, 0.5).collect())
+    b = sorted(r["doc_id"] for r in temperature_sample(
+        df.coalesce(1), "lang", "doc_id", 0.5, 0.5).collect())
+    assert a == b and 0 < len(a) < 1000
+
+
+def test_temperature_sample_alpha_one_keeps_all(spark):
+    from sedona_db_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "x" if i % 3 else "y") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    assert temperature_sample(df, "lang", "doc_id", alpha=1.0).count() == 300
+
+
+def test_temperature_sample_param_guards(spark):
+    import pytest as _pytest
+
+    from sedona_db_spark.operators.sampling import temperature_sample
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_sample(df, "lang", "doc_id", alpha=1.5)
+    with _pytest.raises(ValueError, match="keep_max_frac"):
+        temperature_sample(df, "lang", "doc_id", keep_max_frac=-0.1)
