@@ -1543,6 +1543,55 @@ ORDER BY d.doc_id
 """
 
 
+def _q_cms_domain_counts(spark, sf_dir):
+    """Count-min sketch heavy-hitter domain counts (width=1024, depth=3):
+    per-source estimated frequency (min over 3 md5 double-hash registers)
+    next to the exact count. Registers, estimates, and the overcount are
+    all integer arithmetic the DuckDB oracle recomputes verbatim. Scale
+    point: the register table is <= depth*width rows however many docs
+    stream through — frequency accounting without a full-key groupBy."""
+    from sedona_db_spark.operators.sketch import cms_estimate, cms_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    W, D = 1024, 3
+    sk = cms_sketch(docs, "source", W, D)
+    vals = docs.select("source").where(F.col("source").isNotNull()).distinct()
+    est = cms_estimate(sk, vals, "source", W, D)
+    exact = docs.groupBy("source").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (est.join(exact, "source")
+            .select("source", "cms_est", "exact_n")
+            .orderBy("source"))
+
+
+_CMS_ORACLE = """
+WITH hh AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 1024 AS h1,
+         CAST(('0x' || substr(md5(source), 9, 10)) AS BIGINT) % 1023 + 1 AS h2
+  FROM documents WHERE source IS NOT NULL
+), regs AS (
+  SELECT j AS row, (h1 + j * h2) % 1024 AS pos, COUNT(*) AS cnt
+  FROM hh CROSS JOIN (VALUES (0), (1), (2)) t(j)
+  GROUP BY 1, 2
+), vals AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 1024 AS h1,
+         CAST(('0x' || substr(md5(source), 9, 10)) AS BIGINT) % 1023 + 1 AS h2
+  FROM documents WHERE source IS NOT NULL
+), est AS (
+  SELECT source, MIN(COALESCE(cnt, 0)) AS cms_est
+  FROM (SELECT v.source, j AS row, (v.h1 + j * v.h2) % 1024 AS pos
+        FROM vals v CROSS JOIN (VALUES (0), (1), (2)) t(j)) p
+  LEFT JOIN regs USING (row, pos)
+  GROUP BY source
+)
+SELECT e.source, e.cms_est, c.exact_n
+FROM est e JOIN (SELECT source, COUNT(*) AS exact_n FROM documents
+                 GROUP BY source) c USING (source)
+ORDER BY e.source
+"""
+
+
 _BM25_TERMS = ["spark", "join", "window"]
 
 
@@ -1657,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cells_customers": _q_s2_cells_customers,
         "doc_bloom_filter": _q_doc_bloom_filter,
         "docs_temperature": _q_docs_temperature,
+        "cms_domain_counts": _q_cms_domain_counts,
     }
 
 
@@ -2501,4 +2551,5 @@ def oracle_sql() -> dict[str, str]:
         "s2_cells_customers": _S2_ORACLE,
         "doc_bloom_filter": _BLOOM_ORACLE,
         "docs_temperature": _TEMPERATURE_ORACLE,
+        "cms_domain_counts": _CMS_ORACLE,
     }

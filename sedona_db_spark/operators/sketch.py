@@ -41,7 +41,8 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["hll_sketch", "hll_merge", "hll_estimate", "hll_count_distinct"]
+__all__ = ["hll_sketch", "hll_merge", "hll_estimate", "hll_count_distinct",
+           "cms_sketch", "cms_merge", "cms_estimate"]
 
 _SUFFIX_BITS = 40
 
@@ -115,3 +116,78 @@ def hll_count_distinct(df: DataFrame, col: str,
                        p: int = 12) -> DataFrame:
     """One-shot sketch + estimate: ``(group..., hll_est)``."""
     return hll_estimate(hll_sketch(df, col, group_cols, p), p, group_cols)
+
+
+# --- Count-min sketch (Cormode & Muthukrishnan 2005) -------------------------
+#
+# Frequency estimates with FIXED memory: depth*width counters however many
+# rows/keys stream through. est(v) = min over rows i of C[i][h_i(v)] —
+# never an underestimate, over by at most eps*N with prob 1-delta for
+# width = e/eps, depth = ln(1/delta). The Zipf-head question ("how hot is
+# each domain?") answered without a full-key groupBy: the only shuffle is
+# groupBy(row, pos) — at most depth*width surviving rows. Mergeable by
+# register SUM (partitions / days / shards), same pattern as hll_merge.
+#
+# Hashing mirrors operators/bloom.py (Kirsch-Mitzenmacher double hashing
+# over md5 prefixes), so a plain-SQL oracle recomputes every register AND
+# every estimate exactly.
+
+def _cms_pos(value, width: int, row_j: int):
+    v = value.cast("string")
+    h1 = F.conv(F.substring(F.md5(v), 1, 8), 16, 10).cast("long") % width
+    h2 = (F.conv(F.substring(F.md5(v), 9, 10), 16, 10).cast("long")
+          % (width - 1)) + 1
+    return (h1 + F.lit(row_j) * h2) % width
+
+
+def _check_cms(width: int, depth: int) -> None:
+    if not (2 <= width <= (1 << 24)):
+        raise ValueError(f"width must be in [2, 2^24], got {width}")
+    if not (1 <= depth <= 16):
+        raise ValueError(f"depth must be in [1, 16], got {depth}")
+
+
+def cms_sketch(df: DataFrame, col: str, width: int = 1 << 12,
+               depth: int = 4) -> DataFrame:
+    """Count-min register table ``(row, pos, cnt)`` for values of ``col``.
+
+    At most ``depth*width`` rows regardless of input size; NULLs are
+    skipped. Merge shards with :func:`cms_merge`."""
+    _check_cms(width, depth)
+    v = df.where(F.col(col).isNotNull())
+    rows = v.select(F.explode(F.array(*[
+        F.struct(F.lit(j).alias("row"),
+                 _cms_pos(F.col(col), width, j).alias("pos"))
+        for j in range(depth)])).alias("rp"))
+    return (rows.select("rp.row", "rp.pos")
+            .groupBy("row", "pos").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Sum register tables from disjoint shards (associative)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "pos").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, values: DataFrame, col: str,
+                 width: int = 1 << 12, depth: int = 4,
+                 out_col: str = "cms_est") -> DataFrame:
+    """Estimated frequency for each row of ``values`` (distinct keys).
+
+    min over the depth registers; missing registers count 0 (the key
+    hashed only to untouched cells). Join shape: values × depth rows
+    against the ≤ depth*width register table — broadcast the SKETCH
+    (bounded), never the values."""
+    _check_cms(width, depth)
+    pos = values.select(
+        F.col(col),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("row"),
+                     _cms_pos(F.col(col), width, j).alias("pos"))
+            for j in range(depth)])).alias("rp"),
+    ).select(col, "rp.row", "rp.pos")
+    joined = pos.join(F.broadcast(sketch), ["row", "pos"], "left")
+    return (joined.groupBy(col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col)))

@@ -78,3 +78,63 @@ def test_p_validation():
         hll_sketch(None, "v", p=3)
     with pytest.raises(ValueError):
         hll_sketch(None, "v", p=13)
+
+
+# --- count-min sketch --------------------------------------------------------
+
+def test_cms_never_underestimates_and_tight_when_wide(spark):
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.operators.sketch import cms_estimate, cms_sketch
+
+    # zipf-ish: key k appears ~ 1000/k times
+    rows = [(f"dom{k}.com",) for k in range(1, 40) for _ in range(1000 // k)]
+    df = spark.createDataFrame(rows, "d string")
+    exact = {r["d"]: r["n"] for r in
+             df.groupBy("d").agg(F.count("*").alias("n")).collect()}
+    W, D = 1 << 12, 4
+    sk = cms_sketch(df, "d", W, D)
+    vals = df.select("d").distinct()
+    est = {r["d"]: r["cms_est"] for r in
+           cms_estimate(sk, vals, "d", W, D).collect()}
+    n_total = sum(exact.values())
+    for d, n in exact.items():
+        assert est[d] >= n                       # never under
+        assert est[d] - n <= 2.72 * n_total / W + 1  # eps*N bound
+
+    # sketch row count is bounded by depth*width
+    assert sk.count() <= W * D
+
+
+def test_cms_merge_equals_whole(spark):
+    from sedona_db_spark.operators.sketch import cms_merge, cms_sketch
+
+    df = spark.createDataFrame([(f"k{i % 17}", i % 2) for i in range(500)],
+                               "d string, half int")
+    a = cms_sketch(df.where("half = 0"), "d", 256, 3)
+    b = cms_sketch(df.where("half = 1"), "d", 256, 3)
+    merged = sorted(map(tuple, cms_merge(a, b).collect()))
+    whole = sorted(map(tuple, cms_sketch(df, "d", 256, 3).collect()))
+    assert merged == whole
+
+
+def test_cms_unseen_key_estimates_low(spark):
+    from sedona_db_spark.operators.sketch import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(50)], "d string")
+    sk = cms_sketch(df, "d", 1 << 12, 4)
+    probe = spark.createDataFrame([("never-seen-key-xyz",)], "d string")
+    est = cms_estimate(sk, probe, "d", 1 << 12, 4).collect()[0]["cms_est"]
+    assert 0 <= est <= 2  # collisions only
+
+
+def test_cms_param_guards(spark):
+    import pytest as _pytest
+
+    from sedona_db_spark.operators.sketch import cms_sketch
+
+    df = spark.createDataFrame([("a",)], "d string")
+    with _pytest.raises(ValueError, match="width"):
+        cms_sketch(df, "d", width=1, depth=4)
+    with _pytest.raises(ValueError, match="depth"):
+        cms_sketch(df, "d", width=256, depth=0)
