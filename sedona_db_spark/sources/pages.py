@@ -203,9 +203,23 @@ def extract_geo_udf():
     return extract
 
 
-def geotag_pages(pages: DataFrame, grid_level: int = 7) -> DataFrame:
+def geotag_pages(pages: DataFrame, grid_level: int = 7,
+                 cell_scheme: str = "quadkey") -> DataFrame:
     """pages -> + (lat, lon, geom WKB point, cell_id); geo-less rows keep
-    NULLs (they simply don't participate in spatial joins)."""
+    NULLs (they simply don't participate in spatial joins).
+
+    ``cell_scheme``: ``"quadkey"`` (tiling.Grid Z-order, the engine's join
+    grid) or ``"s2"`` (true S2 Hilbert-curve cells, geometry/s2cell.py, at
+    level ``grid_level``). Both are locality-preserving 64-bit keys, so
+    ``partition_by_cell`` range partitioning and parquet min/max pruning
+    work identically; S2 keeps cross-system compatibility (any external
+    S2-indexed layer range-joins on the same ids) and its signed order
+    never breaks a cell's [range_min, range_max] interval because a
+    parent's leaf range never crosses a face boundary (the sign bit is
+    face >= 4)."""
+    if cell_scheme not in ("quadkey", "s2"):
+        raise ValueError(f"cell_scheme must be 'quadkey' or 's2', got "
+                         f"{cell_scheme!r}")
     grid = Grid(grid_level)
     df = pages.withColumn("_geo", extract_geo_udf()(F.col("html")))
     df = (
@@ -227,7 +241,13 @@ def geotag_pages(pages: DataFrame, grid_level: int = 7) -> DataFrame:
     def cellid(lon: pd.Series, lat: pd.Series) -> pd.Series:
         x = lon.to_numpy(dtype=np.float64, na_value=np.nan)
         y = lat.to_numpy(dtype=np.float64, na_value=np.nan)
-        cells = grid.cell_of_points(np.nan_to_num(x), np.nan_to_num(y))
+        if cell_scheme == "s2":
+            from sedona_db_spark.geometry import s2cell
+
+            cells = s2cell.cell_id_from_latlng(
+                np.nan_to_num(y), np.nan_to_num(x), grid_level)
+        else:
+            cells = grid.cell_of_points(np.nan_to_num(x), np.nan_to_num(y))
         # nullable Int64, NOT None-into-int64 (which upcasts to float64 and
         # corrupts ids above 2^53)
         out = pd.Series(cells, dtype="Int64")

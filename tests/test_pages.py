@@ -146,3 +146,30 @@ def test_is_table_identifier_classification():
     assert not P.is_table_identifier("s3a://bucket/pages")
     assert not P.is_table_identifier("hdfs://nn/pages")
     assert not P.is_table_identifier("rel/path")
+
+
+def test_geotag_s2_scheme(pages_df):
+    from sedona_db_spark.geometry import s2cell
+
+    tagged = P.geotag_pages(pages_df, grid_level=12, cell_scheme="s2")
+    rows = tagged.select("lat", "lon", "cell_id").collect()
+    with_geo = [r for r in rows if r["lat"] is not None]
+    assert with_geo
+    lats = np.array([r["lat"] for r in with_geo])
+    lons = np.array([r["lon"] for r in with_geo])
+    expect = s2cell.cell_id_from_latlng(lats, lons, 12)
+    got = np.array([r["cell_id"] for r in with_geo], dtype=np.int64)
+    np.testing.assert_array_equal(got, expect)
+    # every id really is a level-12 cell, and its leaf range is a valid
+    # signed interval (face boundary never splits a parent range)
+    assert (s2cell.cell_level(got) == 12).all()
+    assert (s2cell.range_min(got) <= got).all()
+    assert (got <= s2cell.range_max(got)).all()
+    for r in rows:
+        if r["lat"] is None:
+            assert r["cell_id"] is None
+
+
+def test_geotag_scheme_guard(pages_df):
+    with pytest.raises(ValueError, match="cell_scheme"):
+        P.geotag_pages(pages_df, cell_scheme="h3")
