@@ -1592,6 +1592,52 @@ ORDER BY e.source
 """
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard for the minhash candidate pairs — the
+    verify stage a production near-dup pipeline runs after LSH. All
+    JVM-side (split/transform/slice + array_intersect/array_union); the
+    oracle recomputes the minhash candidates AND the exact gram sets via
+    unnest/count SQL."""
+    from sedona_db_spark.operators.dedup import minhash_dedup, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, "text", "doc_id", threshold=0.5,
+                          scheme="poly31").select("id_a", "id_b")
+    out = ngram_jaccard_pairs(docs, pairs, "text", "doc_id", n=3)
+    return (out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("id_a", "id_b"))
+
+
+def _ngram_jaccard_oracle() -> str:
+    return f"""
+WITH mh AS ({_minhash_oracle()}),
+pr AS (SELECT id_a, id_b FROM mh),
+dw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+       FROM documents WHERE text IS NOT NULL),
+dg AS (SELECT doc_id,
+              unnest(CASE WHEN len(ws) >= 3 THEN
+                       list_transform(range(0, len(ws) - 2),
+                                      i -> array_to_string(ws[i+1:i+3], ' '))
+                     ELSE [array_to_string(ws, ' ')] END) AS g
+       FROM dw),
+dgd AS (SELECT DISTINCT doc_id, g FROM dg),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM dgd GROUP BY doc_id),
+ix AS (SELECT p.id_a, p.id_b, COUNT(*) AS ni
+       FROM pr p
+       JOIN dgd a ON a.doc_id = p.id_a
+       JOIN dgd b ON b.doc_id = p.id_b AND a.g = b.g
+       GROUP BY p.id_a, p.id_b)
+SELECT p.id_a, p.id_b,
+       round(CAST(COALESCE(ix.ni, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(ix.ni, 0)), 6) AS jaccard
+FROM pr p
+JOIN sz sa ON sa.doc_id = p.id_a
+JOIN sz sb ON sb.doc_id = p.id_b
+LEFT JOIN ix ON ix.id_a = p.id_a AND ix.id_b = p.id_b
+ORDER BY p.id_a, p.id_b
+"""
+
+
 _BM25_TERMS = ["spark", "join", "window"]
 
 
@@ -1707,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bloom_filter": _q_doc_bloom_filter,
         "docs_temperature": _q_docs_temperature,
         "cms_domain_counts": _q_cms_domain_counts,
+        "ngram_jaccard": _q_ngram_jaccard,
     }
 
 
@@ -2552,4 +2599,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_bloom_filter": _BLOOM_ORACLE,
         "docs_temperature": _TEMPERATURE_ORACLE,
         "cms_domain_counts": _CMS_ORACLE,
+        "ngram_jaccard": _ngram_jaccard_oracle(),
     }
