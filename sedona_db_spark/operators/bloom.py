@@ -123,29 +123,30 @@ def bloom_probe(df: DataFrame, col: str, bloom_df: DataFrame,
     bc = sc.broadcast(words)
     m = m_bits
 
+    # h1/h2 come from the SAME JVM expression the build used — the probe
+    # kernel is then pure vectorized numpy (no per-row Python, no second
+    # hash implementation to keep in sync)
+    v = F.col(col).cast("string")
+    h1c = F.conv(F.substring(F.md5(v), 1, 8), 16, 10).cast("long") % m
+    h2c = (F.conv(F.substring(F.md5(v), 9, 10), 16, 10).cast("long")
+           % (m - 1)) + 1
+
     @F.pandas_udf(BooleanType())
-    def probe(vals: pd.Series) -> pd.Series:
-        import hashlib
-
+    def probe(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
         w = bc.value
-        out = np.empty(len(vals), dtype=object)
-        for i, t in enumerate(vals):
-            if t is None:
-                out[i] = None
-                continue
-            hx = hashlib.md5(str(t).encode("utf-8")).hexdigest()
-            h1 = int(hx[0:8], 16) % m
-            h2 = int(hx[8:18], 16) % (m - 1) + 1
-            hit = True
-            for j in range(k):
-                p = (h1 + j * h2) % m
-                if not (int(w[p >> 6]) >> (p & 63)) & 1:
-                    hit = False
-                    break
-            out[i] = hit
-        return pd.Series(out, dtype=object)
+        null = h1s.isna().to_numpy()
+        h1 = h1s.fillna(0).to_numpy(dtype=np.int64)
+        h2 = h2s.fillna(1).to_numpy(dtype=np.int64)
+        hit = np.ones(len(h1), dtype=bool)
+        for j in range(k):
+            p = (h1 + j * h2) % m
+            hit &= (w[p >> 6] >> (p & 63).astype(np.uint64)
+                    & np.uint64(1)).astype(bool)
+        out = pd.Series(hit, dtype=object)
+        out[null] = None
+        return out
 
-    return df.withColumn(out_col, probe(F.col(col).cast("string")))
+    return df.withColumn(out_col, probe(h1c, h2c))
 
 
 def bloom_filter_out(df: DataFrame, col: str, exclude: DataFrame,
