@@ -125,3 +125,11 @@ def test_param_guards(spark, exclude):
         bloom_build(exclude, "url", m_bits=100, k=4)
     with pytest.raises(ValueError, match="k must"):
         bloom_build(exclude, "url", m_bits=1 << 12, k=0)
+
+
+def test_probe_plan_has_no_join(corpus, exclude):
+    """The probe is a map-side bitset test: no join, no corpus shuffle."""
+    bits = bloom_build(exclude, "url", M, K)
+    plan = bloom_probe(corpus, "url", bits, M, K)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan

@@ -178,3 +178,16 @@ def test_temperature_sample_param_guards(spark):
         temperature_sample(df, "lang", "doc_id", alpha=1.5)
     with _pytest.raises(ValueError, match="keep_max_frac"):
         temperature_sample(df, "lang", "doc_id", keep_max_frac=-0.1)
+
+
+def test_temperature_sample_plan_shape(spark):
+    """Corpus side: ONE broadcast join of the tiny ppm table + a scalar
+    filter — the corpus itself is never hash/range-exchanged."""
+    from sedona_db_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "en" if i % 5 else "de") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    plan = temperature_sample(df, "lang", "doc_id", 0.5, 0.5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -138,3 +138,13 @@ def test_cms_param_guards(spark):
         cms_sketch(df, "d", width=1, depth=4)
     with _pytest.raises(ValueError, match="depth"):
         cms_sketch(df, "d", width=256, depth=0)
+
+
+def test_cms_estimate_plan_broadcasts_sketch(spark):
+    from sedona_db_spark.operators.sketch import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame([(f"k{i % 17}",) for i in range(200)], "d string")
+    sk = cms_sketch(df, "d", 256, 3)
+    plan = cms_estimate(sk, df.distinct(), "d", 256, 3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
