@@ -1638,6 +1638,46 @@ ORDER BY p.id_a, p.id_b
 """
 
 
+def _q_tile_cut_nations(spark, sf_dir):
+    """Tile cutting (north-rule 'tile assignments'): each nation rect is
+    split across the level-4 world grid (16x16, 22.5x11.25 deg tiles) —
+    one row per overlapping tile with the exact clipped area. The box
+    fast path clips in pure min/max arithmetic reusing the input doubles,
+    so DuckDB recomputes every area bit-for-bit; zero-area boundary
+    touches drop on both sides."""
+    from sedona_db_spark.operators.tiles import tile_cut
+
+    boxes = _nation_boxes(spark, sf_dir).select("n_nationkey", "geom")
+    out = tile_cut(boxes, "geom", 4, id_cols=["n_nationkey"],
+                   keep_clip=False)
+    return (out.select("n_nationkey", "ix", "iy",
+                       F.round("clip_area", 6).alias("clip_area"))
+            .orderBy("n_nationkey", "ix", "iy"))
+
+
+_TILE_CUT_ORACLE = f"""
+WITH nb AS (SELECT n_nationkey, {_NX0} AS x0, {_NY0} AS y0 FROM nation),
+rng AS (SELECT n_nationkey, x0, y0,
+  CAST(least(greatest(floor((x0 + CAST(180.0 AS DOUBLE)) / CAST(22.5 AS DOUBLE)), 0), 15) AS BIGINT) AS ix0,
+  CAST(least(greatest(floor((x0 + CAST(72.0 AS DOUBLE) + CAST(180.0 AS DOUBLE)) / CAST(22.5 AS DOUBLE)), 0), 15) AS BIGINT) AS ix1,
+  CAST(least(greatest(floor((y0 + CAST(90.0 AS DOUBLE)) / CAST(11.25 AS DOUBLE)), 0), 15) AS BIGINT) AS iy0,
+  CAST(least(greatest(floor((y0 + CAST(36.0 AS DOUBLE) + CAST(90.0 AS DOUBLE)) / CAST(11.25 AS DOUBLE)), 0), 15) AS BIGINT) AS iy1
+  FROM nb),
+cx AS (SELECT n_nationkey, x0, y0, iy0, iy1, unnest(range(ix0, ix1 + 1)) AS ix FROM rng),
+cxy AS (SELECT n_nationkey, x0, y0, ix, unnest(range(iy0, iy1 + 1)) AS iy FROM cx),
+clip AS (SELECT n_nationkey, ix, iy,
+  greatest(x0, CAST(-180.0 AS DOUBLE) + ix * CAST(22.5 AS DOUBLE)) AS ox0,
+  least(x0 + CAST(72.0 AS DOUBLE), CAST(-180.0 AS DOUBLE) + (ix + 1) * CAST(22.5 AS DOUBLE)) AS ox1,
+  greatest(y0, CAST(-90.0 AS DOUBLE) + iy * CAST(11.25 AS DOUBLE)) AS oy0,
+  least(y0 + CAST(36.0 AS DOUBLE), CAST(-90.0 AS DOUBLE) + (iy + 1) * CAST(11.25 AS DOUBLE)) AS oy1
+  FROM cxy)
+SELECT n_nationkey, CAST(ix AS INTEGER) AS ix, CAST(iy AS INTEGER) AS iy,
+       round((ox1 - ox0) * (oy1 - oy0), 6) AS clip_area
+FROM clip WHERE ox0 < ox1 AND oy0 < oy1
+ORDER BY n_nationkey, ix, iy
+"""
+
+
 _BM25_TERMS = ["spark", "join", "window"]
 
 
@@ -1754,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_temperature": _q_docs_temperature,
         "cms_domain_counts": _q_cms_domain_counts,
         "ngram_jaccard": _q_ngram_jaccard,
+        "tile_cut_nations": _q_tile_cut_nations,
     }
 
 
@@ -2600,4 +2641,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_temperature": _TEMPERATURE_ORACLE,
         "cms_domain_counts": _CMS_ORACLE,
         "ngram_jaccard": _ngram_jaccard_oracle(),
+        "tile_cut_nations": _TILE_CUT_ORACLE,
     }
