@@ -42,7 +42,7 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["hll_sketch", "hll_merge", "hll_estimate", "hll_count_distinct",
-           "cms_sketch", "cms_merge", "cms_estimate"]
+           "hll_reg_rho", "cms_sketch", "cms_merge", "cms_estimate"]
 
 _SUFFIX_BITS = 40
 
@@ -59,24 +59,31 @@ def _alpha(m: int) -> float:
     raise ValueError("p must be >= 4")
 
 
+def hll_reg_rho(col, p: int):
+    """(reg, rho) Columns for a value — the deterministic register
+    assignment shared by the batch sketch and the streaming rollup."""
+    if not 4 <= p <= 12:
+        # p > 12 would push the estimator fold past the exact-double
+        # window the oracle parity relies on (see module docstring)
+        raise ValueError("p must be in [4, 12]")
+    m = 1 << p
+    v = F.col(col).cast("string") if isinstance(col, str) else col.cast("string")
+    reg = (F.conv(F.substring(F.md5(v), 1, 8), 16, 10).cast("long")
+           % F.lit(m)).alias("reg")
+    suf = F.conv(F.substring(F.md5(v), 9, 10), 16, 10).cast("long")
+    rho = F.when(suf == 0, F.lit(_SUFFIX_BITS + 1)).otherwise(
+        F.lit(_SUFFIX_BITS + 1) - F.length(F.bin(suf))).alias("rho")
+    return reg, rho
+
+
 def hll_sketch(df: DataFrame, col: str, group_cols: list[str] | None = None,
                p: int = 12) -> DataFrame:
     """Register table ``(group..., reg, mj)`` for the values in ``col``.
 
     NULL values are ignored (SQL COUNT(DISTINCT) semantics). The table
     has ≤ 2^p rows per group and merges with :func:`hll_merge`."""
-    if not 4 <= p <= 12:
-        # p > 12 would push the estimator fold past the exact-double
-        # window the oracle parity relies on (see module docstring)
-        raise ValueError("p must be in [4, 12]")
-    m = 1 << p
     group_cols = list(group_cols or [])
-    v = F.col(col).cast("string")
-    reg = (F.conv(F.substring(F.md5(v), 1, 8), 16, 10).cast("long")
-           % F.lit(m)).alias("reg")
-    suf = F.conv(F.substring(F.md5(v), 9, 10), 16, 10).cast("long")
-    rho = F.when(suf == 0, F.lit(_SUFFIX_BITS + 1)).otherwise(
-        F.lit(_SUFFIX_BITS + 1) - F.length(F.bin(suf))).alias("rho")
+    reg, rho = hll_reg_rho(col, p)
     base = df.where(F.col(col).isNotNull()).select(*group_cols, reg, rho)
     return base.groupBy(*group_cols, "reg").agg(F.max("rho").alias("mj"))
 

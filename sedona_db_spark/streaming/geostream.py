@@ -158,3 +158,36 @@ def windowed_cell_counts(
             F.count("lat").alias("n_geotagged"),
         )
     )
+
+
+def streaming_hll_registers(
+    stream: DataFrame,
+    value_col: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "warc_ts",
+    p: int = 8,
+) -> DataFrame:
+    """Per-window HyperLogLog registers over a stream: distinct-count
+    state in ≤ 2^p rows per window FOREVER.
+
+    The register update is MAX (associative + idempotent), so replayed
+    batches, at-least-once sources, and late-but-within-watermark rows
+    can never inflate the estimate — the property a streaming
+    count-distinct over an append log does not have. The register
+    assignment is `operators/sketch.hll_reg_rho` (md5-deterministic), so
+    the streamed register table is byte-identical to the batch
+    `hll_sketch` over the same rows; finalize windows with
+    `sketch.hll_estimate` on the materialized output.
+
+    Output: (window struct, reg, mj)."""
+    from sedona_db_spark.operators.sketch import hll_reg_rho
+
+    reg, rho = hll_reg_rho(value_col, p)
+    return (
+        stream.where(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark_delay)
+        .select(F.col(ts_col), reg, rho)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col("reg"))
+        .agg(F.max("rho").alias("mj"))
+    )

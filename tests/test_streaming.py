@@ -130,3 +130,46 @@ def test_hot_cell_tracker(spark, tmp_path):
     finally:
         q.stop()
     assert got == want_hot
+
+
+def test_streaming_hll_matches_batch_registers(spark, tmp_path):
+    """Streamed per-window HLL registers must equal the batch hll_sketch
+    over the same rows EXACTLY (md5-deterministic assignment, MAX merge
+    across micro-batches), and the estimate must be accurate."""
+    from sedona_db_spark.operators.sketch import hll_estimate, hll_sketch
+
+    src = str(tmp_path / "pages_hll")
+    P.synthesize_pages(spark, 1200, partitions=6).write.mode("overwrite").parquet(src)
+
+    stream = GS.stream_pages_from_dir(spark, src, max_files_per_trigger=2)
+    regs = GS.streaming_hll_registers(stream, "url", "6 hours", "1 hour",
+                                      ts_col="warc_ts", p=8)
+    q = (regs.writeStream.format("memory").queryName("hll_regs")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        # update mode re-emits registers as they grow; keep the last (max)
+        streamed = spark.sql(
+            "SELECT window.start AS ws, reg, max(mj) AS mj "
+            "FROM hll_regs GROUP BY 1, 2")
+    finally:
+        q.stop()
+    streamed = streamed.collect()
+
+    batch = spark.read.parquet(src).withColumn(
+        "ws", F.window(F.col("warc_ts"), "6 hours").getField("start"))
+    want = {(r["ws"], r["reg"]): r["mj"]
+            for r in hll_sketch(batch, "url", ["ws"], p=8).collect()}
+    got = {(r["ws"], r["reg"]): r["mj"] for r in streamed}
+    assert got == want
+
+    # estimate accuracy on the materialized registers (one window is fine)
+    regs_df = spark.createDataFrame(
+        [(r["ws"], r["reg"], r["mj"]) for r in streamed],
+        "ws timestamp, reg long, mj long")
+    est = {r["ws"]: r["hll_est"]
+           for r in hll_estimate(regs_df, p=8, group_cols=["ws"]).collect()}
+    exact = {r["ws"]: r["n"] for r in batch.groupBy("ws").agg(
+        F.countDistinct("url").alias("n")).collect()}
+    for ws, n in exact.items():
+        assert abs(est[ws] - n) / max(n, 1) < 0.3
