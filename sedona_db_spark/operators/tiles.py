@@ -130,6 +130,14 @@ def tile_cut(
             cxmin, cymin = x0w + int(i) * cw, y0w + int(j) * ch
             cxmax, cymax = cxmin + cw, cymin + ch
             g = wkb.parse(bytes(buf))
+            if g is None or g.type_id not in (wkb.POLYGON, wkb.MULTIPOLYGON):
+                # the overlay engine returns EMPTY for non-areal inputs,
+                # which would silently drop every point/line row here —
+                # fail loud instead (clip support for lineal geometries is
+                # a documented non-goal of this operator)
+                raise NotImplementedError(
+                    "tile_cut clips areal geometries (Polygon/MultiPolygon)"
+                    f" only; got type_id={'NULL' if g is None else g.type_id}")
             box = _as_box(g)
             if box is not None:
                 # pure min/max clip: outputs reuse input doubles exactly

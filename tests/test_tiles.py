@@ -98,3 +98,13 @@ def test_partitioning_invariance(spark):
     b = sorted(map(tuple, tile_cut(df.coalesce(1), "geom", LEVEL,
                                    id_cols=["gid"], keep_clip=False).collect()))
     assert a == b
+
+
+def test_non_areal_raises(spark):
+    """Lineal/point input must fail loud, not silently vanish (the
+    overlay engine returns EMPTY for non-areal operands)."""
+    ls = wkb.Geometry(wkb.LINESTRING,
+                      np.array([[0.0, 0.0], [30.0, 20.0]]))
+    df = _poly_df(spark, [ls])
+    with pytest.raises(Exception, match="areal"):
+        tile_cut(df, "geom", LEVEL, id_cols=["gid"]).collect()
