@@ -166,8 +166,11 @@ def temperature_sample(
         F.floor(F.least(F.lit(1.0), F.lit(keep_max_frac) * boost)
                 * F.lit(float(_BUCKETS)) + F.lit(0.5)).cast("long").alias("_ppm"),
     )
+    # null-SAFE join: groupBy counts NULL groups as a real group, so a
+    # plain equi-join would silently drop every NULL-group row here
+    ppm = ppm.withColumnRenamed(group_col, "_grp")
     return (
-        df.join(F.broadcast(ppm), group_col)
+        df.join(F.broadcast(ppm), F.col(group_col).eqNullSafe(F.col("_grp")))
         .where(sample_bucket(F.col(key_col), seed) < F.col("_ppm"))
-        .drop("_ppm")
+        .drop("_ppm", "_grp")
     )

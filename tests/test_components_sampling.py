@@ -191,3 +191,17 @@ def test_temperature_sample_plan_shape(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_temperature_sample_null_group_not_dropped(spark):
+    """NULL-group rows are a real group (groupBy semantics) — the ppm
+    join must be null-safe, not a silent filter."""
+    from sedona_db_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "en") for i in range(400)] + [(1000 + i, None) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_sample(df, "lang", "doc_id", alpha=0.5,
+                              keep_max_frac=1.0)
+    # keep_max_frac=1: en keeps all 400; null group (smaller) keeps all too
+    assert kept.count() == 500
+    assert kept.where("lang IS NULL").count() == 100
