@@ -64,6 +64,14 @@ def s2_cell_id_geom(geom, level: int = 30) -> Column:
     def _k(g: pd.Series) -> pd.Series:
         vals = [None if v is None else bytes(v) for v in g]
         x, y, valid = wkb.decode_points_xy(vals)
+        # NULL rows map to NULL cells; a non-null NON-POINT must raise,
+        # not silently vanish into NULL (strict-decode discipline)
+        nonnull = np.array([v is not None for v in vals])
+        if bool((nonnull & ~valid).any()):
+            bad = int(np.argmax(nonnull & ~valid))
+            raise ValueError(
+                "s2_cell_id_geom expects an XY point column; row "
+                f"{bad} is not a point")
         ok = valid & np.isfinite(x) & np.isfinite(y)
         out = np.zeros(len(vals), dtype=np.int64)
         if ok.any():

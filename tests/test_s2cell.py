@@ -169,3 +169,15 @@ def test_spark_geom_variant(spark):
     ).collect()
     assert rows[0]["c"] == int(s2.cell_id_from_latlng([10.0], [20.0], 12)[0])
     assert rows[1]["c"] is None
+
+
+def test_cell_id_geom_nonpoint_raises(spark):
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.functions import s2 as s2f
+    from sedona_db_spark.geometry import wkb as W
+
+    df = spark.createDataFrame(
+        [(1, W.encode(W.box(0.0, 0.0, 1.0, 1.0)))], "id int, geom binary")
+    with pytest.raises(Exception, match="point"):
+        df.select(s2f.s2_cell_id_geom(F.col("geom"), 12)).collect()
