@@ -2179,6 +2179,10 @@ def register_all(spark: SparkSession) -> None:
 
     register_sql_aggregates(spark)
 
+    from .s2 import register_s2
+
+    register_s2(spark)
+
 
 def __getattr__(name: str):
     """Column-API access: ``st.ST_Area(col)`` etc."""

@@ -181,3 +181,15 @@ def test_cell_id_geom_nonpoint_raises(spark):
         [(1, W.encode(W.box(0.0, 0.0, 1.0, 1.0)))], "id int, geom binary")
     with pytest.raises(Exception, match="point"):
         df.select(s2f.s2_cell_id_geom(F.col("geom"), 12)).collect()
+
+
+def test_register_all_includes_s2(spark):
+    from sedona_db_spark.functions import st as _st
+
+    _st.register_all(spark)
+    row = spark.sql(
+        "SELECT S2_CellID(37.7749, -122.4194, 12) AS c").collect()[0]
+    expect = int(s2.cell_parent(
+        s2.cell_id_from_latlng(np.array([37.7749]),
+                               np.array([-122.4194])), 12)[0])
+    assert row["c"] == expect
