@@ -161,6 +161,10 @@ def register_s2(spark) -> None:
         lv = int(level.iloc[0]) if len(level) else 30
         vals = [None if v is None else bytes(v) for v in g]
         x, y, valid = wkb.decode_points_xy(vals)
+        nonnull = np.array([v is not None for v in vals])
+        if bool((nonnull & ~valid).any()):
+            # strict decode: non-point must raise, not become NULL
+            raise ValueError("ST_S2CellID expects an XY point column")
         ok = valid & np.isfinite(x) & np.isfinite(y)
         out = np.zeros(len(vals), dtype=np.int64)
         if ok.any():
