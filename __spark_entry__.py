@@ -1678,6 +1678,49 @@ ORDER BY n_nationkey, ix, iy
 """
 
 
+def _q_rs_mapalgebra_stats(spark, sf_dir):
+    """Raster map algebra + band stats: g = (v-50)/(v+51) per pixel over
+    the 128 synthetic world tiles (one vectorized numpy call per tile),
+    then a per-tile summary. Pixel values are integer-arithmetic
+    reproducible, so DuckDB regenerates every pixel, applies the same
+    IEEE expression, and re-derives min/max/sum/mean exactly."""
+    from sedona_db_spark.raster import (
+        RS_BandStats,
+        RS_MapAlgebra,
+        synthesize_world_tiles,
+    )
+
+    tiles = synthesize_world_tiles(spark, 16, 8, tile_px=8)
+    out = tiles.withColumn(
+        "g", RS_MapAlgebra("raster", lambda v: (v - 50.0) / (v + 51.0))
+    ).withColumn("st", RS_BandStats("raster", data_col="g"))
+    return out.select(
+        "tile_id",
+        F.round(F.col("st.vmin"), 6).alias("vmin"),
+        F.round(F.col("st.vmax"), 6).alias("vmax"),
+        F.round(F.col("st.vsum"), 6).alias("vsum"),
+        F.round(F.col("st.vmean"), 6).alias("vmean"),
+        F.col("st.cnt").alias("cnt"),
+    ).orderBy("tile_id")
+
+
+_RS_MAPALGEBRA_ORACLE = """
+WITH px AS (
+  SELECT t.id AS tile_id,
+         ((t.id * 64 + p.i) * 37 % 1000) / CAST(10.0 AS DOUBLE) AS v
+  FROM range(128) t(id) CROSS JOIN range(64) p(i)
+), g AS (
+  SELECT tile_id,
+         (v - CAST(50.0 AS DOUBLE)) / (v + CAST(51.0 AS DOUBLE)) AS gv
+  FROM px
+)
+SELECT tile_id, round(min(gv), 6) AS vmin, round(max(gv), 6) AS vmax,
+       round(sum(gv), 6) AS vsum, round(sum(gv) / 64, 6) AS vmean,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM g GROUP BY tile_id ORDER BY tile_id
+"""
+
+
 _BM25_TERMS = ["spark", "join", "window"]
 
 
@@ -1795,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_domain_counts": _q_cms_domain_counts,
         "ngram_jaccard": _q_ngram_jaccard,
         "tile_cut_nations": _q_tile_cut_nations,
+        "rs_mapalgebra_stats": _q_rs_mapalgebra_stats,
     }
 
 
@@ -2642,4 +2686,5 @@ def oracle_sql() -> dict[str, str]:
         "cms_domain_counts": _CMS_ORACLE,
         "ngram_jaccard": _ngram_jaccard_oracle(),
         "tile_cut_nations": _TILE_CUT_ORACLE,
+        "rs_mapalgebra_stats": _RS_MAPALGEBRA_ORACLE,
     }

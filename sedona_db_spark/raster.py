@@ -194,6 +194,93 @@ def RS_Value(raster_col: str, col_idx, row_idx, band: int = 1) -> F.Column:
                F.lit(row_idx) if isinstance(row_idx, int) else row_idx)
 
 
+def RS_MapAlgebra(raster_col: str, fn, bands: tuple = (1,)) -> F.Column:
+    """Per-pixel band math: ``fn(*band_arrays) -> array`` (numpy,
+    float64), returned as a new little-endian f8 band-data blob of the
+    same width×height. The whole tile's pixels go through ONE vectorized
+    numpy call per row — no per-pixel Python — and the result composes
+    with :func:`RS_BandStats` or ``make_raster_row`` re-assembly.
+
+    Mirrors Sedona's RS_MapAlgebra intent with a Python callable instead
+    of a jiffle script (no JVM scripting engine here); NULL rasters map
+    to NULL."""
+    meta = F.col(f"{raster_col}.metadata")
+    band_cols = [F.element_at(F.col(f"{raster_col}.bands"), b) for b in bands]
+
+    @F.pandas_udf(BinaryType())
+    def alg(w: pd.Series, h: pd.Series, *flat: pd.Series) -> pd.Series:
+        n_b = len(flat) // 2
+        datas, dcodes = flat[:n_b], flat[n_b:]
+        out = []
+        for i in range(len(w)):
+            if any(datas[b].iloc[i] is None for b in range(n_b)):
+                out.append(None)
+                continue
+            ww, hh = int(w.iloc[i]), int(h.iloc[i])
+            arrs = [
+                bytes_to_band(bytes(datas[b].iloc[i]), ww, hh,
+                              int(dcodes[b].iloc[i])).astype(np.float64)
+                for b in range(n_b)
+            ]
+            res = np.asarray(fn(*arrs), dtype=np.float64)
+            if res.shape != (hh, ww):
+                raise ValueError(
+                    f"map-algebra fn returned shape {res.shape}, "
+                    f"expected {(hh, ww)}")
+            out.append(band_to_bytes(res, BAND_FLOAT64))
+        return pd.Series(out, dtype=object)
+
+    return alg(meta["width"], meta["height"],
+               *[b["data"] for b in band_cols],
+               *[b["metadata"]["datatype"] for b in band_cols])
+
+
+_BAND_STATS_T = StructType([
+    StructField("vmin", DoubleType()),
+    StructField("vmax", DoubleType()),
+    StructField("vsum", DoubleType()),
+    StructField("vmean", DoubleType()),
+    StructField("cnt", LongType()),
+])
+
+
+def RS_BandStats(raster_col: str, band: int = 1,
+                 data_col=None) -> F.Column:
+    """Per-tile band summary struct (min/max/sum/mean/count), skipping
+    nodata pixels. Pass ``data_col`` to summarize a map-algebra output
+    blob instead of a stored band (nodata then not applied)."""
+    meta = F.col(f"{raster_col}.metadata")
+    bd = F.element_at(F.col(f"{raster_col}.bands"), band)
+    data = bd["data"] if data_col is None else (
+        F.col(data_col) if isinstance(data_col, str) else data_col)
+    dcode = bd["metadata"]["datatype"] if data_col is None else F.lit(BAND_FLOAT64)
+    nd = bd["metadata"]["nodata"] if data_col is None else F.lit(None).cast(BinaryType())
+
+    @F.pandas_udf(_BAND_STATS_T)
+    def stats(data: pd.Series, dc: pd.Series, w: pd.Series, h: pd.Series,
+              ndb: pd.Series) -> pd.DataFrame:
+        rows = []
+        for buf, c, ww, hh, ndv in zip(data, dc, w, h, ndb):
+            if buf is None:
+                rows.append({"vmin": None, "vmax": None, "vsum": None,
+                             "vmean": None, "cnt": None})
+                continue
+            arr = bytes_to_band(bytes(buf), int(ww), int(hh), int(c)).astype(np.float64)
+            v = arr.ravel()
+            if ndv is not None:
+                v = v[v != _struct.unpack("<d", bytes(ndv))[0]]
+            if len(v) == 0:
+                rows.append({"vmin": None, "vmax": None, "vsum": 0.0,
+                             "vmean": None, "cnt": 0})
+                continue
+            s = float(v.sum())
+            rows.append({"vmin": float(v.min()), "vmax": float(v.max()),
+                         "vsum": s, "vmean": s / len(v), "cnt": len(v)})
+        return pd.DataFrame(rows)
+
+    return stats(data, dcode, meta["width"], meta["height"], nd)
+
+
 # --- raster -> vector ---------------------------------------------------------
 
 

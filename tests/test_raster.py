@@ -96,3 +96,69 @@ def test_zonal_stats_matches_numpy(spark, tiles):
         assert out[z]["px_count"] == len(agg[z])
         assert out[z]["value_sum"] == pytest.approx(sum(agg[z]))
         assert out[z]["value_max"] == max(agg[z])
+
+
+def test_map_algebra_and_band_stats(spark):
+    from sedona_db_spark.raster import (
+        RS_BandStats,
+        RS_MapAlgebra,
+        bytes_to_band,
+        synthesize_world_tiles,
+    )
+
+    tiles = synthesize_world_tiles(spark, 4, 2, tile_px=4)
+    out = tiles.withColumn(
+        "g", RS_MapAlgebra("raster", lambda v: (v - 50.0) / (v + 50.0 + 1.0))
+    ).withColumn("st", RS_BandStats("raster", data_col="g"))
+    rows = out.select("tile_id", "g", "st").collect()
+    assert len(rows) == 8
+    for r in rows:
+        t = r["tile_id"]
+        idx = np.arange(16, dtype=np.int64)
+        vals = ((t * 16 + idx) * 37 % 1000) / 10.0
+        want = (vals - 50.0) / (vals + 51.0)
+        got = bytes_to_band(bytes(r["g"]), 4, 4, 6).ravel()
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)
+        assert r["st"]["cnt"] == 16
+        assert r["st"]["vmin"] == want.min() and r["st"]["vmax"] == want.max()
+        assert abs(r["st"]["vsum"] - want.sum()) < 1e-12
+
+
+def test_band_stats_skips_nodata(spark):
+    from sedona_db_spark.raster import RS_BandStats, synthesize_world_tiles
+
+    tiles = synthesize_world_tiles(spark, 2, 1, tile_px=4, nodata=0.0)
+    rows = tiles.withColumn("st", RS_BandStats("raster")).collect()
+    for r in rows:
+        t = r["tile_id"]
+        idx = np.arange(16, dtype=np.int64)
+        vals = ((t * 16 + idx) * 37 % 1000) / 10.0
+        keep = vals[vals != 0.0]
+        assert r["st"]["cnt"] == len(keep)
+        assert abs(r["st"]["vsum"] - keep.sum()) < 1e-12
+
+
+def test_map_algebra_two_bands(spark):
+    from sedona_db_spark.raster import (
+        RS_BandStats,
+        RS_MapAlgebra,
+        band_to_bytes,
+        make_raster_row,
+        RASTER_TYPE,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    a = np.arange(16, dtype=np.float64).reshape(4, 4)
+    b = np.full((4, 4), 2.0)
+    row = {"tile_id": 0, "raster": make_raster_row(
+        4, 4, ulx=0.0, uly=4.0, scale_x=1.0, scale_y=-1.0, bands=[a, b])}
+    import pandas as _pd
+    schema = StructType([StructField("tile_id", LongType()),
+                         StructField("raster", RASTER_TYPE)])
+    df = spark.createDataFrame(_pd.DataFrame([row]), schema)
+    out = df.withColumn(
+        "nd", RS_MapAlgebra("raster", lambda x, y: (x - y) / (x + y + 1.0),
+                            bands=(1, 2))
+    ).withColumn("st", RS_BandStats("raster", data_col="nd")).collect()[0]
+    want = (a - b) / (a + b + 1.0)
+    assert out["st"]["vmin"] == want.min() and out["st"]["vmax"] == want.max()
