@@ -1721,6 +1721,35 @@ FROM g GROUP BY tile_id ORDER BY tile_id
 """
 
 
+def _q_cluster_within(spark, sf_dir):
+    """ST_ClusterWithin (PostGIS semantics) over the customer points:
+    transitive closure of pairwise distance <= 2.0 deg, min-id cluster
+    label, singletons keep themselves. Oracle: the eps-pairs + a
+    recursive-CTE reachability closure (the dbscan oracle without the
+    core/border rules)."""
+    from sedona_db_spark.operators.dbscan import cluster_within
+
+    pts = _cust_pts(spark, sf_dir).select("c_custkey", "geom")
+    out = cluster_within(pts, 2.0, geom_col="geom", id_col="c_custkey")
+    return out.orderBy("c_custkey")
+
+
+_CLUSTER_WITHIN_ORACLE = (
+    f"WITH RECURSIVE s AS (SELECT c_custkey AS id, {_CX} AS x, {_CY} AS y FROM customer c), "
+    f"ee AS (SELECT a.id AS ia, b.id AS ib FROM s a JOIN s b "
+    f"       ON a.id < b.id AND "
+    f"       sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) <= CAST(2.0 AS DOUBLE)), "
+    f"edges AS (SELECT ia AS es, ib AS ed FROM ee UNION SELECT ib, ia FROM ee), "
+    f"reach(id, root) AS ( "
+    f"  SELECT es, es FROM (SELECT DISTINCT es FROM edges) "
+    f"  UNION "
+    f"  SELECT e.ed, r.root FROM reach r JOIN edges e ON e.es = r.id), "
+    f"comp AS (SELECT id, MIN(root) AS component FROM reach GROUP BY id) "
+    f"SELECT s.id AS c_custkey, COALESCE(m.component, s.id) AS cluster "
+    f"FROM s LEFT JOIN comp m ON m.id = s.id ORDER BY 1"
+)
+
+
 _BM25_TERMS = ["spark", "join", "window"]
 
 
@@ -1839,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "tile_cut_nations": _q_tile_cut_nations,
         "rs_mapalgebra_stats": _q_rs_mapalgebra_stats,
+        "cluster_within_customers": _q_cluster_within,
     }
 
 
@@ -2687,4 +2717,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _ngram_jaccard_oracle(),
         "tile_cut_nations": _TILE_CUT_ORACLE,
         "rs_mapalgebra_stats": _RS_MAPALGEBRA_ORACLE,
+        "cluster_within_customers": _CLUSTER_WITHIN_ORACLE,
     }

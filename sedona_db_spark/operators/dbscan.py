@@ -92,3 +92,21 @@ def dbscan(df: DataFrame, eps: float, min_pts: int,
         )
     )
     return out
+
+
+def cluster_within(df: DataFrame, distance: float,
+                   geom_col: str = "geometry", id_col: str = "id",
+                   **join_kwargs) -> DataFrame:
+    """PostGIS ``ST_ClusterWithin`` semantics, distributed: transitive
+    closure of pairwise ST_DWithin(`distance`) — two geometries share a
+    cluster iff a chain of <=distance hops connects them. Returns
+    (id, cluster) with cluster = the smallest member id; every row gets a
+    cluster (a singleton clusters with itself).
+
+    This is exactly DBSCAN with min_pts=1 (every point core, no noise,
+    no border rule), so it reuses that operator's scale shape: banded
+    ε self-join (never all-pairs) + alternating-star connected
+    components in O(log n) rounds."""
+    out = dbscan(df, eps=float(distance), min_pts=1,
+                 geom_col=geom_col, id_col=id_col, **join_kwargs)
+    return out.select(id_col, "cluster")

@@ -105,3 +105,45 @@ def test_eps_boundary_inclusive(spark):
     want = _brute(xy, 1.0, 3)
     assert got == want
     assert got[1] == (1, True)  # middle point has exactly 3 in-radius
+
+
+def test_cluster_within_matches_union_find(spark):
+    """ST_ClusterWithin semantics: transitive eps-closure, min-id label,
+    singletons keep themselves — differential vs a driver union-find."""
+    import numpy as np
+
+    from sedona_db_spark.geometry import wkb
+    from sedona_db_spark.operators.dbscan import cluster_within
+
+    rng = np.random.default_rng(11)
+    # three blobs + two isolated points
+    pts = np.vstack([
+        rng.normal([0, 0], 0.4, (30, 2)),
+        rng.normal([10, 0], 0.4, (25, 2)),
+        rng.normal([0, 10], 0.4, (20, 2)),
+        [[50.0, 50.0], [-50.0, -50.0]],
+    ])
+    rows = [(i, wkb.encode(wkb.point(float(x), float(y))))
+            for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, geometry binary")
+    got = {r["id"]: r["cluster"]
+           for r in cluster_within(df, 2.0, grid_level=5).collect()}
+
+    # union-find ground truth
+    n = len(pts)
+    parent = list(range(n))
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+    for i in range(n):
+        for j in range(i + 1, n):
+            if np.hypot(*(pts[i] - pts[j])) <= 2.0:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {i: min(k for k in range(n) if find(k) == find(i)) for i in range(n)}
+    assert got == want
+    # exactly 5 clusters: 3 blobs + 2 singletons
+    assert len(set(got.values())) == 5
