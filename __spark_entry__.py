@@ -1750,6 +1750,50 @@ _CLUSTER_WITHIN_ORACLE = (
 )
 
 
+def _q_kmeans_customers(spark, sf_dir):
+    """ST_ClusterKMeans shape: k=4 Lloyd k-means over the customer
+    points, 2 iterations, deterministic smallest-id init, 6-dp centroid
+    rounding (makes the floating-average chain engine-portable), ties to
+    the lowest centroid index. The oracle unrolls both iterations as
+    CTEs (window argmin per assignment, avg+round per update,
+    empty-cluster-keeps-centroid via left join)."""
+    from sedona_db_spark.operators.kmeans import kmeans_points
+
+    pts = _cust_pts(spark, sf_dir).select("c_custkey", "geom")
+    out = kmeans_points(pts, k=4, iterations=2,
+                        geom_col="geom", id_col="c_custkey")
+    return out.orderBy("c_custkey")
+
+
+def _kmeans_oracle(k: int = 4, iterations: int = 2) -> str:
+    assign = (
+        "SELECT id, x, y, ci FROM ("
+        " SELECT s.id, s.x, s.y, c.ci,"
+        "  row_number() OVER (PARTITION BY s.id ORDER BY"
+        "   (s.x-c.cx)*(s.x-c.cx)+(s.y-c.cy)*(s.y-c.cy), c.ci) AS rn"
+        " FROM s CROSS JOIN {cent} c) WHERE rn = 1"
+    )
+    update = (
+        "SELECT p.ci, COALESCE(u.cx, p.cx) AS cx, COALESCE(u.cy, p.cy) AS cy"
+        " FROM {prev} p LEFT JOIN ("
+        "  SELECT ci, round(avg(x), 6) AS cx, round(avg(y), 6) AS cy"
+        "  FROM {assign} GROUP BY ci) u ON u.ci = p.ci"
+    )
+    parts = [
+        f"WITH s AS (SELECT c_custkey AS id, {_CX} AS x, {_CY} AS y FROM customer c), ",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS ci, x AS cx, y AS cy "
+        f"       FROM (SELECT id, x, y FROM s ORDER BY id LIMIT {k})), ",
+    ]
+    cent = "c0"
+    for i in range(iterations):
+        parts.append(f"a{i} AS ({assign.format(cent=cent)}), ")
+        parts.append(f"c{i + 1} AS ({update.format(prev=cent, assign=f'a{i}')}), ")
+        cent = f"c{i + 1}"
+    parts.append(f"fin AS ({assign.format(cent=cent)}) ")
+    parts.append("SELECT id AS c_custkey, ci AS cluster FROM fin ORDER BY 1")
+    return "".join(parts)
+
+
 _BM25_TERMS = ["spark", "join", "window"]
 
 
@@ -1869,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_cut_nations": _q_tile_cut_nations,
         "rs_mapalgebra_stats": _q_rs_mapalgebra_stats,
         "cluster_within_customers": _q_cluster_within,
+        "kmeans_customers": _q_kmeans_customers,
     }
 
 
@@ -2718,4 +2763,5 @@ def oracle_sql() -> dict[str, str]:
         "tile_cut_nations": _TILE_CUT_ORACLE,
         "rs_mapalgebra_stats": _RS_MAPALGEBRA_ORACLE,
         "cluster_within_customers": _CLUSTER_WITHIN_ORACLE,
+        "kmeans_customers": _kmeans_oracle(4, 2),
     }
