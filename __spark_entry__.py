@@ -1794,6 +1794,45 @@ def _kmeans_oracle(k: int = 4, iterations: int = 2) -> str:
     return "".join(parts)
 
 
+def _q_rs_resample_stats(spark, sf_dir):
+    """Raster pyramid step: block-mean downsample (factor 4: 8x8 -> 2x2)
+    of the 128 synthetic world tiles, then per-tile stats over the
+    downsampled band. The oracle regenerates every pixel, groups pixels
+    into the same blocks by integer index arithmetic, and re-derives the
+    block means and tile stats in SQL."""
+    from sedona_db_spark.raster import (
+        RS_BandStats,
+        RS_Resample,
+        synthesize_world_tiles,
+    )
+
+    tiles = synthesize_world_tiles(spark, 16, 8, tile_px=8)
+    out = tiles.withColumn("ds", RS_Resample("raster", 4)).withColumn(
+        "st", RS_BandStats("raster", data_col="ds"))
+    return out.select(
+        "tile_id",
+        F.round(F.col("st.vmin"), 6).alias("vmin"),
+        F.round(F.col("st.vmax"), 6).alias("vmax"),
+        F.round(F.col("st.vmean"), 6).alias("vmean"),
+        F.col("st.cnt").alias("cnt"),
+    ).orderBy("tile_id")
+
+
+_RS_RESAMPLE_ORACLE = """
+WITH px AS (
+  SELECT t.id AS tile_id, p.i // 8 AS r, p.i % 8 AS c,
+         ((t.id * 64 + p.i) * 37 % 1000) / CAST(10.0 AS DOUBLE) AS v
+  FROM range(128) t(id) CROSS JOIN range(64) p(i)
+), blk AS (
+  SELECT tile_id, r // 4 AS bi, c // 4 AS bj, avg(v) AS bv
+  FROM px GROUP BY 1, 2, 3
+)
+SELECT tile_id, round(min(bv), 6) AS vmin, round(max(bv), 6) AS vmax,
+       round(avg(bv), 6) AS vmean, CAST(count(*) AS BIGINT) AS cnt
+FROM blk GROUP BY tile_id ORDER BY tile_id
+"""
+
+
 _BM25_TERMS = ["spark", "join", "window"]
 
 
@@ -1914,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rs_mapalgebra_stats": _q_rs_mapalgebra_stats,
         "cluster_within_customers": _q_cluster_within,
         "kmeans_customers": _q_kmeans_customers,
+        "rs_resample_stats": _q_rs_resample_stats,
     }
 
 
@@ -2764,4 +2804,5 @@ def oracle_sql() -> dict[str, str]:
         "rs_mapalgebra_stats": _RS_MAPALGEBRA_ORACLE,
         "cluster_within_customers": _CLUSTER_WITHIN_ORACLE,
         "kmeans_customers": _kmeans_oracle(4, 2),
+        "rs_resample_stats": _RS_RESAMPLE_ORACLE,
     }

@@ -265,8 +265,11 @@ def RS_BandStats(raster_col: str, band: int = 1,
                 rows.append({"vmin": None, "vmax": None, "vsum": None,
                              "vmean": None, "cnt": None})
                 continue
-            arr = bytes_to_band(bytes(buf), int(ww), int(hh), int(c)).astype(np.float64)
-            v = arr.ravel()
+            # stats are shape-free: decode the blob FLAT by its dtype, so
+            # map-algebra/resample outputs (any length) summarize too
+            v = np.frombuffer(
+                bytes(buf), dtype=np.dtype(_BAND_NP[int(c)]).newbyteorder("<")
+            ).astype(np.float64)
             if ndv is not None:
                 v = v[v != _struct.unpack("<d", bytes(ndv))[0]]
             if len(v) == 0:
@@ -279,6 +282,39 @@ def RS_BandStats(raster_col: str, band: int = 1,
         return pd.DataFrame(rows)
 
     return stats(data, dcode, meta["width"], meta["height"], nd)
+
+
+def RS_Resample(raster_col: str, factor: int, band: int = 1) -> F.Column:
+    """Block-mean downsample of band ``band`` by an integer ``factor``
+    (width and height must divide evenly; raises otherwise — silent
+    edge-cropping would change zonal answers). Returns the new band blob
+    (little-endian f8, (h/factor) x (w/factor)); one reshape-mean numpy
+    call per tile. Compose with :func:`RS_BandStats`(data_col=...) or
+    re-assemble a raster with scale_x/scale_y multiplied by ``factor``.
+    The standard pyramid/overview builder (GDAL 'average')."""
+    if not 1 <= int(factor) <= 4096:
+        raise ValueError(f"factor must be in [1, 4096], got {factor}")
+    f = int(factor)
+    meta = F.col(f"{raster_col}.metadata")
+    bd = F.element_at(F.col(f"{raster_col}.bands"), band)
+
+    @F.pandas_udf(BinaryType())
+    def rs(data: pd.Series, dc: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        out = []
+        for buf, c, ww, hh in zip(data, dc, w, h):
+            if buf is None:
+                out.append(None)
+                continue
+            ww, hh = int(ww), int(hh)
+            if ww % f or hh % f:
+                raise ValueError(
+                    f"RS_Resample factor {f} does not divide {ww}x{hh}")
+            arr = bytes_to_band(bytes(buf), ww, hh, int(c)).astype(np.float64)
+            blk = arr.reshape(hh // f, f, ww // f, f).mean(axis=(1, 3))
+            out.append(band_to_bytes(blk, BAND_FLOAT64))
+        return pd.Series(out, dtype=object)
+
+    return rs(bd["data"], bd["metadata"]["datatype"], meta["width"], meta["height"])
 
 
 # --- raster -> vector ---------------------------------------------------------

@@ -162,3 +162,31 @@ def test_map_algebra_two_bands(spark):
     ).withColumn("st", RS_BandStats("raster", data_col="nd")).collect()[0]
     want = (a - b) / (a + b + 1.0)
     assert out["st"]["vmin"] == want.min() and out["st"]["vmax"] == want.max()
+
+
+def test_resample_block_mean(spark):
+    from sedona_db_spark.raster import (
+        RS_Resample,
+        bytes_to_band,
+        synthesize_world_tiles,
+    )
+
+    tiles = synthesize_world_tiles(spark, 2, 2, tile_px=8)
+    rows = tiles.withColumn("ds", RS_Resample("raster", 4)).collect()
+    for r in rows:
+        t = r["tile_id"]
+        vals = (((t * 64 + np.arange(64, dtype=np.int64)) * 37 % 1000) / 10.0
+                ).reshape(8, 8)
+        want = vals.reshape(2, 4, 2, 4).mean(axis=(1, 3))
+        got = bytes_to_band(bytes(r["ds"]), 2, 2, 6)
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_resample_uneven_raises(spark):
+    import pytest as _pytest
+
+    from sedona_db_spark.raster import RS_Resample, synthesize_world_tiles
+
+    tiles = synthesize_world_tiles(spark, 2, 1, tile_px=8)
+    with _pytest.raises(Exception, match="does not divide"):
+        tiles.withColumn("ds", RS_Resample("raster", 3)).collect()
