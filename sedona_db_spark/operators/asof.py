@@ -51,14 +51,21 @@ def asof_join(
     tiebreak_col: Optional[str] = None,
     suffix: str = "_asof",
     num_buckets: int = 64,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left rows + the latest right row at-or-before their timestamp.
+    """Left rows + the nearest right row at-or-before their timestamp
+    (``direction="backward"``, the default) or at-or-after
+    (``"forward"``) — both include exact matches.
 
     ``right_cols``: right payload columns to attach (default: all except
     ``ts_col``/``by``), each renamed ``<name><suffix>``; a matched-right
     timestamp column ``<ts_col><suffix>`` is always attached. Unmatched
     (or out-of-``tolerance``, in the same units as ``ts_col`` seconds)
-    rows keep NULLs — backward direction only."""
+    rows keep NULLs."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}")
+    fwd = direction == "forward"
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (ts_col, by)]
     if not right_cols:
@@ -105,17 +112,24 @@ def asof_join(
         for i, s in enumerate(splits):
             bucket = F.when(F.col("_ts") > F.lit(s), F.lit(i + 1)).otherwise(bucket)
         u = u.withColumn("_bkt", bucket)
-        # latest right row per bucket (tiny: <= num_buckets rows), then the
-        # carry-in for bucket b = running last over all buckets < b
+        # nearest right row per bucket (tiny: <= num_buckets rows), then
+        # the carry-in for bucket b = running nearest over the buckets on
+        # the matching side (earlier for backward, later for forward)
+        nearest = F.min if fwd else F.max
         last_per_bkt = (
             u.where(F.col("_tag") == 0)
-            .groupBy("_bkt").agg(F.max(F.struct("_ts", "_rv")).alias("_m"))
+            .groupBy("_bkt").agg(nearest(F.struct("_ts", "_rv")).alias("_m"))
         )
         all_bkts = u.select("_bkt").distinct()
-        wprev = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+        if fwd:
+            wprev = Window.orderBy("_bkt").rowsBetween(1, Window.unboundedFollowing)
+            carry_fn = F.first
+        else:
+            wprev = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+            carry_fn = F.last
         bkt_last = all_bkts.join(
             last_per_bkt, "_bkt", "left"
-        ).withColumn("_carry", F.last("_m", True).over(wprev)).where(
+        ).withColumn("_carry", carry_fn("_m", True).over(wprev)).where(
             F.col("_carry").isNotNull()
         ).select(
             "_bkt",
@@ -129,15 +143,18 @@ def asof_join(
         u = u.unionByName(bkt_last.select(*u.columns))
         part_cols = ["_bkt"]
 
-    w = (Window.partitionBy(*part_cols).orderBy("_ts", "_tag")
+    ts_order = F.col("_ts").desc() if fwd else F.col("_ts").asc()
+    w = (Window.partitionBy(*part_cols).orderBy(ts_order, F.col("_tag").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = u.withColumn("_match", F.last("_rv", True).over(w)) \
                .where(F.col("_tag") == 1)
     if tolerance is not None:
-        in_tol = (F.col("_ts").cast("double")
-                  - F.col("_match._rts").cast("double")) <= float(tolerance)
+        gap = (F.col("_ts").cast("double")
+               - F.col("_match._rts").cast("double"))
+        if fwd:
+            gap = -gap
         matched = matched.withColumn(
-            "_match", F.when(in_tol, F.col("_match")))
+            "_match", F.when(gap <= float(tolerance), F.col("_match")))
     return matched.select(
         *[F.col(f"_l_{c}").alias(c) for c in left.columns],
         F.col("_match._rts").alias(f"{ts_col}{suffix}"),

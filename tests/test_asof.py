@@ -94,3 +94,43 @@ def test_no_right_payload_raises(spark):
     rt = spark.createDataFrame(pd.DataFrame({"t": [1]}))
     with pytest.raises(ValueError, match="payload"):
         asof_join(lt, rt, "t")
+
+
+def test_forward_keyed_matches_pandas(spark):
+    rng = np.random.default_rng(13)
+    trades, quotes = _frames(rng)
+    got = asof_join(spark.createDataFrame(trades),
+                    spark.createDataFrame(quotes),
+                    "t", by="sym", direction="forward").toPandas() \
+        .sort_values("tid").reset_index(drop=True)
+    want = pd.merge_asof(
+        trades.sort_values("t"), quotes.sort_values("t"),
+        on="t", by="sym", direction="forward",
+    ).sort_values("tid").reset_index(drop=True)
+    for g, w in zip(got["px_asof"], want["px"]):
+        assert (pd.isna(g) and pd.isna(w)) or g == w
+
+
+def test_forward_global_and_tolerance(spark):
+    rng = np.random.default_rng(17)
+    trades, quotes = _frames(rng, keys=1)
+    trades, quotes = trades.drop(columns=["sym"]), quotes.drop(columns=["sym"])
+    quotes = quotes.drop_duplicates(["t"])
+    got = asof_join(spark.createDataFrame(trades).repartition(6),
+                    spark.createDataFrame(quotes).repartition(4),
+                    "t", direction="forward", tolerance=100,
+                    num_buckets=8).toPandas() \
+        .sort_values("tid").reset_index(drop=True)
+    want = pd.merge_asof(
+        trades.sort_values("t"), quotes.sort_values("t"),
+        on="t", direction="forward", tolerance=100,
+    ).sort_values("tid").reset_index(drop=True)
+    for g, w in zip(got["px_asof"], want["px"]):
+        assert (pd.isna(g) and pd.isna(w)) or g == w
+
+
+def test_direction_guard(spark):
+    lt = spark.createDataFrame(pd.DataFrame({"tid": [0], "t": [1]}))
+    rt = spark.createDataFrame(pd.DataFrame({"t": [1], "px": [1.0]}))
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(lt, rt, "t", direction="nearest")
