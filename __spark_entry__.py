@@ -1877,6 +1877,50 @@ ORDER BY m.event_id
 """
 
 
+def _q_asof_forward(spark, sf_dir):
+    """Forward as-of join: each purchase picks the EARLIEST view of the
+    same user at-or-after its timestamp (merge_asof forward), with a
+    600-second tolerance. Oracle: correlated min(ts) subquery + the
+    same largest-event_id duplicate rule."""
+    from sedona_db_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value")
+    out = asof_join(purch, views, "ts", by="user_id",
+                    right_cols=["value"], tiebreak_col="event_id",
+                    direction="forward", tolerance=600.0)
+    return out.select(
+        "event_id", "user_id", "ts", "ts_asof",
+        F.round("value_asof", 6).alias("value_asof"),
+    ).orderBy("event_id")
+
+
+_ASOF_FWD_ORACLE = """
+WITH v AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'view') WHERE rn = 1
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         (SELECT min(v.ts) FROM v
+          WHERE v.user_id = p.user_id AND v.ts >= p.ts
+            AND epoch(v.ts) - epoch(p.ts) <= 600) AS ts_asof
+  FROM p
+)
+SELECT m.event_id, m.user_id, m.ts, m.ts_asof,
+       round(v.value, 6) AS value_asof
+FROM m LEFT JOIN v ON v.user_id = m.user_id AND v.ts = m.ts_asof
+ORDER BY m.event_id
+"""
+
+
 _BM25_TERMS = ["spark", "join", "window"]
 
 
@@ -1999,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_customers": _q_kmeans_customers,
         "rs_resample_stats": _q_rs_resample_stats,
         "asof_purchase_view": _q_asof_purchase_view,
+        "asof_forward_view": _q_asof_forward,
     }
 
 
@@ -2851,4 +2896,5 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_customers": _kmeans_oracle(4, 2),
         "rs_resample_stats": _RS_RESAMPLE_ORACLE,
         "asof_purchase_view": _ASOF_ORACLE,
+        "asof_forward_view": _ASOF_FWD_ORACLE,
     }

@@ -149,8 +149,18 @@ def asof_join(
     matched = u.withColumn("_match", F.last("_rv", True).over(w)) \
                .where(F.col("_tag") == 1)
     if tolerance is not None:
-        gap = (F.col("_ts").cast("double")
-               - F.col("_match._rts").cast("double"))
+        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+        ts_type = u.schema["_ts"].dataType
+
+        def secs(c):
+            # only the DIFFERENCE matters, so any common affine epoch works;
+            # TIMESTAMP_NTZ has no direct numeric cast in Spark 4
+            if isinstance(ts_type, (TimestampType, TimestampNTZType, DateType)):
+                return F.unix_micros(c.cast("timestamp")).cast("double") / 1e6
+            return c.cast("double")
+
+        gap = secs(F.col("_ts")) - secs(F.col("_match._rts"))
         if fwd:
             gap = -gap
         matched = matched.withColumn(
