@@ -29,12 +29,16 @@ Submodules:
 
 from .context import SedonaContext, connect
 from .functions.st import register_all
+from .operators.asof import asof_join
+from .operators.dbscan import cluster_within, dbscan
+from .operators.kmeans import kmeans_points
 from .operators.knn_join import knn_join
 from .operators.spatial_join import (
     knn_join_ordered,
     spatial_join,
     spatial_join_ordered,
 )
+from .operators.tiles import tile_cut
 
 __all__ = [
     "connect",
@@ -44,5 +48,10 @@ __all__ = [
     "knn_join",
     "spatial_join_ordered",
     "knn_join_ordered",
+    "asof_join",
+    "dbscan",
+    "cluster_within",
+    "kmeans_points",
+    "tile_cut",
 ]
 __version__ = "0.1.0"
