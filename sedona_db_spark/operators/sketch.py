@@ -155,19 +155,24 @@ def _check_cms(width: int, depth: int) -> None:
 
 
 def cms_sketch(df: DataFrame, col: str, width: int = 1 << 12,
-               depth: int = 4) -> DataFrame:
+               depth: int = 4, weight_col: str | None = None) -> DataFrame:
     """Count-min register table ``(row, pos, cnt)`` for values of ``col``.
 
     At most ``depth*width`` rows regardless of input size; NULLs are
-    skipped. Merge shards with :func:`cms_merge`."""
+    skipped. ``weight_col`` switches to the turnstile model (each row
+    adds its weight — bytes per URL, tokens per doc — instead of 1; the
+    estimate then never underestimates the total weight per key, for
+    non-negative weights). Merge shards with :func:`cms_merge`."""
     _check_cms(width, depth)
     v = df.where(F.col(col).isNotNull())
-    rows = v.select(F.explode(F.array(*[
+    w = (F.coalesce(F.col(weight_col), F.lit(0)).cast("long")
+         if weight_col else F.lit(1).cast("long"))
+    rows = v.select(w.alias("_w"), F.explode(F.array(*[
         F.struct(F.lit(j).alias("row"),
                  _cms_pos(F.col(col), width, j).alias("pos"))
         for j in range(depth)])).alias("rp"))
-    return (rows.select("rp.row", "rp.pos")
-            .groupBy("row", "pos").agg(F.count(F.lit(1)).alias("cnt")))
+    return (rows.select("_w", "rp.row", "rp.pos")
+            .groupBy("row", "pos").agg(F.sum("_w").alias("cnt")))
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:

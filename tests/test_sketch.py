@@ -148,3 +148,20 @@ def test_cms_estimate_plan_broadcasts_sketch(spark):
     plan = cms_estimate(sk, df.distinct(), "d", 256, 3) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_cms_weighted_turnstile(spark):
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.operators.sketch import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame(
+        [(f"k{i % 9}", (i % 9) + 1) for i in range(270)], "d string, w long")
+    sk = cms_sketch(df, "d", 1 << 12, 4, weight_col="w")
+    exact = {r["d"]: r["s"] for r in
+             df.groupBy("d").agg(F.sum("w").alias("s")).collect()}
+    est = {r["d"]: r["cms_est"] for r in
+           cms_estimate(sk, df.select("d").distinct(), "d", 1 << 12, 4).collect()}
+    for d, s in exact.items():
+        assert est[d] >= s  # never under, for non-negative weights
+        assert est[d] - s <= 2.72 * sum(exact.values()) / (1 << 12) + 1
