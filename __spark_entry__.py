@@ -1129,6 +1129,25 @@ def _q_doc_dsir(spark, sf_dir):
     )
 
 
+def _q_doc_quality_lr(spark, sf_dir):
+    """Distributed logistic-regression quality classifier
+    (operators/classifier.py — the CCNet/GPT-3 curation stage): train 2
+    full-batch GD iterations on hashed unigram features (64 md5 buckets)
+    with label = (lang = 'en'), then score the corpus.  Every per-row
+    term is quantized to BIGINT before aggregation, so gradients are
+    order-independent and the oracle unrolls both iterations as CTEs
+    with identical values."""
+    from sedona_db_spark.operators.classifier import (
+        score_lr, train_lr_classifier)
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("lang") == "en").cast("int"))
+    model = train_lr_classifier(docs, "label", buckets=64, iterations=2,
+                                lr=1.0)
+    out = score_lr(docs, model)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_dbscan(spark, sf_dir):
     """Distributed DBSCAN (operators/dbscan.py) over the customer point
     lattice: eps=3.0, min_pts=5 — mixes core points, border points
@@ -2026,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_transform_roundtrip": _q_st_transform_roundtrip,
         "doc_ppl": _q_doc_ppl,
         "doc_dsir": _q_doc_dsir,
+        "doc_quality_lr": _q_doc_quality_lr,
         "dbscan_customers": _q_dbscan,
         "geohash_cells": _q_geohash_cells,
         "doc_substring_dedup": _q_substring_dedup,
@@ -2851,6 +2871,62 @@ def oracle_sql() -> dict[str, str]:
             r"FROM fb LEFT JOIN rawc USING (bucket) LEFT JOIN tgtc USING (bucket) "
             r"CROSS JOIN rt CROSS JOIN tt "
             r"GROUP BY fb.doc_id"
+        ),
+        # Logistic-regression quality classifier recomputed end-to-end:
+        # hashed features, then BOTH gradient-descent iterations unrolled
+        # as CTEs (kmeans/pagerank style).  Per-row terms are quantized
+        # to BIGINT before every sum — order-independent, so the values
+        # match Spark bit-for-bit; sigmoid rounded to 9 dp absorbs exp's
+        # cross-engine ULP wobble (the doc_ppl discipline).
+        "doc_quality_lr": (
+            r"WITH toks AS ("
+            r"  SELECT doc_id,"
+            r"    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,"
+            r"    regexp_split_to_array(trim(lower(text)), '\s+') AS t"
+            r"  FROM documents WHERE length(trim(text)) > 0"
+            r"), "
+            r"fx AS ("
+            r"  SELECT doc_id, min(y) AS y,"
+            r"    ('0x' || substr(md5(u.w),1,8))::BIGINT % 64 AS bucket,"
+            r"    CAST(count(*) AS DOUBLE) / min(len(t)) AS x"
+            r"  FROM toks, unnest(t) AS u(w)"
+            r"  GROUP BY doc_id, bucket"
+            r"), "
+            r"nn AS (SELECT count(DISTINCT doc_id) AS n FROM fx), "
+            # -- iteration 1: w = 0, b = 0 -> p = 0.5 for every doc
+            r"g1 AS (SELECT bucket,"
+            r"  sum(CAST(round((0.5 - y)*x*1e12) AS BIGINT)) AS gi"
+            r"  FROM fx GROUP BY 1), "
+            r"d1 AS (SELECT doc_id, min(y) AS y FROM fx GROUP BY 1), "
+            r"bg1 AS (SELECT sum(CAST(round((0.5 - y)*1e12) AS BIGINT)) AS bi FROM d1), "
+            r"w1 AS (SELECT bucket,"
+            r"  round(0.0 - (CAST(gi AS DOUBLE)/1e12)/nn.n, 12) AS w"
+            r"  FROM g1 CROSS JOIN nn), "
+            r"b1 AS (SELECT round(0.0 - (CAST(bi AS DOUBLE)/1e12)/nn.n, 12) AS b"
+            r"  FROM bg1 CROSS JOIN nn), "
+            # -- iteration 2: score with (w1, b1), then update
+            r"s2 AS (SELECT fx.doc_id, min(fx.y) AS y,"
+            r"  sum(CAST(round(COALESCE(w1.w, 0.0)*fx.x*1e12) AS BIGINT))/1e12"
+            r"    + min(b1.b) AS s"
+            r"  FROM fx LEFT JOIN w1 USING (bucket) CROSS JOIN b1"
+            r"  GROUP BY 1), "
+            r"p2 AS (SELECT doc_id, y, round(1.0/(1.0 + exp(-s)), 9) AS p FROM s2), "
+            r"g2 AS (SELECT fx.bucket,"
+            r"  sum(CAST(round((p2.p - p2.y)*fx.x*1e12) AS BIGINT)) AS gi"
+            r"  FROM fx JOIN p2 USING (doc_id) GROUP BY 1), "
+            r"bg2 AS (SELECT sum(CAST(round((p - y)*1e12) AS BIGINT)) AS bi FROM p2), "
+            r"w2 AS (SELECT g2.bucket,"
+            r"  round(COALESCE(w1.w, 0.0) - (CAST(g2.gi AS DOUBLE)/1e12)/nn.n, 12) AS w"
+            r"  FROM g2 LEFT JOIN w1 USING (bucket) CROSS JOIN nn), "
+            r"b2 AS (SELECT round(b1.b - (CAST(bi AS DOUBLE)/1e12)/nn.n, 12) AS b"
+            r"  FROM bg2 CROSS JOIN b1 CROSS JOIN nn) "
+            # -- final scoring pass with the trained (w2, b2)
+            r"SELECT fx.doc_id,"
+            r"  round(round(1.0/(1.0 + exp(-("
+            r"    sum(CAST(round(COALESCE(w2.w, 0.0)*fx.x*1e12) AS BIGINT))/1e12"
+            r"    + min(b2.b)))), 9), 6) AS score"
+            r" FROM fx LEFT JOIN w2 USING (bucket) CROSS JOIN b2"
+            r" GROUP BY fx.doc_id"
         ),
         # DBSCAN recomputed whole: brute-force eps-pairs (the same
         # sqrt(dx*dx+dy*dy) the dwithin refine evaluates), degree>=min_pts
