@@ -1940,6 +1940,59 @@ ORDER BY m.event_id
 """
 
 
+def _q_asof_nearest(spark, sf_dir):
+    """Nearest as-of join: each purchase picks the view of the same user
+    with the smallest |gap| within 600 s, backward winning exact ties
+    (pandas merge_asof direction='nearest' parity). Oracle: correlated
+    max(ts<=)/min(ts>=) subqueries + the same gap-compare pick rule."""
+    from sedona_db_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value")
+    out = asof_join(purch, views, "ts", by="user_id",
+                    right_cols=["value"], tiebreak_col="event_id",
+                    direction="nearest", tolerance=600.0)
+    return out.select(
+        "event_id", "user_id", "ts", "ts_asof",
+        F.round("value_asof", 6).alias("value_asof"),
+    ).orderBy("event_id")
+
+
+_ASOF_NEAREST_ORACLE = """
+WITH v AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'view') WHERE rn = 1
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         (SELECT max(v.ts) FROM v
+          WHERE v.user_id = p.user_id AND v.ts <= p.ts
+            AND epoch(p.ts) - epoch(v.ts) <= 600) AS ts_b,
+         (SELECT min(v.ts) FROM v
+          WHERE v.user_id = p.user_id AND v.ts >= p.ts
+            AND epoch(v.ts) - epoch(p.ts) <= 600) AS ts_f
+  FROM p
+), pick AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ts_b IS NOT NULL AND (ts_f IS NULL
+                OR epoch(ts) - epoch(ts_b) <= epoch(ts_f) - epoch(ts))
+              THEN ts_b ELSE ts_f END AS ts_asof
+  FROM m
+)
+SELECT k.event_id, k.user_id, k.ts, k.ts_asof,
+       round(v.value, 6) AS value_asof
+FROM pick k LEFT JOIN v ON v.user_id = k.user_id AND v.ts = k.ts_asof
+ORDER BY k.event_id
+"""
+
+
 _BM25_TERMS = ["spark", "join", "window"]
 
 
@@ -2064,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rs_resample_stats": _q_rs_resample_stats,
         "asof_purchase_view": _q_asof_purchase_view,
         "asof_forward_view": _q_asof_forward,
+        "asof_nearest_view": _q_asof_nearest,
     }
 
 
@@ -2973,4 +3027,5 @@ def oracle_sql() -> dict[str, str]:
         "rs_resample_stats": _RS_RESAMPLE_ORACLE,
         "asof_purchase_view": _ASOF_ORACLE,
         "asof_forward_view": _ASOF_FWD_ORACLE,
+        "asof_nearest_view": _ASOF_NEAREST_ORACLE,
     }

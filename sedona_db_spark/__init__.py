@@ -30,6 +30,11 @@ Submodules:
 from .context import SedonaContext, connect
 from .functions.st import register_all
 from .operators.asof import asof_join
+from .operators.classifier import (
+    quality_filter_lr,
+    score_lr,
+    train_lr_classifier,
+)
 from .operators.dbscan import cluster_within, dbscan
 from .operators.kmeans import kmeans_points
 from .operators.knn_join import knn_join
@@ -49,6 +54,9 @@ __all__ = [
     "spatial_join_ordered",
     "knn_join_ordered",
     "asof_join",
+    "train_lr_classifier",
+    "score_lr",
+    "quality_filter_lr",
     "dbscan",
     "cluster_within",
     "kmeans_points",

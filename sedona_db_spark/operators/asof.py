@@ -62,10 +62,11 @@ def asof_join(
     timestamp column ``<ts_col><suffix>`` is always attached. Unmatched
     (or out-of-``tolerance``, in the same units as ``ts_col`` seconds)
     rows keep NULLs."""
-    if direction not in ("backward", "forward"):
-        raise ValueError(
-            f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or "
+                         f"'nearest', got {direction!r}")
     fwd = direction == "forward"
+    near = direction == "nearest"
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (ts_col, by)]
     if not right_cols:
@@ -112,59 +113,100 @@ def asof_join(
         for i, s in enumerate(splits):
             bucket = F.when(F.col("_ts") > F.lit(s), F.lit(i + 1)).otherwise(bucket)
         u = u.withColumn("_bkt", bucket)
+
         # nearest right row per bucket (tiny: <= num_buckets rows), then
         # the carry-in for bucket b = running nearest over the buckets on
-        # the matching side (earlier for backward, later for forward)
-        nearest = F.min if fwd else F.max
-        last_per_bkt = (
-            u.where(F.col("_tag") == 0)
-            .groupBy("_bkt").agg(nearest(F.struct("_ts", "_rv")).alias("_m"))
-        )
-        all_bkts = u.select("_bkt").distinct()
-        if fwd:
-            wprev = Window.orderBy("_bkt").rowsBetween(1, Window.unboundedFollowing)
-            carry_fn = F.first
+        # the matching side (earlier for backward, later for forward);
+        # direction="nearest" injects BOTH carry sets — a backward carry
+        # row's _ts <= every left _ts in its bucket, so the forward
+        # window pass never sees it as a future match (and vice versa):
+        # the two carry families cannot cross-contaminate.
+        def carry_rows(forward: bool):
+            agg = F.min if forward else F.max
+            per_bkt = (
+                u.where(F.col("_tag") == 0)
+                .groupBy("_bkt").agg(agg(F.struct("_ts", "_rv")).alias("_m"))
+            )
+            all_bkts = u.select("_bkt").distinct()
+            if forward:
+                wprev = Window.orderBy("_bkt").rowsBetween(
+                    1, Window.unboundedFollowing)
+                carry_fn = F.first
+            else:
+                wprev = Window.orderBy("_bkt").rowsBetween(
+                    Window.unboundedPreceding, -1)
+                carry_fn = F.last
+            rows = all_bkts.join(per_bkt, "_bkt", "left").withColumn(
+                "_carry", carry_fn("_m", True).over(wprev)
+            ).where(F.col("_carry").isNotNull()).select(
+                "_bkt",
+                F.col("_carry._ts").alias("_ts"),
+                F.lit(0).alias("_tag"),
+                F.col("_carry._rv").alias("_rv"),
+            )
+            for c in left.columns:
+                rows = rows.withColumn(
+                    f"_l_{c}", F.lit(None).cast(left.schema[c].dataType))
+            return rows.select(*u.columns)
+
+        if near:
+            u = u.unionByName(carry_rows(False)).unionByName(carry_rows(True))
         else:
-            wprev = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-            carry_fn = F.last
-        bkt_last = all_bkts.join(
-            last_per_bkt, "_bkt", "left"
-        ).withColumn("_carry", carry_fn("_m", True).over(wprev)).where(
-            F.col("_carry").isNotNull()
-        ).select(
-            "_bkt",
-            F.col("_carry._ts").alias("_ts"),
-            F.lit(0).alias("_tag"),
-            F.col("_carry._rv").alias("_rv"),
-        )
-        for c in left.columns:
-            bkt_last = bkt_last.withColumn(
-                f"_l_{c}", F.lit(None).cast(left.schema[c].dataType))
-        u = u.unionByName(bkt_last.select(*u.columns))
+            u = u.unionByName(carry_rows(fwd))
         part_cols = ["_bkt"]
 
-    ts_order = F.col("_ts").desc() if fwd else F.col("_ts").asc()
-    w = (Window.partitionBy(*part_cols).orderBy(ts_order, F.col("_tag").asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched = u.withColumn("_match", F.last("_rv", True).over(w)) \
-               .where(F.col("_tag") == 1)
-    if tolerance is not None:
-        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+    def match_col(forward: bool):
+        ts_order = F.col("_ts").desc() if forward else F.col("_ts").asc()
+        w = (Window.partitionBy(*part_cols)
+             .orderBy(ts_order, F.col("_tag").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return F.last("_rv", True).over(w)
 
-        ts_type = u.schema["_ts"].dataType
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
-        def secs(c):
-            # only the DIFFERENCE matters, so any common affine epoch works;
-            # TIMESTAMP_NTZ has no direct numeric cast in Spark 4
-            if isinstance(ts_type, (TimestampType, TimestampNTZType, DateType)):
-                return F.unix_micros(c.cast("timestamp")).cast("double") / 1e6
-            return c.cast("double")
+    ts_type = u.schema["_ts"].dataType
 
-        gap = secs(F.col("_ts")) - secs(F.col("_match._rts"))
-        if fwd:
-            gap = -gap
+    def secs(c):
+        # only the DIFFERENCE matters, so any common affine epoch works;
+        # TIMESTAMP_NTZ has no direct numeric cast in Spark 4
+        if isinstance(ts_type, (TimestampType, TimestampNTZType, DateType)):
+            return F.unix_micros(c.cast("timestamp")).cast("double") / 1e6
+        return c.cast("double")
+
+    if near:
+        # both passes share one hash exchange (same partition keys); the
+        # per-row pick is: smaller absolute gap wins, backward wins exact
+        # ties — pandas merge_asof(direction="nearest") parity
+        matched = (
+            u.withColumn("_mb", match_col(False))
+             .withColumn("_mf", match_col(True))
+             .where(F.col("_tag") == 1)
+        )
+        gap_b = secs(F.col("_ts")) - secs(F.col("_mb._rts"))
+        gap_f = secs(F.col("_mf._rts")) - secs(F.col("_ts"))
+        if tolerance is not None:
+            tol = float(tolerance)
+            matched = (
+                matched.withColumn("_mb", F.when(gap_b <= tol, F.col("_mb")))
+                       .withColumn("_mf", F.when(gap_f <= tol, F.col("_mf")))
+            )
         matched = matched.withColumn(
-            "_match", F.when(gap <= float(tolerance), F.col("_match")))
+            "_match",
+            F.when(
+                F.col("_mb").isNotNull()
+                & (F.col("_mf").isNull() | (gap_b <= gap_f)),
+                F.col("_mb"),
+            ).otherwise(F.col("_mf")),
+        )
+    else:
+        matched = u.withColumn("_match", match_col(fwd)) \
+                   .where(F.col("_tag") == 1)
+        if tolerance is not None:
+            gap = secs(F.col("_ts")) - secs(F.col("_match._rts"))
+            if fwd:
+                gap = -gap
+            matched = matched.withColumn(
+                "_match", F.when(gap <= float(tolerance), F.col("_match")))
     return matched.select(
         *[F.col(f"_l_{c}").alias(c) for c in left.columns],
         F.col("_match._rts").alias(f"{ts_col}{suffix}"),

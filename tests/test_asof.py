@@ -129,8 +129,55 @@ def test_forward_global_and_tolerance(spark):
         assert (pd.isna(g) and pd.isna(w)) or g == w
 
 
+def test_nearest_keyed_matches_pandas(spark):
+    rng = np.random.default_rng(23)
+    trades, quotes = _frames(rng)
+    got = asof_join(spark.createDataFrame(trades),
+                    spark.createDataFrame(quotes),
+                    "t", by="sym", direction="nearest").toPandas() \
+        .sort_values("tid").reset_index(drop=True)
+    want = pd.merge_asof(
+        trades.sort_values("t"), quotes.sort_values("t"),
+        on="t", by="sym", direction="nearest",
+    ).sort_values("tid").reset_index(drop=True)
+    for g, w in zip(got["px_asof"], want["px"]):
+        assert (pd.isna(g) and pd.isna(w)) or g == w
+
+
+def test_nearest_global_and_tolerance(spark):
+    rng = np.random.default_rng(29)
+    trades, quotes = _frames(rng, keys=1)
+    trades, quotes = trades.drop(columns=["sym"]), quotes.drop(columns=["sym"])
+    quotes = quotes.drop_duplicates(["t"])
+    got = asof_join(spark.createDataFrame(trades).repartition(6),
+                    spark.createDataFrame(quotes).repartition(4),
+                    "t", direction="nearest", tolerance=60,
+                    num_buckets=8).toPandas() \
+        .sort_values("tid").reset_index(drop=True)
+    want = pd.merge_asof(
+        trades.sort_values("t"), quotes.sort_values("t"),
+        on="t", direction="nearest", tolerance=60,
+    ).sort_values("tid").reset_index(drop=True)
+    for g, w in zip(got["px_asof"], want["px"]):
+        assert (pd.isna(g) and pd.isna(w)) or g == w
+
+
+def test_nearest_tie_prefers_backward(spark):
+    # left at t=10, right rows equidistant at t=8 and t=12 -> backward
+    lt = spark.createDataFrame(pd.DataFrame({"tid": [0], "t": [10]}))
+    rt = spark.createDataFrame(
+        pd.DataFrame({"t": [8, 12], "px": [1.0, 2.0]}))
+    got = asof_join(lt, rt, "t", direction="nearest").collect()[0]
+    assert got["px_asof"] == 1.0 and got["t_asof"] == 8
+    # pandas agrees on the tie rule
+    w = pd.merge_asof(pd.DataFrame({"t": [10]}),
+                      pd.DataFrame({"t": [8, 12], "px": [1.0, 2.0]}),
+                      on="t", direction="nearest")
+    assert w["px"][0] == 1.0
+
+
 def test_direction_guard(spark):
     lt = spark.createDataFrame(pd.DataFrame({"tid": [0], "t": [1]}))
     rt = spark.createDataFrame(pd.DataFrame({"t": [1], "px": [1.0]}))
     with pytest.raises(ValueError, match="direction"):
-        asof_join(lt, rt, "t", direction="nearest")
+        asof_join(lt, rt, "t", direction="sideways")
