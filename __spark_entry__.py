@@ -1993,6 +1993,54 @@ ORDER BY k.event_id
 """
 
 
+def _q_hdr_doclen_quantiles(spark, sf_dir):
+    """HDR-style mergeable quantile sketch (operators/sketch.py): per-lang
+    p50/p90/p99 of document length (n_chars, sbits=7 -> <1.6% relative
+    error, exact below 128). Every step is integer-exact (bit-length
+    buckets, power-of-two scaling), so the oracle recomputes registers,
+    ranks and decoded estimates bit-for-bit in SQL."""
+    from sedona_db_spark.operators.sketch import hdr_quantiles, hdr_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    sk = hdr_sketch(docs, "n_chars", group_cols=["lang"], sbits=7)
+    out = hdr_quantiles(sk, [0.5, 0.9, 0.99], group_cols=["lang"], sbits=7)
+    return out.select("lang", "q", F.col("n").cast("bigint").alias("n"),
+                      F.col("est").cast("bigint").alias("est"))
+
+
+_HDR_ORACLE = """
+WITH b AS (
+  SELECT lang,
+    CASE WHEN n_chars < 128 THEN n_chars
+         ELSE (length(bin(n_chars)) - 7) * 128
+              + CAST(floor(n_chars / power(2.0, length(bin(n_chars)) - 7))
+                     AS BIGINT)
+    END AS bucket
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+), sk AS (
+  SELECT lang, bucket, count(*) AS cnt FROM b GROUP BY 1, 2
+), cum AS (
+  SELECT lang, bucket,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS n
+  FROM sk
+), qs AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q),
+hit AS (
+  SELECT lang, q, min(bucket) AS bk, max(n) AS n
+  FROM cum CROSS JOIN qs
+  WHERE cum >= greatest(1, CAST(ceil(q * n) AS BIGINT))
+  GROUP BY lang, q
+)
+SELECT lang, q, n,
+       CASE WHEN bk < 128 THEN bk
+            ELSE CAST((bk - CAST(floor(bk / 128) AS BIGINT) * 128)
+                      * power(2.0, CAST(floor(bk / 128) AS BIGINT))
+                      AS BIGINT)
+       END AS est
+FROM hit
+"""
+
+
 _BM25_TERMS = ["spark", "join", "window"]
 
 
@@ -2118,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_view": _q_asof_purchase_view,
         "asof_forward_view": _q_asof_forward,
         "asof_nearest_view": _q_asof_nearest,
+        "hdr_doclen_quantiles": _q_hdr_doclen_quantiles,
     }
 
 
@@ -3028,4 +3077,5 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_view": _ASOF_ORACLE,
         "asof_forward_view": _ASOF_FWD_ORACLE,
         "asof_nearest_view": _ASOF_NEAREST_ORACLE,
+        "hdr_doclen_quantiles": _HDR_ORACLE,
     }

@@ -41,7 +41,9 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["hll_sketch", "hll_merge", "hll_estimate", "hll_count_distinct",
+__all__ = ["hdr_sketch", "hdr_merge", "hdr_quantiles", "hdr_bucket",
+           "hdr_decode",
+           "hll_sketch", "hll_merge", "hll_estimate", "hll_count_distinct",
            "hll_reg_rho", "cms_sketch", "cms_merge", "cms_estimate"]
 
 _SUFFIX_BITS = 40
@@ -203,3 +205,124 @@ def cms_estimate(sketch: DataFrame, values: DataFrame, col: str,
     joined = pos.join(F.broadcast(sketch), ["row", "pos"], "left")
     return (joined.groupBy(col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col)))
+
+
+# ---------------------------------------------------------------------------
+# HDR-style quantile sketch
+# ---------------------------------------------------------------------------
+# HdrHistogram (Tene) semantics, from scratch: non-negative integer values
+# land in log-scaled buckets — exact below 2^sbits, relative width
+# <= 2^(1-sbits) above — so the register table is bounded by
+# ~52 * 2^sbits rows per group FOREVER, SUM-mergeable across
+# partitions/shards/days like the CMS, and every step is integer-exact:
+# bucket index from the value's bit length (length(bin(v)) — both
+# engines print minimal binary), shifts as EXACT double scaling
+# (v < 2^52 keeps v * 2^-k lossless), so a plain-SQL oracle recomputes
+# every register, rank, and decoded quantile bit-for-bit.  At 10^12 rows
+# percentile(col, ...) is a full sort; this is one groupBy.
+
+_HDR_MAX = 1 << 52  # doubles scale by powers of two losslessly below this
+
+
+def _check_hdr(sbits: int) -> None:
+    if not 2 <= sbits <= 16:
+        raise ValueError(f"sbits must be in [2, 16], got {sbits}")
+
+
+def hdr_bucket(col, sbits: int):
+    """Non-negative BIGINT value -> HDR bucket id (integer-exact).
+
+    v < 2^sbits: bucket = v (exact). Otherwise k = bit_length(v) - sbits,
+    bucket = k * 2^sbits + floor(v / 2^k) — the mantissa's top sbits bits.
+    """
+    v = col.cast("long")
+    s = F.lit(1 << sbits)
+    m = F.length(F.bin(v))  # bit_length for v >= 1
+    k = m - F.lit(sbits)
+    # 2^k as exact double; v / 2^k is a pure exponent shift -> lossless
+    p2k = F.pow(F.lit(2.0), k.cast("double"))
+    coarse = k.cast("long") * s + F.floor(v.cast("double") / p2k).cast("long")
+    return F.when(v < s, v).otherwise(coarse)
+
+
+def hdr_decode(bucket_col, sbits: int):
+    """Bucket id -> lower edge of the bucket (the quantile estimate).
+
+    Relative error < 2^(1-sbits): the true value lies in
+    [edge, edge + 2^k) with 2^k <= edge * 2^(1-sbits).
+    """
+    u = bucket_col.cast("long")
+    s = F.lit(1 << sbits)
+    k = F.floor(u / s).cast("long")
+    sub = u - k * s
+    p2k = F.pow(F.lit(2.0), k.cast("double"))
+    return F.when(u < s, u).otherwise((sub.cast("double") * p2k).cast("long"))
+
+
+def hdr_sketch(df: DataFrame, col: str,
+               group_cols: list[str] | None = None,
+               sbits: int = 7) -> DataFrame:
+    """(group..., bucket, cnt) — the mergeable quantile register table.
+
+    NULLs and negatives are skipped (HDR is a non-negative-value
+    histogram; shift or split signed data first). Values >= 2^52 raise
+    at runtime rather than silently losing mantissa bits.
+    """
+    _check_hdr(sbits)
+    g = list(group_cols or [])
+    v = F.col(col).cast("long")
+    checked = F.when(v >= F.lit(_HDR_MAX),
+                     F.raise_error(F.lit(
+                         f"hdr_sketch: value >= 2^52 in column {col!r}; "
+                         "rescale (e.g. to milliseconds) first"))
+                     ).otherwise(v)
+    rows = df.where(v.isNotNull() & (v >= 0)).select(
+        *g, hdr_bucket(checked, sbits).alias("bucket"))
+    return rows.groupBy(*g, "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def hdr_merge(*sketches: DataFrame,
+              group_cols: list[str] | None = None) -> DataFrame:
+    """Sum register tables from disjoint shards (associative)."""
+    g = list(group_cols or [])
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*g, "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hdr_quantiles(sketch: DataFrame, qs: list[float],
+                  group_cols: list[str] | None = None,
+                  sbits: int = 7) -> DataFrame:
+    """(group..., q, n, est) — the value estimate at each quantile.
+
+    Rank rule: r = max(1, ceil(q * n)); est = decoded lower edge of the
+    smallest bucket whose cumulative count reaches r (the classic
+    inverted-CDF / `percentile_disc` convention, evaluated on buckets).
+    The register-table window is bounded (<= ~52 * 2^sbits rows per
+    group), so the per-group sort is trivial however large the corpus.
+    """
+    _check_hdr(sbits)
+    from pyspark.sql import Window
+
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"qs must be fractions in (0, 1], got {qs}")
+    g = list(group_cols or [])
+    w = Window.partitionBy(*g).orderBy("bucket") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy(*g)
+    cum = sketch.select(
+        *g, "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    qdf = F.broadcast(
+        sketch.sparkSession.createDataFrame(
+            [(float(q),) for q in qs], "q double"))
+    hits = cum.crossJoin(qdf).where(
+        F.col("cum") >= F.greatest(
+            F.lit(1), F.ceil(F.col("q") * F.col("n"))))
+    return (hits.groupBy(*g, "q")
+            .agg(F.min("bucket").alias("_b"), F.first("n").alias("n"))
+            .select(*g, "q", "n",
+                    hdr_decode(F.col("_b"), sbits).alias("est")))

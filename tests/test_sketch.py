@@ -165,3 +165,96 @@ def test_cms_weighted_turnstile(spark):
     for d, s in exact.items():
         assert est[d] >= s  # never under, for non-negative weights
         assert est[d] - s <= 2.72 * sum(exact.values()) / (1 << 12) + 1
+
+
+# ---------------------------------------------------------------------------
+# HDR quantile sketch
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from sedona_db_spark.operators.sketch import (
+    hdr_merge,
+    hdr_quantiles,
+    hdr_sketch,
+)
+
+
+def _rank_quantile(vals, q):
+    """The sketch's rank rule on raw values: r = max(1, ceil(q*n))."""
+    s = sorted(vals)
+    r = max(1, math.ceil(q * len(s)))
+    return s[r - 1]
+
+
+def test_hdr_exact_below_subbucket_range(spark):
+    # every value < 2^7 -> buckets are the values themselves: quantiles
+    # match the exact rank rule with zero error
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 128, 500).tolist()
+    df = spark.createDataFrame([(int(v),) for v in vals], "v long")
+    got = {r["q"]: r["est"]
+           for r in hdr_quantiles(hdr_sketch(df, "v"), [0.5, 0.9, 0.99]).collect()}
+    for q in (0.5, 0.9, 0.99):
+        assert got[q] == _rank_quantile(vals, q)
+
+
+def test_hdr_relative_error_bound(spark):
+    # heavy-tailed values: decoded estimate within 2^(1-sbits) relative
+    # error of the exact rank quantile, and never above it
+    rng = np.random.default_rng(11)
+    vals = np.exp(rng.uniform(0, 20, 2000)).astype(np.int64).tolist()
+    df = spark.createDataFrame([(int(v),) for v in vals], "v long")
+    sk = hdr_sketch(df, "v", sbits=7)
+    got = {r["q"]: r["est"] for r in hdr_quantiles(sk, [0.5, 0.9, 0.99],
+                                                   sbits=7).collect()}
+    for q in (0.5, 0.9, 0.99):
+        exact = _rank_quantile(vals, q)
+        assert got[q] <= exact
+        assert got[q] >= exact * (1 - 2 ** (1 - 7)) - 1
+
+
+def test_hdr_merge_equals_whole(spark):
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 1 << 30, 1000).tolist()
+    df = spark.createDataFrame([(int(v), int(v) % 3) for v in vals],
+                               "v long, shard int")
+    whole = hdr_sketch(df, "v")
+    shards = [hdr_sketch(df.where(F.col("shard") == i), "v")
+              for i in range(3)]
+    merged = hdr_merge(*shards)
+    a = sorted((r["bucket"], r["cnt"]) for r in whole.collect())
+    b = sorted((r["bucket"], r["cnt"]) for r in merged.collect())
+    assert a == b
+
+
+def test_hdr_grouped_and_bounded(spark):
+    rng = np.random.default_rng(17)
+    rows = [(int(v), ["a", "b"][i % 2])
+            for i, v in enumerate(rng.integers(0, 1 << 40, 4000))]
+    df = spark.createDataFrame(rows, "v long, g string")
+    sk = hdr_sketch(df, "v", group_cols=["g"], sbits=5)
+    # register table bounded by ~52 * 2^sbits per group
+    per_g = {r["g"]: r["c"] for r in
+             sk.groupBy("g").agg(F.count("*").alias("c")).collect()}
+    assert all(c <= 52 * 32 for c in per_g.values())
+    qs = hdr_quantiles(sk, [0.5], group_cols=["g"], sbits=5).collect()
+    assert {r["g"] for r in qs} == {"a", "b"}
+    for r in qs:
+        grp = [v for v, g in rows if g == r["g"]]
+        exact = _rank_quantile(grp, 0.5)
+        assert exact * (1 - 2 ** (1 - 5)) - 1 <= r["est"] <= exact
+
+
+def test_hdr_guards(spark):
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError):
+        hdr_sketch(df, "v", sbits=1)
+    with pytest.raises(ValueError):
+        hdr_quantiles(hdr_sketch(df, "v"), [0.0])
+    big = spark.createDataFrame([(1 << 53,)], "v long")
+    with pytest.raises(Exception, match="2\\^52"):
+        hdr_sketch(big, "v").collect()
+    # negatives and NULLs skipped, not crashed
+    mixed = spark.createDataFrame([(-5,), (None,), (3,)], "v long")
+    assert hdr_sketch(mixed, "v").count() == 1
