@@ -191,3 +191,48 @@ def streaming_hll_registers(
         .groupBy(F.window(F.col(ts_col), window_duration), F.col("reg"))
         .agg(F.max("rho").alias("mj"))
     )
+
+
+def streaming_cms_registers(
+    stream: DataFrame,
+    value_col: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "warc_ts",
+    width: int = 1 << 12,
+    depth: int = 4,
+    event_id_col: str | None = None,
+) -> DataFrame:
+    """Per-window count-min registers over a stream: heavy-hitter state
+    in ≤ depth*width rows per window FOREVER.
+
+    Unlike the HLL's MAX, the CMS update is SUM — NOT idempotent — so an
+    at-least-once source replaying a micro-batch would inflate counts.
+    Pass ``event_id_col`` to insert a watermark-scoped
+    ``dropDuplicates`` on (event id) ahead of the count: replays and
+    duplicate deliveries inside the watermark are then absorbed and the
+    streamed registers match the batch `cms_sketch` over the distinct
+    rows exactly. Leave it None only on an exactly-once source.
+
+    The register assignment is `operators/sketch._cms_pos`
+    (md5-deterministic), so finalize windows with `sketch.cms_estimate`
+    on the materialized output.
+
+    Output: (window struct, row, pos, cnt)."""
+    from sedona_db_spark.operators.sketch import _check_cms, _cms_pos
+
+    _check_cms(width, depth)
+    s = stream.where(F.col(value_col).isNotNull()) \
+        .withWatermark(ts_col, watermark_delay)
+    if event_id_col is not None:
+        s = s.dropDuplicates([event_id_col, ts_col])
+    rows = s.select(F.col(ts_col), F.explode(F.array(*[
+        F.struct(F.lit(j).alias("row"),
+                 _cms_pos(F.col(value_col), width, j).alias("pos"))
+        for j in range(depth)])).alias("rp"))
+    return (
+        rows.select(ts_col, "rp.row", "rp.pos")
+        .groupBy(F.window(F.col(ts_col), window_duration),
+                 F.col("row"), F.col("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

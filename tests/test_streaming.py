@@ -173,3 +173,61 @@ def test_streaming_hll_matches_batch_registers(spark, tmp_path):
         F.countDistinct("url").alias("n")).collect()}
     for ws, n in exact.items():
         assert abs(est[ws] - n) / max(n, 1) < 0.3
+
+
+def test_streaming_cms_matches_batch_and_absorbs_replay(spark, tmp_path):
+    """Streamed per-window CMS registers over an at-least-once source
+    (the same file delivered twice) must equal the batch cms_sketch over
+    the DISTINCT rows exactly — the event-id dropDuplicates absorbs the
+    replay that a raw SUM would double-count."""
+    from sedona_db_spark.operators.sketch import cms_estimate, cms_sketch
+
+    src = str(tmp_path / "pages_cms")
+    base = P.synthesize_pages(spark, 800, partitions=4)
+    base.write.mode("overwrite").parquet(src)
+    # replay: the identical rows land again as new files
+    base.coalesce(2).write.mode("append").parquet(src)
+
+    W, D = 1 << 8, 3
+    stream = GS.stream_pages_from_dir(spark, src, max_files_per_trigger=2)
+    regs = GS.streaming_cms_registers(stream, "lang", "6 hours", "1 hour",
+                                      ts_col="warc_ts", width=W, depth=D,
+                                      event_id_col="url")
+    q = (regs.writeStream.format("memory").queryName("cms_regs")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        # update mode re-emits a register as it grows: the max is final
+        streamed = spark.sql(
+            "SELECT window.start AS ws, row, pos, max(cnt) AS cnt "
+            "FROM cms_regs GROUP BY 1, 2, 3").collect()
+    finally:
+        q.stop()
+
+    batch = (spark.read.parquet(src).dropDuplicates(["url", "warc_ts"])
+             .withColumn("ws", F.window(F.col("warc_ts"), "6 hours")
+                         .getField("start")))
+    want = {}
+    for ws_row in batch.select("ws").distinct().collect():
+        ws = ws_row["ws"]
+        sk = cms_sketch(batch.where(F.col("ws") == ws), "lang",
+                        width=W, depth=D)
+        for r in sk.collect():
+            want[(ws, r["row"], r["pos"])] = r["cnt"]
+    got = {(r["ws"], r["row"], r["pos"]): r["cnt"] for r in streamed}
+    assert got == want
+
+    # finalize: per-window heavy-hitter estimates never underestimate
+    one_ws = max(set(ws for ws, _, _ in got), key=lambda w: sum(
+        c for (ws2, _, _), c in got.items() if ws2 == w))
+    regs_df = spark.createDataFrame(
+        [(r, p, c) for (ws, r, p), c in got.items() if ws == one_ws],
+        "row long, pos long, cnt long")
+    langs = batch.where(F.col("ws") == one_ws).select("lang").distinct()
+    est = {r["lang"]: r["cms_est"] for r in cms_estimate(
+        regs_df, langs, "lang", width=W, depth=D).collect()}
+    exact = {r["lang"]: r["n"] for r in
+             batch.where(F.col("ws") == one_ws).groupBy("lang")
+             .agg(F.count("*").alias("n")).collect()}
+    for k, n in exact.items():
+        assert est[k] >= n
