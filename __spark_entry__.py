@@ -2041,6 +2041,61 @@ FROM hit
 """
 
 
+def _q_subdivide_nations(spark, sf_dir):
+    """ST_SubDivide (operators/subdivide.py) over per-nation L-shaped
+    polygons (7 vertices) with max_vertices=5: the envelope is wider
+    than tall by construction, so the single split at the x-midpoint
+    yields exactly two rectangles whose envelopes and areas are
+    closed-form in nationkey — the oracle emits them directly."""
+    from sedona_db_spark.functions import st
+    from sedona_db_spark.operators.subdivide import subdivide
+
+    n = _t(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("double")
+    w = 1.0 + (F.col("n_nationkey") % 3).cast("double")
+    x0 = nk * 20.0
+    y0 = (F.col("n_nationkey") % 5).cast("double") * 10.0
+    pt = lambda x, y: F.concat_ws(" ", x.cast("string"), y.cast("string"))
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        F.concat_ws(", ",
+                    pt(x0, y0), pt(x0 + 4 * w, y0),
+                    pt(x0 + 4 * w, y0 + 2), pt(x0 + 2 * w, y0 + 2),
+                    pt(x0 + 2 * w, y0 + 3), pt(x0, y0 + 3), pt(x0, y0)),
+        F.lit("))"),
+    )
+    df = n.select("n_nationkey", st.ST_GeomFromText(wkt).alias("geom"))
+    parts = subdivide(df, "geom", max_vertices=5)
+    p = F.col("part")
+    return parts.select(
+        "n_nationkey",
+        F.round(st.ST_XMin(p), 6).alias("xmin"),
+        F.round(st.ST_YMin(p), 6).alias("ymin"),
+        F.round(st.ST_XMax(p), 6).alias("xmax"),
+        F.round(st.ST_YMax(p), 6).alias("ymax"),
+        F.round(st.ST_Area(p), 6).alias("area"),
+    )
+
+
+_SUBDIVIDE_ORACLE = """
+WITH base AS (
+  SELECT n_nationkey,
+         CAST(n_nationkey AS DOUBLE) * 20.0 AS x0,
+         CAST(n_nationkey % 5 AS DOUBLE) * 10.0 AS y0,
+         1.0 + CAST(n_nationkey % 3 AS DOUBLE) AS w
+  FROM nation
+)
+SELECT n_nationkey, round(x0, 6) AS xmin, round(y0, 6) AS ymin,
+       round(x0 + 2*w, 6) AS xmax, round(y0 + 3, 6) AS ymax,
+       round(2*w*3, 6) AS area
+FROM base
+UNION ALL
+SELECT n_nationkey, round(x0 + 2*w, 6), round(y0, 6),
+       round(x0 + 4*w, 6), round(y0 + 2, 6), round(2*w*2, 6)
+FROM base
+"""
+
+
 _BM25_TERMS = ["spark", "join", "window"]
 
 
@@ -2167,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward_view": _q_asof_forward,
         "asof_nearest_view": _q_asof_nearest,
         "hdr_doclen_quantiles": _q_hdr_doclen_quantiles,
+        "subdivide_nations": _q_subdivide_nations,
     }
 
 
@@ -3078,4 +3134,5 @@ def oracle_sql() -> dict[str, str]:
         "asof_forward_view": _ASOF_FWD_ORACLE,
         "asof_nearest_view": _ASOF_NEAREST_ORACLE,
         "hdr_doclen_quantiles": _HDR_ORACLE,
+        "subdivide_nations": _SUBDIVIDE_ORACLE,
     }

@@ -43,6 +43,7 @@ from .operators.spatial_join import (
     spatial_join,
     spatial_join_ordered,
 )
+from .operators.subdivide import subdivide
 from .operators.tiles import tile_cut
 
 __all__ = [
@@ -61,5 +62,6 @@ __all__ = [
     "cluster_within",
     "kmeans_points",
     "tile_cut",
+    "subdivide",
 ]
 __version__ = "0.1.0"
