@@ -2096,6 +2096,102 @@ FROM base
 """
 
 
+def _q_delaunay_invariants(spark, sf_dir):
+    """ST_DelaunayTriangles (geometry/delaunay.py, Bowyer-Watson from
+    scratch): per nation, a 10x10 square's 4 corners + i = 3+nk%4
+    interior points in general position. ANY triangulation of that set
+    has exactly 2i + 2 triangles and its areas sum to the square — both
+    closed-form in nationkey, so the oracle emits them directly."""
+    from sedona_db_spark.functions import st
+
+    n = _t(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey")
+    x0 = nk.cast("double") * 40.0
+    y0 = (nk % 7).cast("double") * 40.0
+    i_cnt = 3 + nk % 4
+    pt = lambda x, y: F.concat_ws(" ", x.cast("string"), y.cast("string"))
+    corners = [pt(x0, y0), pt(x0 + 10, y0), pt(x0 + 10, y0 + 10),
+               pt(x0, y0 + 10)]
+    inner = [
+        F.when(F.lit(j) < i_cnt, pt(
+            x0 + 1.0 + ((nk * 7 + j * 13) % 17).cast("double") / 17.0 * 8.0,
+            y0 + 1.0 + ((nk * 11 + j * 19) % 23).cast("double") / 23.0 * 8.0))
+        for j in range(7)
+    ]
+    wkt = F.concat(F.lit("MULTIPOINT ("),
+                   F.concat_ws(", ", *corners,
+                               *[F.coalesce(p, F.lit(None)) for p in inner]),
+                   F.lit(")"))
+    # concat_ws skips NULLs, so only the first i_cnt inner points appear
+    df = n.select("n_nationkey", st.ST_GeomFromText(wkt).alias("mp"))
+    tri = st.ST_DelaunayTriangles(F.col("mp"))
+    return df.select(
+        "n_nationkey",
+        st.ST_NumGeometries(tri).cast("bigint").alias("n_tri"),
+        F.round(st.ST_Area(tri), 6).alias("tri_area"),
+    )
+
+
+_DELAUNAY_ORACLE = """
+SELECT n_nationkey,
+       CAST(2 * (3 + n_nationkey % 4) + 2 AS BIGINT) AS n_tri,
+       CAST(100.0 AS DOUBLE) AS tri_area
+FROM nation
+"""
+
+
+def _q_voronoi_grid(spark, sf_dir):
+    """ST_VoronoiPolygons over a 3x3 integer grid per nation: with the
+    default PostGIS-style envelope (bbox + 50% span), every cell is an
+    axis rectangle whose bounds and area are closed-form — corner cells
+    1.5x1.5, edge cells 1.5x1, center 1x1."""
+    from sedona_db_spark.functions import st
+
+    n = _t(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey")
+    x0 = nk.cast("double") * 20.0
+    y0 = (nk % 5).cast("double") * 20.0
+    pt = lambda x, y: F.concat_ws(" ", x.cast("string"), y.cast("string"))
+    pts = [pt(x0 + j, y0 + k) for j in range(3) for k in range(3)]
+    wkt = F.concat(F.lit("MULTIPOINT ("), F.concat_ws(", ", *pts),
+                   F.lit(")"))
+    df = n.select("n_nationkey", st.ST_GeomFromText(wkt).alias("mp"))
+    cells = df.select(
+        "n_nationkey",
+        F.explode(st.ST_Dump(st.ST_VoronoiPolygons(F.col("mp"))))
+        .alias("cell"))
+    c = F.col("cell.geom")
+    return cells.select(
+        "n_nationkey",
+        F.round(st.ST_XMin(c), 6).alias("xmin"),
+        F.round(st.ST_YMin(c), 6).alias("ymin"),
+        F.round(st.ST_XMax(c), 6).alias("xmax"),
+        F.round(st.ST_YMax(c), 6).alias("ymax"),
+        F.round(st.ST_Area(c), 6).alias("area"),
+    )
+
+
+_VORONOI_ORACLE = """
+WITH base AS (
+  SELECT n_nationkey,
+         CAST(n_nationkey AS DOUBLE) * 20.0 AS x0,
+         CAST(n_nationkey % 5 AS DOUBLE) * 20.0 AS y0
+  FROM nation
+), axes AS (
+  SELECT idx, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi
+  FROM (VALUES (0, 0.0, 1.5), (1, 1.5, 2.5), (2, 2.5, 4.0))
+       AS t(idx, lo, hi)
+)
+SELECT n_nationkey,
+       round(x0 - 1.0 + ax.lo, 6) AS xmin,
+       round(y0 - 1.0 + ay.lo, 6) AS ymin,
+       round(x0 - 1.0 + ax.hi, 6) AS xmax,
+       round(y0 - 1.0 + ay.hi, 6) AS ymax,
+       round((ax.hi - ax.lo) * (ay.hi - ay.lo), 6) AS area
+FROM base CROSS JOIN axes ax CROSS JOIN axes ay
+"""
+
+
 _BM25_TERMS = ["spark", "join", "window"]
 
 
@@ -2223,6 +2319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest_view": _q_asof_nearest,
         "hdr_doclen_quantiles": _q_hdr_doclen_quantiles,
         "subdivide_nations": _q_subdivide_nations,
+        "delaunay_invariants": _q_delaunay_invariants,
+        "voronoi_grid_cells": _q_voronoi_grid,
     }
 
 
@@ -3135,4 +3233,6 @@ def oracle_sql() -> dict[str, str]:
         "asof_nearest_view": _ASOF_NEAREST_ORACLE,
         "hdr_doclen_quantiles": _HDR_ORACLE,
         "subdivide_nations": _SUBDIVIDE_ORACLE,
+        "delaunay_invariants": _DELAUNAY_ORACLE,
+        "voronoi_grid_cells": _VORONOI_ORACLE,
     }

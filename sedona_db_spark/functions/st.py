@@ -2004,6 +2004,79 @@ def _st_asbinary(s: pd.Series) -> pd.Series:
     )
 
 
+# --- Delaunay / Voronoi / concave hull (PostGIS/Sedona names; no
+# reference analogue — geometry/delaunay.py is the from-scratch kernel).
+# Per-row scalar functions: one geometry's VERTICES in, one collection
+# out — embarrassingly parallel, no cross-row state.
+
+@pandas_udf(BinaryType())
+def _st_delaunay(s: pd.Series) -> pd.Series:
+    from sedona_db_spark.geometry import delaunay as dl
+
+    def run(v):
+        if v is None:
+            return None
+        g = wkb.parse(bytes(v))
+        pts = g.all_coords()[:, :2]
+        tris = dl.delaunay(pts)
+        polys = []
+        for a, b, c in tris:
+            ring = np.array([pts[a], pts[b], pts[c], pts[a]], dtype=np.float64)
+            polys.append(wkb.Geometry(wkb.POLYGON, [ring]))
+        return wkb.encode(wkb.Geometry(wkb.GEOMETRYCOLLECTION, polys))
+
+    return pd.Series([run(v) for v in s], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_voronoi(s: pd.Series) -> pd.Series:
+    from sedona_db_spark.geometry import delaunay as dl
+
+    def run(v):
+        if v is None:
+            return None
+        g = wkb.parse(bytes(v))
+        pts = g.all_coords()[:, :2]
+        cells = dl.voronoi_cells(pts)
+        polys = []
+        for cell in cells:
+            if cell is None or len(cell) < 3:
+                continue
+            ring = np.array(list(cell) + [cell[0]], dtype=np.float64)
+            polys.append(wkb.Geometry(wkb.POLYGON, [ring]))
+        return wkb.encode(wkb.Geometry(wkb.GEOMETRYCOLLECTION, polys))
+
+    return pd.Series([run(v) for v in s], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_concavehull(s: pd.Series, ratios: pd.Series) -> pd.Series:
+    from sedona_db_spark.geometry import delaunay as dl
+
+    def run(v, ratio):
+        if v is None or ratio is None:
+            return None
+        g = wkb.parse(bytes(v))
+        pts = g.all_coords()[:, :2]
+        ring = dl.chi_concave_hull(pts, float(ratio))
+        if len(ring) < 3:
+            # collinear / tiny inputs degrade to the convex hull,
+            # matching PostGIS's fallback behavior
+            return wkb.encode(algos.convex_hull(g))
+        arr = np.array(ring + [ring[0]], dtype=np.float64)
+        # chi boundary walk can be either orientation; emit CCW shells
+        sgn = 0.0
+        for i in range(len(ring)):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % len(ring)]
+            sgn += x1 * y2 - x2 * y1
+        if sgn < 0:
+            arr = arr[::-1].copy()
+        return wkb.encode(wkb.Geometry(wkb.POLYGON, [arr]))
+
+    return pd.Series([run(v, r) for v, r in zip(s, ratios)], dtype=object)
+
+
 def _st_knn_marker(*_args):
     raise NotImplementedError(
         "ST_KNN is a join-only marker function (docs/reference/sql.md:702-723 "
@@ -2057,6 +2130,9 @@ _UDFS: Dict[str, object] = {
     "ST_Centroid": _st_centroid,
     "ST_Envelope": _st_envelope,
     "ST_ConvexHull": _st_convexhull,
+    "ST_DelaunayTriangles": _st_delaunay,
+    "ST_VoronoiPolygons": _st_voronoi,
+    "ST_ConcaveHull": _st_concavehull,
     "ST_FlipCoordinates": _st_flipcoordinates,
     "ST_Dimension": _st_dimension,
     "ST_GeometryType": _st_geometrytype,
