@@ -901,6 +901,40 @@ def _q_st_processing(spark, sf_dir):
     )
 
 
+def _q_st_affine_mbr(spark, sf_dir):
+    """Affine family + minimum bounding circle, all closed-form:
+    ST_Rotate is (x cos t - y sin t, x sin t + y cos t), ST_Scale is
+    component-wise, ST_Affine is the 2x3 matrix, and the smallest
+    enclosing circle of an axis-aligned box is its centroid +
+    half-diagonal (PostGIS-named functions; no reference analogue)."""
+    from sedona_db_spark.functions import st
+
+    c = _cust_pts(spark, sf_dir)
+    t = 0.7
+    rot = st.ST_Rotate(F.col("geom"), F.lit(t))
+    sc = st.ST_Scale(F.col("geom"), F.lit(2.0), F.lit(-0.5))
+    af = st.ST_Affine(F.col("geom"), F.lit(1.0), F.lit(2.0), F.lit(3.0),
+                      F.lit(4.0), F.lit(10.0), F.lit(20.0))
+    x0 = (F.col("c_custkey") * 3 % 100).cast("double")
+    y0 = (F.col("c_custkey") * 11 % 80).cast("double")
+    w = (F.col("c_custkey") % 7 + 1).cast("double")
+    h = (F.col("c_custkey") % 5 + 1).cast("double")
+    box = st.ST_MakeEnvelope(x0, y0, x0 + w, y0 + h)
+    mbr = st.ST_MinimumBoundingRadius(box)
+    return c.select(
+        "c_custkey",
+        F.round(st.ST_X(rot), 6).alias("rot_x"),
+        F.round(st.ST_Y(rot), 6).alias("rot_y"),
+        F.round(st.ST_X(sc), 6).alias("scale_x"),
+        F.round(st.ST_Y(sc), 6).alias("scale_y"),
+        F.round(st.ST_X(af), 6).alias("aff_x"),
+        F.round(st.ST_Y(af), 6).alias("aff_y"),
+        F.round(st.ST_X(mbr["center"]), 9).alias("mbr_cx"),
+        F.round(st.ST_Y(mbr["center"]), 9).alias("mbr_cy"),
+        F.round(mbr["radius"], 9).alias("mbr_r"),
+    )
+
+
 def _q_st_distance_fns(spark, sf_dir):
     """Distance family: planar ST_Distance and great-circle
     ST_DistanceSphere between per-row point pairs, both closed-form SQL
@@ -2291,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_left_outer": _q_sjoin_left_outer,
         "st_processing": _q_st_processing,
         "st_distance_fns": _q_st_distance_fns,
+        "st_affine_mbr": _q_st_affine_mbr,
         "st_validity": _q_st_validity,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
@@ -3017,6 +3052,23 @@ def oracle_sql() -> dict[str, str]:
             f"CAST((c_custkey % 10) AS DOUBLE) * CAST(0.1 AS DOUBLE) AS f, "
             f"CAST((c_custkey % 7) - 3 AS DOUBLE) AS dx, "
             f"CAST((c_custkey % 5) - 2 AS DOUBLE) AS dy FROM customer) c"
+        ),
+        # affine family mirrored term-by-term (same op order as the
+        # numpy kernel: a*x + b*y + xoff, left-assoc); box MBC is the
+        # exact half-diagonal (w,h integer -> squares exact in double)
+        "st_affine_mbr": (
+            f"SELECT c_custkey, "
+            f"round(cos(0.7)*{_CX} - sin(0.7)*{_CY}, 6) AS rot_x, "
+            f"round(sin(0.7)*{_CX} + cos(0.7)*{_CY}, 6) AS rot_y, "
+            f"round(CAST(2.0 AS DOUBLE)*{_CX}, 6) AS scale_x, "
+            f"round(CAST(-0.5 AS DOUBLE)*{_CY}, 6) AS scale_y, "
+            f"round({_CX} + CAST(2.0 AS DOUBLE)*{_CY} + CAST(10.0 AS DOUBLE), 6) AS aff_x, "
+            f"round(CAST(3.0 AS DOUBLE)*{_CX} + CAST(4.0 AS DOUBLE)*{_CY} + CAST(20.0 AS DOUBLE), 6) AS aff_y, "
+            f"round(CAST((c_custkey*3 % 100) AS DOUBLE) + CAST((c_custkey % 7 + 1) AS DOUBLE)/2, 9) AS mbr_cx, "
+            f"round(CAST((c_custkey*11 % 80) AS DOUBLE) + CAST((c_custkey % 5 + 1) AS DOUBLE)/2, 9) AS mbr_cy, "
+            f"round(sqrt(CAST((c_custkey % 7 + 1)*(c_custkey % 7 + 1) "
+            f"         + (c_custkey % 5 + 1)*(c_custkey % 5 + 1) AS DOUBLE))/2, 9) AS mbr_r "
+            f"FROM customer c"
         ),
         # distance family: planar hypot + haversine mirrored term-by-term
         "st_distance_fns": (

@@ -2004,6 +2004,86 @@ def _st_asbinary(s: pd.Series) -> pd.Series:
     )
 
 
+# --- affine family + minimum bounding circle (PostGIS/Sedona names; no
+# reference analogue — pure coordinate math over geometry/algos.py).
+
+@pandas_udf(BinaryType())
+def _st_affine(s: pd.Series, a: pd.Series, b: pd.Series, d: pd.Series,
+               e: pd.Series, xo: pd.Series, yo: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if v is None else wkb.encode(algos.affine_2d(
+            wkb.parse(bytes(v)), float(aa), float(bb), float(dd),
+            float(ee), float(x), float(y)))
+         for v, aa, bb, dd, ee, x, y in zip(s, a, b, d, e, xo, yo)],
+        dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_rotate(s: pd.Series, rad: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if (v is None or r is None) else
+         wkb.encode(algos.rotate(wkb.parse(bytes(v)), float(r)))
+         for v, r in zip(s, rad)], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_scale(s: pd.Series, xf: pd.Series, yf: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if (v is None or x is None or y is None) else
+         wkb.encode(algos.scale(wkb.parse(bytes(v)), float(x), float(y)))
+         for v, x, y in zip(s, xf, yf)], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_snaptogrid(s: pd.Series, size: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if (v is None or z is None) else
+         wkb.encode(algos.snap_to_grid(wkb.parse(bytes(v)), float(z)))
+         for v, z in zip(s, size)], dtype=object)
+
+
+_MBR_TYPE = StructType([
+    StructField("center", BinaryType()),
+    StructField("radius", DoubleType()),
+])
+
+
+@pandas_udf(_MBR_TYPE)
+def _st_minimumboundingradius(s: pd.Series) -> pd.DataFrame:
+    centers, radii = [], []
+    for v in s:
+        if v is None:
+            centers.append(None)
+            radii.append(None)
+            continue
+        c = algos.minimum_bounding_circle(wkb.parse(bytes(v)))
+        if c is None:
+            centers.append(None)
+            radii.append(None)
+        else:
+            centers.append(wkb.encode(wkb.point(c[0], c[1])))
+            radii.append(c[2])
+    return pd.DataFrame({"center": pd.Series(centers, dtype=object),
+                         "radius": pd.Series(radii, dtype="float64")})
+
+
+@pandas_udf(BinaryType())
+def _st_minimumboundingcircle(s: pd.Series) -> pd.Series:
+    def run(v):
+        if v is None:
+            return None
+        c = algos.minimum_bounding_circle(wkb.parse(bytes(v)))
+        if c is None:
+            return None
+        cx, cy, r = c
+        if r == 0.0:
+            return wkb.encode(wkb.point(cx, cy))
+        # PostGIS renders the circle as a 48-gon (quad_segs=12)
+        return wkb.encode(algos.buffer_point(cx, cy, r, quad_segs=12))
+
+    return pd.Series([run(v) for v in s], dtype=object)
+
+
 # --- Delaunay / Voronoi / concave hull (PostGIS/Sedona names; no
 # reference analogue — geometry/delaunay.py is the from-scratch kernel).
 # Per-row scalar functions: one geometry's VERTICES in, one collection
@@ -2198,6 +2278,12 @@ _UDFS: Dict[str, object] = {
     "ST_BufferStyle": _st_buffer_style,
     "ST_SimplifyPreserveTopology": _st_simplifypreservetopology,
     "ST_Translate": _st_translate,
+    "ST_Affine": _st_affine,
+    "ST_Rotate": _st_rotate,
+    "ST_Scale": _st_scale,
+    "ST_SnapToGrid": _st_snaptogrid,
+    "ST_MinimumBoundingCircle": _st_minimumboundingcircle,
+    "ST_MinimumBoundingRadius": _st_minimumboundingradius,
     "ST_Dump": _st_dump,
     "ST_LineInterpolatePoint": _st_lineinterpolatepoint,
     "ST_LineLocatePoint": _st_linelocatepoint,

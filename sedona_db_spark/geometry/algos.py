@@ -19,6 +19,7 @@ any contact, Touches is boundary-only contact.
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -1120,3 +1121,168 @@ def azimuth(x1, y1, x2, y2):
     """North-based clockwise azimuth in radians (PostGIS ST_Azimuth)."""
     a = np.arctan2(np.asarray(x2) - np.asarray(x1), np.asarray(y2) - np.asarray(y1))
     return np.mod(a, 2 * np.pi)
+
+
+def affine_2d(g: Optional[Geometry], a: float, b: float, d: float,
+              e: float, xoff: float, yoff: float) -> Optional[Geometry]:
+    """PostGIS 2D ST_Affine: x' = a*x + b*y + xoff, y' = d*x + e*y + yoff.
+
+    Z/M values ride along unchanged. Rotation and scaling are the
+    (a,b,d,e) special cases."""
+    if g is None:
+        return None
+
+    def apply(arr: np.ndarray) -> np.ndarray:
+        out = arr.copy()
+        x = arr[:, 0]
+        y = arr[:, 1]
+        out[:, 0] = a * x + b * y + xoff
+        out[:, 1] = d * x + e * y + yoff
+        return out
+
+    return _map_coords(g, apply)
+
+
+def rotate(g: Optional[Geometry], radians: float) -> Optional[Geometry]:
+    """Rotate about POINT(0 0), counter-clockwise (PostGIS ST_Rotate)."""
+    import math as _m
+
+    c, s = _m.cos(radians), _m.sin(radians)
+    return affine_2d(g, c, -s, s, c, 0.0, 0.0)
+
+
+def scale(g: Optional[Geometry], xf: float, yf: float) -> Optional[Geometry]:
+    """Scale about the origin (PostGIS ST_Scale)."""
+    return affine_2d(g, xf, 0.0, 0.0, yf, 0.0, 0.0)
+
+
+def snap_to_grid(g: Optional[Geometry], size: float) -> Optional[Geometry]:
+    """Round every coordinate to the nearest multiple of ``size`` and
+    drop consecutive duplicate vertices (PostGIS ST_SnapToGrid shape).
+
+    A ring collapsing below 4 distinct-closed points, or a linestring
+    below 2, degrades to an empty geometry of the same type."""
+    if g is None:
+        return None
+    if size <= 0:
+        raise ValueError(f"grid size must be > 0, got {size}")
+
+    def snap(arr: np.ndarray) -> np.ndarray:
+        out = arr.copy()
+        out[:, 0] = np.round(out[:, 0] / size) * size
+        out[:, 1] = np.round(out[:, 1] / size) * size
+        return out
+
+    def dedup(arr: np.ndarray) -> np.ndarray:
+        if len(arr) < 2:
+            return arr
+        keep = np.ones(len(arr), dtype=bool)
+        keep[1:] = (arr[1:, 0] != arr[:-1, 0]) | (arr[1:, 1] != arr[:-1, 1])
+        return arr[keep]
+
+    def walk(geom: Geometry) -> Geometry:
+        if geom.type_id == POINT:
+            return Geometry(POINT, snap(geom.coords) if len(geom.coords)
+                            else geom.coords, geom.has_z, geom.has_m)
+        if geom.type_id == LINESTRING:
+            arr = dedup(snap(geom.coords)) if len(geom.coords) else geom.coords
+            if len(arr) < 2:
+                arr = arr[:0]
+            return Geometry(LINESTRING, arr, geom.has_z, geom.has_m)
+        if geom.type_id == POLYGON:
+            rings = []
+            for r in geom.coords:
+                arr = dedup(snap(r)) if len(r) else r
+                if len(arr) and (arr[0, 0] != arr[-1, 0]
+                                 or arr[0, 1] != arr[-1, 1]):
+                    arr = np.vstack([arr, arr[:1]])
+                if len(arr) >= 4:
+                    rings.append(arr)
+                elif not rings:
+                    return Geometry(POLYGON, [], geom.has_z, geom.has_m)
+            return Geometry(POLYGON, rings, geom.has_z, geom.has_m)
+        return Geometry(geom.type_id, [walk(s) for s in geom.coords],
+                        geom.has_z, geom.has_m)
+
+    return walk(g)
+
+
+def minimum_bounding_circle(g: Optional[Geometry]):
+    """(cx, cy, radius) of the smallest enclosing circle of the
+    geometry's vertices — Welzl's algorithm, made deterministic by
+    replacing the randomized shuffle with the hull-ordered scan (the
+    recursion depth bound only needs *some* fixed order; n is a single
+    geometry's vertex count, so the O(n^2) worst case is irrelevant)."""
+    if g is None:
+        return None
+    pts = g.all_coords()[:, :2]
+    if len(pts) == 0:
+        return None
+    pts = np.unique(pts, axis=0)
+
+    def circle_2(a, b):
+        cx, cy = (a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0
+        r = math.hypot(a[0] - cx, a[1] - cy)
+        return cx, cy, r
+
+    def circle_3(a, b, c):
+        d = 2.0 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1])
+                   + c[0] * (a[1] - b[1]))
+        if d == 0.0:
+            return None  # collinear
+        ux = ((a[0] ** 2 + a[1] ** 2) * (b[1] - c[1])
+              + (b[0] ** 2 + b[1] ** 2) * (c[1] - a[1])
+              + (c[0] ** 2 + c[1] ** 2) * (a[1] - b[1])) / d
+        uy = ((a[0] ** 2 + a[1] ** 2) * (c[0] - b[0])
+              + (b[0] ** 2 + b[1] ** 2) * (a[0] - c[0])
+              + (c[0] ** 2 + c[1] ** 2) * (b[0] - a[0])) / d
+        return ux, uy, math.hypot(a[0] - ux, a[1] - uy)
+
+    def inside(c, p, slack=1e-9):
+        return math.hypot(p[0] - c[0], p[1] - c[1]) <= c[2] * (1 + slack) + slack
+
+    def trivial(boundary):
+        if not boundary:
+            return (0.0, 0.0, -1.0)
+        if len(boundary) == 1:
+            p = boundary[0]
+            return (p[0], p[1], 0.0)
+        if len(boundary) == 2:
+            return circle_2(boundary[0], boundary[1])
+        c = circle_3(*boundary)
+        if c is not None:
+            return c
+        # collinear triple: widest pair
+        best = None
+        for i in range(3):
+            for j in range(i + 1, 3):
+                cand = circle_2(boundary[i], boundary[j])
+                if best is None or cand[2] > best[2]:
+                    best = cand
+        return best
+
+    # iterative Welzl (move-to-front)
+    def welzl(points):
+        c = trivial([])
+        pts_list = [tuple(p) for p in points]
+        for i, p in enumerate(pts_list):
+            if c[2] >= 0 and inside(c, p):
+                continue
+            c = trivial([p])
+            for j, q in enumerate(pts_list[:i]):
+                if inside(c, q):
+                    continue
+                c = circle_2(p, q)
+                for r in pts_list[:j]:
+                    if inside(c, r):
+                        continue
+                    c3 = circle_3(p, q, r)
+                    if c3 is None:
+                        # collinear: widest pair among the three
+                        c3 = max((circle_2(p, q), circle_2(p, r),
+                                  circle_2(q, r)), key=lambda t: t[2])
+                    c = c3
+        return c
+
+    cx, cy, r = welzl(pts)
+    return float(cx), float(cy), float(r)
