@@ -512,6 +512,41 @@ def _q_doc_c4_clean(spark, sf_dir):
     )
 
 
+def _q_gopher_rules(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021 §A1.1) over the documents
+    table: word-count bounds, mean word length, symbol-to-word ratio,
+    bullet/ellipsis line fractions, alpha-word fraction, indicator-word
+    hits, and the composite keep flag. The synthetic corpus carries no
+    newlines/bullets/ellipses, so the query first synthesizes them with
+    deterministic literal replaces mirrored verbatim in the oracle."""
+    from sedona_db_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = F.col("text")
+    for a, b in _GOPHER_REPLACES:
+        lined = F.replace(lined, F.lit(a), F.lit(b))
+    s = T.gopher_stats(lined)
+    return docs.select(
+        "doc_id",
+        s["n_words"].cast("int").alias("n_words"),
+        F.round(s["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(s["symbol_word_ratio"], 6).alias("symbol_word_ratio"),
+        F.round(s["bullet_line_frac"], 6).alias("bullet_line_frac"),
+        F.round(s["ellipsis_line_frac"], 6).alias("ellipsis_line_frac"),
+        F.round(s["alpha_word_frac"], 6).alias("alpha_word_frac"),
+        s["stop_hits"].cast("int").alias("stop_hits"),
+        T.gopher_keep(lined, min_words=10, min_stop_hits=1).alias("keep"),
+    )
+
+
+_GOPHER_REPLACES = [
+    (" table ", " table\n"),
+    (" row ", "\n- row "),
+    (" slow ", " slow...\n"),
+    (" key ", " #key "),
+]
+
+
 def _q_corpus_curate(spark, sf_dir):
     """The WHOLE webtext curation pipeline as one oracle'd query: C4 line
     cleaning -> Gopher repetition filter -> exact dedup (min-id per md5)
@@ -2318,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_adaptive": _q_pip_adaptive,
         "semdedup": _q_semdedup,
         "doc_c4_clean": _q_doc_c4_clean,
+        "gopher_rules": _q_gopher_rules,
         "corpus_curate": _q_corpus_curate,
         "pq_codes": _q_pq_codes,
         "pack_sequences": _q_pack_sequences,
@@ -2874,6 +2910,44 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curate": _corpus_curate_oracle(),
         "pq_codes": "WITH corp AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), cb AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 16), ss AS (SELECT unnest(range(0, 4)) AS s), dist AS (SELECT c.id, ss.s, cb.cid,  list_sum(list_transform(range(1, 17), j ->   (c.v[CAST(ss.s*16 + j AS INTEGER)] - cb.cv[CAST(ss.s*16 + j AS INTEGER)])   * (c.v[CAST(ss.s*16 + j AS INTEGER)] - cb.cv[CAST(ss.s*16 + j AS INTEGER)]))) AS d2  FROM corp c CROSS JOIN ss CROSS JOIN cb), codes AS (SELECT id, s, cid AS code FROM ( SELECT id, s, cid, row_number() OVER (PARTITION BY id, s ORDER BY d2, cid) AS rn FROM dist)  WHERE rn = 1) SELECT id AS vec_id, array_to_string(list(code ORDER BY s), ',') AS codes_str FROM codes GROUP BY id ORDER BY id",
         "pack_sequences": "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens FROM documents), c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 1024 AS BIGINT) AS bin_id, CAST((cum - n_tokens) % 1024 AS BIGINT) AS offset_in_bin FROM c ORDER BY doc_id",
+        "gopher_rules": (
+            "WITH d AS (SELECT doc_id, "
+            "  replace(replace(replace(replace(text, "
+            "    ' table ', ' table' || chr(10)), "
+            "    ' row ', chr(10) || '- row '), "
+            "    ' slow ', ' slow...' || chr(10)), "
+            "    ' key ', ' #key ') AS t FROM documents), "
+            "w AS (SELECT doc_id, t, "
+            "  regexp_split_to_array(trim(t), '\\s+') AS toks, "
+            "  list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)), "
+            "              l -> length(l) > 0) AS lines FROM d), "
+            "m AS (SELECT doc_id, t, toks, lines, "
+            "  list_transform(toks, x -> lower(x)) AS low, "
+            "  len(toks) AS n, "
+            "  list_sum(list_transform(toks, x -> length(x))) AS tot, "
+            "  length(t) - length(replace(t, '#', '')) AS n_hash, "
+            "  (length(t) - length(replace(t, '...', ''))) / 3 AS n_ell, "
+            "  len(lines) AS n_lines, "
+            "  len(list_filter(lines, l -> regexp_matches(l, '^[-*\u2022\u2023\u25aa]'))) AS bullets, "
+            "  len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|\u2026)$'))) AS ells, "
+            "  len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha "
+            "  FROM w), "
+            "f AS (SELECT doc_id, n, "
+            "  CASE WHEN n > 0 THEN CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END AS mwl, "
+            "  CASE WHEN n > 0 THEN CAST(n_hash + n_ell AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END AS sym, "
+            "  CASE WHEN n_lines > 0 THEN CAST(bullets AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS bullet, "
+            "  CASE WHEN n_lines > 0 THEN CAST(ells AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS ellf, "
+            "  CASE WHEN n > 0 THEN CAST(alpha AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END AS alphaf, "
+            "  CAST(list_contains(low, 'the') AS INTEGER) + CAST(list_contains(low, 'be') AS INTEGER) + CAST(list_contains(low, 'to') AS INTEGER) + CAST(list_contains(low, 'of') AS INTEGER) + CAST(list_contains(low, 'and') AS INTEGER) + CAST(list_contains(low, 'that') AS INTEGER) + CAST(list_contains(low, 'have') AS INTEGER) + CAST(list_contains(low, 'with') AS INTEGER) AS stop_hits "
+            "  FROM m) "
+            "SELECT doc_id, CAST(n AS INTEGER) AS n_words, "
+            "round(mwl, 6) AS mean_word_len, round(sym, 6) AS symbol_word_ratio, "
+            "round(bullet, 6) AS bullet_line_frac, round(ellf, 6) AS ellipsis_line_frac, "
+            "round(alphaf, 6) AS alpha_word_frac, CAST(stop_hits AS INTEGER) AS stop_hits, "
+            "(n >= 10 AND n <= 100000 AND mwl >= 3.0 AND mwl <= 10.0 AND sym <= 0.1 "
+            " AND bullet <= 0.9 AND ellf <= 0.3 AND alphaf >= 0.8 AND stop_hits >= 1) AS keep "
+            "FROM f"
+        ),
         "doc_c4_clean": 'WITH d AS (SELECT doc_id, replace(text, \' value \', \' value.\' || chr(10)) AS t FROM documents), k AS (SELECT doc_id, t, list_filter(string_split(t, chr(10)), ln ->  regexp_matches(trim(ln), \'[.!?"\'\']$\')  AND len(regexp_split_to_array(trim(ln), \'\\s+\')) >= 5  AND NOT contains(lower(trim(ln)), \'javascript\')) AS kept FROM d), j AS (SELECT doc_id, t, kept, coalesce(array_to_string(kept, chr(10)), \'\') AS body FROM k) SELECT doc_id, CAST(len(kept) AS INTEGER) AS n_kept, CAST(length(body) AS BIGINT) AS kept_chars, ((length(body) - length(translate(body, \'.!?\', \'\'))) >= 3  AND NOT contains(t, \'{\') AND NOT contains(lower(t), \'lorem ipsum\')) AS page_keep FROM j ORDER BY 1',
         "knn_geog_k3": (
             # haversine with the same op structure as algos.haversine_m

@@ -211,6 +211,103 @@ def repetitive_flag(
 
 
 # ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models: ...
+# Gopher", §A1.1) — the standard document-level webtext keep/drop gate
+# ---------------------------------------------------------------------------
+
+# the paper's 8 indicator words: a kept English document must contain >= 2
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_stats(text: Column) -> Dict[str, Column]:
+    """The raw Gopher §A1.1 quality measurements, each a pure Column
+    expression (zero Python — survives a 100 TB scan inside codegen):
+
+    * ``n_words`` — whitespace token count
+    * ``mean_word_len`` — mean token length
+    * ``symbol_word_ratio`` — ('#' count + '...' count) / words
+    * ``bullet_line_frac`` — fraction of lines starting with a bullet
+    * ``ellipsis_line_frac`` — fraction of lines ending with an ellipsis
+    * ``alpha_word_frac`` — fraction of words containing a letter
+    * ``stop_hits`` — how many of the 8 indicator words appear
+    """
+    toks = whitespace_tokens(text)
+    low = F.transform(toks, lambda w: F.lower(w))
+    n = F.size(toks)
+    nd = n.cast("double")
+    total_len = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, v: a + v)
+    mwl = F.when(n > 0, total_len.cast("double") / nd).otherwise(F.lit(0.0))
+
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    n_ellipsis = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / F.lit(3)
+    sym_ratio = F.when(n > 0, (n_hash + n_ellipsis).cast("double") / nd).otherwise(
+        F.lit(0.0)
+    )
+
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    n_lines = F.size(lines)
+    bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•‣▪]")))
+    ell_end = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$")))
+    bullet_frac = F.when(n_lines > 0, bullet.cast("double") / n_lines.cast("double")).otherwise(F.lit(0.0))
+    ell_frac = F.when(n_lines > 0, ell_end.cast("double") / n_lines.cast("double")).otherwise(F.lit(0.0))
+
+    alpha = F.size(F.filter(toks, lambda w: w.rlike(r"[A-Za-z]")))
+    alpha_frac = F.when(n > 0, alpha.cast("double") / nd).otherwise(F.lit(0.0))
+
+    stop_hits = F.aggregate(
+        F.array(*[
+            F.when(F.array_contains(low, w), F.lit(1)).otherwise(F.lit(0))
+            for w in GOPHER_STOPWORDS
+        ]),
+        F.lit(0),
+        lambda a, v: a + v,
+    )
+    return {
+        "n_words": n,
+        "mean_word_len": mwl,
+        "symbol_word_ratio": sym_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ell_frac,
+        "alpha_word_frac": alpha_frac,
+        "stop_hits": stop_hits,
+    }
+
+
+def gopher_keep(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> Column:
+    """Gopher §A1.1 keep flag — True iff every rule passes (paper
+    thresholds as defaults). Compose with ``repetitive_flag`` (§A1.1's
+    repetition table) for the full Gopher gate."""
+    s = gopher_stats(text)
+    return (
+        (s["n_words"] >= min_words)
+        & (s["n_words"] <= max_words)
+        & (s["mean_word_len"] >= min_mean_word_len)
+        & (s["mean_word_len"] <= max_mean_word_len)
+        & (s["symbol_word_ratio"] <= max_symbol_word_ratio)
+        & (s["bullet_line_frac"] <= max_bullet_line_frac)
+        & (s["ellipsis_line_frac"] <= max_ellipsis_line_frac)
+        & (s["alpha_word_frac"] >= min_alpha_word_frac)
+        & (s["stop_hits"] >= min_stop_hits)
+    )
+
+
+# ---------------------------------------------------------------------------
 # fingerprinting
 # ---------------------------------------------------------------------------
 
