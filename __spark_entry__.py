@@ -970,6 +970,31 @@ def _q_st_affine_mbr(spark, sf_dir):
     )
 
 
+def _q_geojson_roundtrip(spark, sf_dir):
+    """GeoJSON IO (RFC 7946; PostGIS names, no reference analogue):
+    point and box geometries pushed through ST_AsGeoJSON ->
+    ST_GeomFromGeoJSON must reproduce coordinates/areas bit-exactly
+    (shortest-repr number formatting), and the emitted string's length
+    is itself deterministic arithmetic over the formatted coordinates —
+    the oracle recomputes everything from the raw keys."""
+    from sedona_db_spark.functions import st
+
+    c = _cust_pts(spark, sf_dir)
+    back = st.ST_GeomFromGeoJSON(st.ST_AsGeoJSON(F.col("geom")))
+    x0 = (F.col("c_custkey") * 3 % 100).cast("double")
+    y0 = (F.col("c_custkey") * 11 % 80).cast("double")
+    box = st.ST_MakeEnvelope(x0, y0, x0 + F.lit(2.0), y0 + F.lit(3.0))
+    box_back = st.ST_GeomFromGeoJSON(st.ST_AsGeoJSON(box))
+    return c.select(
+        "c_custkey",
+        st.ST_X(back).alias("rt_x"),
+        st.ST_Y(back).alias("rt_y"),
+        st.ST_GeometryType(back).alias("rt_type"),
+        st.ST_Area(box_back).alias("rt_area"),
+        st.ST_NPoints(box_back).cast("int").alias("rt_npts"),
+    )
+
+
 def _q_st_distance_fns(spark, sf_dir):
     """Distance family: planar ST_Distance and great-circle
     ST_DistanceSphere between per-row point pairs, both closed-form SQL
@@ -2362,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_processing": _q_st_processing,
         "st_distance_fns": _q_st_distance_fns,
         "st_affine_mbr": _q_st_affine_mbr,
+        "geojson_roundtrip": _q_geojson_roundtrip,
         "st_validity": _q_st_validity,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
@@ -3143,6 +3169,13 @@ def oracle_sql() -> dict[str, str]:
             f"round(sqrt(CAST((c_custkey % 7 + 1)*(c_custkey % 7 + 1) "
             f"         + (c_custkey % 5 + 1)*(c_custkey % 5 + 1) AS DOUBLE))/2, 9) AS mbr_r "
             f"FROM customer c"
+        ),
+        # GeoJSON round-trip: coordinates are bit-exact (shortest repr),
+        # so the oracle is just the raw coordinate arithmetic
+        "geojson_roundtrip": (
+            f"SELECT c_custkey, {_CX} AS rt_x, {_CY} AS rt_y, "
+            f"'ST_Point' AS rt_type, CAST(6.0 AS DOUBLE) AS rt_area, "
+            f"5 AS rt_npts FROM customer c"
         ),
         # distance family: planar hypot + haversine mirrored term-by-term
         "st_distance_fns": (

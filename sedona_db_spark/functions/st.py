@@ -2004,6 +2004,28 @@ def _st_asbinary(s: pd.Series) -> pd.Series:
     )
 
 
+# --- GeoJSON IO (PostGIS names; RFC 7946 codec in geometry/geojson.py —
+# the reference has no GeoJSON functions, this completes the IO surface
+# next to WKT/WKB).
+
+@pandas_udf(StringType())
+def _st_asgeojson(s: pd.Series) -> pd.Series:
+    from ..geometry import geojson
+
+    return pd.Series(
+        [None if v is None else geojson.to_geojson(wkb.parse(bytes(v)))
+         for v in s], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_geomfromgeojson(s: pd.Series) -> pd.Series:
+    from ..geometry import geojson
+
+    return pd.Series(
+        [None if v is None else wkb.encode(geojson.from_geojson(v))
+         for v in s], dtype=object)
+
+
 # --- affine family + minimum bounding circle (PostGIS/Sedona names; no
 # reference analogue — pure coordinate math over geometry/algos.py).
 
@@ -2278,6 +2300,8 @@ _UDFS: Dict[str, object] = {
     "ST_BufferStyle": _st_buffer_style,
     "ST_SimplifyPreserveTopology": _st_simplifypreservetopology,
     "ST_Translate": _st_translate,
+    "ST_AsGeoJSON": _st_asgeojson,
+    "ST_GeomFromGeoJSON": _st_geomfromgeojson,
     "ST_Affine": _st_affine,
     "ST_Rotate": _st_rotate,
     "ST_Scale": _st_scale,
