@@ -970,6 +970,48 @@ def _q_st_affine_mbr(spark, sf_dir):
     )
 
 
+def _q_st_line_ops(spark, sf_dir):
+    """Line/ring structure family over a per-customer 3-4-5 segment:
+    ST_Reverse (start becomes end), ST_Boundary (box boundary length =
+    perimeter), ST_Segmentize (piece count = ceil(L/m), length
+    preserved), ST_LineSubstring (closed-form endpoints),
+    ST_AddPoint/ST_NPoints arithmetic, ST_LineMerge stitching two
+    touching segments into one path."""
+    from sedona_db_spark.functions import st
+
+    c = _cust_pts(spark, sf_dir)
+    cx = F.lit(-180.0) + ((F.col("c_custkey") * 7) % 3600) * F.lit(0.1) + F.lit(0.005)
+    cy = F.lit(-90.0) + ((F.col("c_custkey") * 13) % 1800) * F.lit(0.1) + F.lit(0.005)
+    line = st.ST_MakeLine(F.col("geom"), st.ST_Point(cx + F.lit(3.0), cy + F.lit(4.0)))
+    m = (F.col("c_custkey") % 3 + 1).cast("double")
+    seg = st.ST_Segmentize(line, m)
+    sub = st.ST_LineSubstring(line, F.lit(0.2), F.lit(0.6))
+    x0 = (F.col("c_custkey") * 3 % 100).cast("double")
+    y0 = (F.col("c_custkey") * 11 % 80).cast("double")
+    w = (F.col("c_custkey") % 7 + 1).cast("double")
+    h = (F.col("c_custkey") % 5 + 1).cast("double")
+    box = st.ST_MakeEnvelope(x0, y0, x0 + w, y0 + h)
+    mls = F.format_string(
+        "MULTILINESTRING ((%.3f %.3f, %.3f %.3f), (%.3f %.3f, %.3f %.3f))",
+        cx, cy, cx + F.lit(1.0), cy + F.lit(1.0),
+        cx + F.lit(1.0), cy + F.lit(1.0), cx + F.lit(2.0), cy,
+    )
+    merged = st.ST_LineMerge(st.ST_GeomFromWKT(mls))
+    return c.select(
+        "c_custkey",
+        st.ST_X(st.ST_StartPoint(st.ST_Reverse(line))).alias("rev_x"),
+        st.ST_Y(st.ST_StartPoint(st.ST_Reverse(line))).alias("rev_y"),
+        F.round(st.ST_Length(st.ST_Boundary(box)), 9).alias("bnd_len"),
+        st.ST_NPoints(seg).cast("int").alias("seg_npts"),
+        F.round(st.ST_Length(seg), 6).alias("seg_len"),
+        F.round(st.ST_X(st.ST_StartPoint(sub)), 6).alias("sub_x0"),
+        F.round(st.ST_Y(st.ST_EndPoint(sub)), 6).alias("sub_y1"),
+        st.ST_NPoints(st.ST_AddPoint(line, F.col("geom"), F.lit(1))).cast("int").alias("add_npts"),
+        st.ST_GeometryType(merged).alias("merge_type"),
+        st.ST_NPoints(merged).cast("int").alias("merge_npts"),
+    )
+
+
 def _q_geojson_roundtrip(spark, sf_dir):
     """GeoJSON IO (RFC 7946; PostGIS names, no reference analogue):
     point and box geometries pushed through ST_AsGeoJSON ->
@@ -2388,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_distance_fns": _q_st_distance_fns,
         "st_affine_mbr": _q_st_affine_mbr,
         "geojson_roundtrip": _q_geojson_roundtrip,
+        "st_line_ops": _q_st_line_ops,
         "st_validity": _q_st_validity,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
@@ -3168,6 +3211,21 @@ def oracle_sql() -> dict[str, str]:
             f"round(CAST((c_custkey*11 % 80) AS DOUBLE) + CAST((c_custkey % 5 + 1) AS DOUBLE)/2, 9) AS mbr_cy, "
             f"round(sqrt(CAST((c_custkey % 7 + 1)*(c_custkey % 7 + 1) "
             f"         + (c_custkey % 5 + 1)*(c_custkey % 5 + 1) AS DOUBLE))/2, 9) AS mbr_r "
+            f"FROM customer c"
+        ),
+        # line/ring family: every output is closed-form arithmetic on the
+        # key (3-4-5 segment; box perimeter; ceil-piece segmentize law)
+        "st_line_ops": (
+            f"SELECT c_custkey, "
+            f"{_CX} + CAST(3.0 AS DOUBLE) AS rev_x, "
+            f"{_CY} + CAST(4.0 AS DOUBLE) AS rev_y, "
+            f"round(CAST(2*((c_custkey % 7 + 1) + (c_custkey % 5 + 1)) AS DOUBLE), 9) AS bnd_len, "
+            f"CAST(ceil(CAST(5.0 AS DOUBLE) / CAST(c_custkey % 3 + 1 AS DOUBLE)) AS INTEGER) + 1 AS seg_npts, "
+            f"round(CAST(5.0 AS DOUBLE), 6) AS seg_len, "
+            f"round({_CX} + CAST(0.2 AS DOUBLE) * CAST(3.0 AS DOUBLE), 6) AS sub_x0, "
+            f"round({_CY} + CAST(0.6 AS DOUBLE) * CAST(4.0 AS DOUBLE), 6) AS sub_y1, "
+            f"3 AS add_npts, "
+            f"'ST_LineString' AS merge_type, 3 AS merge_npts "
             f"FROM customer c"
         ),
         # GeoJSON round-trip: coordinates are bit-exact (shortest repr),

@@ -2004,6 +2004,112 @@ def _st_asbinary(s: pd.Series) -> pd.Series:
     )
 
 
+# --- line / ring structure family (PostGIS names; kernels in
+# geometry/lineops.py — the reference stops at ST_PointN/ST_Points).
+
+def _geom_unary(fn):
+    @pandas_udf(BinaryType())
+    def u(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else _enc_opt(fn(wkb.parse(bytes(v))))
+             for v in s], dtype=object)
+    return u
+
+
+def _enc_opt(g):
+    return None if g is None else wkb.encode(g)
+
+
+from ..geometry import lineops as _lo  # noqa: E402
+
+_st_boundary = _geom_unary(_lo.boundary)
+_st_reverse = _geom_unary(_lo.reverse)
+_st_exteriorring = _geom_unary(_lo.exterior_ring)
+_st_force2d = _geom_unary(_lo.force_2d)
+_st_linemerge = _geom_unary(_lo.line_merge)
+
+
+@pandas_udf(IntegerType())
+def _st_numinteriorrings(s: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if v is None else _lo.num_interior_rings(wkb.parse(bytes(v)))
+         for v in s], dtype="Int32")
+
+
+@pandas_udf(BinaryType())
+def _st_interiorringn(s: pd.Series, n: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if (v is None or k is None) else
+         _enc_opt(_lo.interior_ring_n(wkb.parse(bytes(v)), int(k)))
+         for v, k in zip(s, n)], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_geometryn(s: pd.Series, n: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if (v is None or k is None) else
+         _enc_opt(_lo.geometry_n(wkb.parse(bytes(v)), int(k)))
+         for v, k in zip(s, n)], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_collectionextract(s: pd.Series, d: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if (v is None or k is None) else
+         _enc_opt(_lo.collection_extract(wkb.parse(bytes(v)), int(k)))
+         for v, k in zip(s, d)], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_force3d(s: pd.Series, z: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if v is None else
+         _enc_opt(_lo.force_3d(wkb.parse(bytes(v)), float(zz)))
+         for v, zz in zip(s, z)], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_addpoint(s: pd.Series, p: pd.Series, pos: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if (v is None or pv is None) else
+         _enc_opt(_lo.add_point(wkb.parse(bytes(v)), wkb.parse(bytes(pv)),
+                                int(k)))
+         for v, pv, k in zip(s, p, pos)], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_removepoint(s: pd.Series, off: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if v is None else
+         _enc_opt(_lo.remove_point(wkb.parse(bytes(v)), int(k)))
+         for v, k in zip(s, off)], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_setpoint(s: pd.Series, idx: pd.Series, p: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if (v is None or pv is None) else
+         _enc_opt(_lo.set_point(wkb.parse(bytes(v)), int(k),
+                                wkb.parse(bytes(pv))))
+         for v, k, pv in zip(s, idx, p)], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_segmentize(s: pd.Series, ml: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if (v is None or m is None) else
+         _enc_opt(_lo.segmentize(wkb.parse(bytes(v)), float(m)))
+         for v, m in zip(s, ml)], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_linesubstring(s: pd.Series, a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if v is None else
+         _enc_opt(_lo.line_substring(wkb.parse(bytes(v)), float(aa), float(bb)))
+         for v, aa, bb in zip(s, a, b)], dtype=object)
+
+
 # --- GeoJSON IO (PostGIS names; RFC 7946 codec in geometry/geojson.py —
 # the reference has no GeoJSON functions, this completes the IO surface
 # next to WKT/WKB).
@@ -2300,6 +2406,21 @@ _UDFS: Dict[str, object] = {
     "ST_BufferStyle": _st_buffer_style,
     "ST_SimplifyPreserveTopology": _st_simplifypreservetopology,
     "ST_Translate": _st_translate,
+    "ST_Boundary": _st_boundary,
+    "ST_Reverse": _st_reverse,
+    "ST_ExteriorRing": _st_exteriorring,
+    "ST_NumInteriorRings": _st_numinteriorrings,
+    "ST_InteriorRingN": _st_interiorringn,
+    "ST_GeometryN": _st_geometryn,
+    "ST_CollectionExtract": _st_collectionextract,
+    "ST_Force2D": _st_force2d,
+    "ST_Force3D": _st_force3d,
+    "ST_AddPoint": _st_addpoint,
+    "ST_RemovePoint": _st_removepoint,
+    "ST_SetPoint": _st_setpoint,
+    "ST_Segmentize": _st_segmentize,
+    "ST_LineSubstring": _st_linesubstring,
+    "ST_LineMerge": _st_linemerge,
     "ST_AsGeoJSON": _st_asgeojson,
     "ST_GeomFromGeoJSON": _st_geomfromgeojson,
     "ST_Affine": _st_affine,
