@@ -1111,6 +1111,47 @@ def _q_st_validity(spark, sf_dir):
     )
 
 
+def _q_st_makevalid(spark, sf_dir):
+    """ST_MakeValid (structure semantics, PostGIS/Sedona name — beyond
+    the reference's register): bowtie polygons repair to a 2-triangle
+    MULTIPOLYGON with exactly half the envelope area; already-valid
+    boxes pass through unchanged. Every output is closed-form on the
+    key, so the oracle recomputes area/parts/type/validity in SQL."""
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    x0 = ((F.col("c_custkey") * 3) % 100).cast("double")
+    y0 = ((F.col("c_custkey") * 11) % 80).cast("double")
+
+    def fmt(col):
+        return F.format_string("%.1f", col)
+
+    sx0, sy0 = fmt(x0), fmt(y0)
+    bowtie = F.col("c_custkey") % 3 == 0
+    poly_wkt = F.when(
+        bowtie,
+        F.concat(F.lit("POLYGON (("), sx0, F.lit(" "), sy0,
+                 F.lit(", "), fmt(x0 + 2), F.lit(" "), fmt(y0 + 2),
+                 F.lit(", "), fmt(x0 + 2), F.lit(" "), sy0,
+                 F.lit(", "), sx0, F.lit(" "), fmt(y0 + 2),
+                 F.lit(", "), sx0, F.lit(" "), sy0, F.lit("))")),
+    ).otherwise(
+        F.concat(F.lit("POLYGON (("), sx0, F.lit(" "), sy0,
+                 F.lit(", "), fmt(x0 + 2), F.lit(" "), sy0,
+                 F.lit(", "), fmt(x0 + 2), F.lit(" "), fmt(y0 + 2),
+                 F.lit(", "), sx0, F.lit(" "), fmt(y0 + 2),
+                 F.lit(", "), sx0, F.lit(" "), sy0, F.lit("))")),
+    )
+    fixed = st.ST_MakeValid(st.ST_GeomFromWKT(poly_wkt))
+    return c.select(
+        "c_custkey",
+        F.round(st.ST_Area(fixed), 9).alias("mv_area"),
+        st.ST_NumGeometries(fixed).cast("int").alias("mv_parts"),
+        st.ST_IsValid(fixed).alias("mv_valid"),
+        st.ST_GeometryType(fixed).alias("mv_type"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -2432,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_roundtrip": _q_geojson_roundtrip,
         "st_line_ops": _q_st_line_ops,
         "st_validity": _q_st_validity,
+        "st_makevalid": _q_st_makevalid,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -3248,6 +3290,19 @@ def oracle_sql() -> dict[str, str]:
             f"CAST((c_custkey * 3 % 17) - 8 AS DOUBLE) * CAST(0.5 AS DOUBLE) AS ox, "
             f"CAST((c_custkey * 5 % 13) - 6 AS DOUBLE) * CAST(0.5 AS DOUBLE) AS oy "
             f"FROM customer) c"
+        ),
+        # structure-repair laws: a 2x2 bowtie's valid area is exactly 2.0
+        # (two unit-leg triangles) in a 2-part multipolygon; a valid box
+        # passes through as a 4.0-area polygon
+        "st_makevalid": (
+            "SELECT c_custkey, "
+            "CASE WHEN c_custkey % 3 = 0 THEN CAST(2.0 AS DOUBLE) "
+            "     ELSE CAST(4.0 AS DOUBLE) END AS mv_area, "
+            "CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS mv_parts, "
+            "TRUE AS mv_valid, "
+            "CASE WHEN c_custkey % 3 = 0 THEN 'ST_MultiPolygon' "
+            "     ELSE 'ST_Polygon' END AS mv_type "
+            "FROM customer"
         ),
         "st_validity": (
             "SELECT c_custkey, "

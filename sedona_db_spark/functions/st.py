@@ -396,6 +396,15 @@ _st_centroid = _make_geom_udf(algos.centroid)
 _st_envelope = _make_geom_udf(algos.envelope)
 _st_convexhull = _make_geom_udf(algos.convex_hull)
 _st_flipcoordinates = _make_geom_udf(algos.flip_coordinates)
+
+
+def _st_makevalid_fn(g):
+    from ..geometry.makevalid import make_valid  # late: makevalid imports st
+
+    return make_valid(g)
+
+
+_st_makevalid = _make_geom_udf(_st_makevalid_fn)
 _st_boundary = None  # not in reference's registered set
 
 
@@ -626,6 +635,15 @@ def _ring_is_valid(ring: np.ndarray) -> bool:
         return False
     if ring[0, 0] != ring[-1, 0] or ring[0, 1] != ring[-1, 1]:
         return False
+    # degenerate ring with ALL vertices collinear: the boundary retraces
+    # itself (zero enclosed area) — GEOS IsValidOp calls this invalid.
+    # NOT a net-signed-area test (a symmetric bowtie also nets to zero
+    # but is handled by the simplicity check, with a different reason).
+    x, y = ring[:-1, 0], ring[:-1, 1]
+    dx, dy = x - x[0], y - y[0]
+    k = int(np.argmax(dx * dx + dy * dy))
+    if np.all(dx * dy[k] - dy * dx[k] == 0.0):
+        return False
     return True
 
 
@@ -725,6 +743,8 @@ def _invalid_reason(g) -> str:
     for poly in g.polygons():
         for ring in poly.coords:
             if not _ring_is_valid(ring):
+                if len(ring) >= 4 and ring[0, 0] == ring[-1, 0] and ring[0, 1] == ring[-1, 1]:
+                    return "Self-intersection"  # collinear (zero-area) ring
                 return "Too few points in geometry component"
             # repeated interior vertex => ring self-touch
             pts = [tuple(p) for p in ring[:-1, :2]]
@@ -2370,6 +2390,9 @@ _UDFS: Dict[str, object] = {
     "ST_ZMFlag": _st_zmflag,
     "ST_IsValid": _st_isvalid,
     "ST_IsValidReason": _st_isvalidreason,
+    # PostGIS/Sedona name, beyond the reference's register (structure
+    # semantics; sedona_db_spark/geometry/makevalid.py)
+    "ST_MakeValid": _st_makevalid,
     "ST_IsSimple": _st_issimple,
     "ST_IsRing": _st_isring,
     "ST_Intersects": _st_intersects,
@@ -2378,6 +2401,9 @@ _UDFS: Dict[str, object] = {
     "ST_Within": _st_within,
     "ST_Covers": _st_covers,
     "ST_CoveredBy": _st_coveredby,
+    # underscore spelling the reference's join optimizer accepts alongside
+    # st_coveredby (rust/sedona-spatial-join/src/spatial_predicate.rs:201)
+    "ST_Covered_By": _st_coveredby,
     "ST_Touches": _st_touches,
     "ST_Crosses": _st_crosses,
     "ST_Overlaps": _st_overlaps,
