@@ -1152,6 +1152,35 @@ def _q_st_makevalid(spark, sf_dir):
     )
 
 
+def _q_st_relate(spark, sf_dir):
+    """Full DE-9IM matrix (ST_Relate + ST_RelateMatch, PostGIS/Sedona
+    names — the reference registers only the 9 boolean predicates). Six
+    key-selected configurations of point/box and box/box pairs, each
+    with a constant matrix, so the oracle is a CASE over the key."""
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    x0 = ((F.col("c_custkey") * 3) % 100).cast("double")
+    y0 = ((F.col("c_custkey") * 11) % 80).cast("double")
+    box = st.ST_MakeEnvelope(x0, y0, x0 + 4, y0 + 4)
+    k = F.col("c_custkey") % 6
+    a = (
+        F.when(k == 0, st.ST_Point(x0 + 1, y0 + 1))        # point inside
+        .when(k == 1, st.ST_Point(x0 + 4, y0 + 2))          # point on edge
+        .when(k == 2, st.ST_Point(x0 + 9, y0 + 9))          # point outside
+        .when(k == 3, st.ST_MakeEnvelope(x0 + 2, y0 + 2, x0 + 6, y0 + 6))  # overlap
+        .when(k == 4, st.ST_MakeEnvelope(x0 + 4, y0, x0 + 8, y0 + 4))      # edge touch
+        .otherwise(st.ST_MakeEnvelope(x0 + 9, y0 + 9, x0 + 12, y0 + 12))   # disjoint
+    )
+    m = st.ST_Relate(a, box)
+    return c.select(
+        "c_custkey",
+        m.alias("de9im"),
+        st.ST_RelateMatch(m, F.lit("T*F**F***")).alias("is_within"),
+        st.ST_RelateMatch(m, F.lit("FF*FF****")).alias("is_disjoint"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -2474,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_line_ops": _q_st_line_ops,
         "st_validity": _q_st_validity,
         "st_makevalid": _q_st_makevalid,
+        "st_relate": _q_st_relate,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -3290,6 +3320,23 @@ def oracle_sql() -> dict[str, str]:
             f"CAST((c_custkey * 3 % 17) - 8 AS DOUBLE) * CAST(0.5 AS DOUBLE) AS ox, "
             f"CAST((c_custkey * 5 % 13) - 6 AS DOUBLE) * CAST(0.5 AS DOUBLE) AS oy "
             f"FROM customer) c"
+        ),
+        # DE-9IM laws: each key-selected configuration has a constant
+        # matrix (point-in-box, point-on-edge, point-off, box overlap,
+        # box edge-touch, box disjoint); within/disjoint follow by
+        # pattern definition
+        "st_relate": (
+            "SELECT c_custkey, "
+            "CASE c_custkey % 6 "
+            " WHEN 0 THEN '0FFFFF212' "
+            " WHEN 1 THEN 'F0FFFF212' "
+            " WHEN 2 THEN 'FF0FFF212' "
+            " WHEN 3 THEN '212101212' "
+            " WHEN 4 THEN 'FF2F11212' "
+            " ELSE 'FF2FF1212' END AS de9im, "
+            "c_custkey % 6 = 0 AS is_within, "
+            "c_custkey % 6 IN (2, 5) AS is_disjoint "
+            "FROM customer"
         ),
         # structure-repair laws: a 2x2 bowtie's valid area is exactly 2.0
         # (two unit-leg triangles) in a 2-part multipolygon; a valid box

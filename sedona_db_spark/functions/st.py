@@ -906,6 +906,29 @@ def _make_pred_udf(fn):
     return f
 
 
+@pandas_udf(StringType())
+def _st_relate(a: pd.Series, b: pd.Series) -> pd.Series:
+    from ..geometry.relate import relate as _relate
+
+    return pd.Series(
+        [
+            None if (x is None or y is None) else _relate(wkb.parse(x), wkb.parse(y))
+            for x, y in zip(a, b)
+        ],
+        dtype=object,
+    )
+
+
+@pandas_udf(BooleanType())
+def _st_relatematch(m: pd.Series, p: pd.Series) -> pd.Series:
+    from ..geometry.relate import relate_match as _rm
+
+    return pd.Series(
+        [None if (x is None or y is None) else _rm(str(x), str(y)) for x, y in zip(m, p)],
+        dtype=object,
+    )
+
+
 _st_intersects = _make_pred_udf(algos.intersects)
 _st_disjoint = _make_pred_udf(algos.disjoint)
 _st_contains = _make_pred_udf(algos.contains)
@@ -2404,6 +2427,10 @@ _UDFS: Dict[str, object] = {
     # underscore spelling the reference's join optimizer accepts alongside
     # st_coveredby (rust/sedona-spatial-join/src/spatial_predicate.rs:201)
     "ST_Covered_By": _st_coveredby,
+    # full DE-9IM matrix + pattern match (PostGIS/Sedona names, beyond
+    # the reference's 9-predicate register; geometry/relate.py)
+    "ST_Relate": _st_relate,
+    "ST_RelateMatch": _st_relatematch,
     "ST_Touches": _st_touches,
     "ST_Crosses": _st_crosses,
     "ST_Overlaps": _st_overlaps,

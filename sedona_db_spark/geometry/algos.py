@@ -443,6 +443,22 @@ def intersects(a: Optional[Geometry], b: Optional[Geometry]) -> bool:
     return False
 
 
+def _lineal_boundary_set(g: Geometry):
+    """OGC boundary of a lineal geometry as float tuples: endpoints of an
+    ODD number of open paths (mod-2 rule; closed paths contribute none)."""
+    cnt = {}
+    for line in g.lines():
+        arr = line.coords
+        if len(arr) < 2:
+            continue
+        if bool(np.all(arr[0, :2] == arr[-1, :2])):
+            continue
+        for row in (arr[0], arr[-1]):
+            k = (float(row[0]), float(row[1]))
+            cnt[k] = cnt.get(k, 0) + 1
+    return {k for k, c in cnt.items() if c % 2 == 1}
+
+
 def _point_equals_any(p: Geometry, g: Geometry) -> bool:
     if not len(p.coords):
         return False
@@ -594,6 +610,16 @@ def covers(a: Optional[Geometry], b: Optional[Geometry]) -> bool:
             mloc = locate_points_in_geometry(mids[:, 0], mids[:, 1], a)
             if np.any(mloc == OUTSIDE):
                 return False
+        if b.polygons():
+            # boundary sampling alone is blind to B's INTERIOR escaping
+            # through a hole of A (B exactly filling A's hole has every
+            # vertex and midpoint ON A's closure) — confirm with the
+            # exact overlay: covered iff B \ A has no area
+            from . import overlay as _ov
+
+            diff = _ov.polygon_overlay(b, a, "difference")
+            if any(not p.is_empty for p in diff.polygons()):
+                return False
         return True
     if a.lines():
         if b.polygons():
@@ -652,6 +678,24 @@ def touches(a: Optional[Geometry], b: Optional[Geometry]) -> bool:
         if len(mids) and np.any(locate_points_in_geometry(mids[:, 0], mids[:, 1], poly) == INTERIOR):
             return False
         return True
+    # puntal vs lineal: a point on the LINE'S INTERIOR is
+    # interior-interior contact (DE-9IM II=0, not touches) — the line's
+    # boundary is only its mod-2 endpoints, and a mid-path vertex is
+    # interior (pinned by the ST_Relate consistency differential)
+    a_punt = bool(a.points()) and not a.lines() and not a.polygons()
+    b_punt = bool(b.points()) and not b.lines() and not b.polygons()
+    if a_punt != b_punt and not (a.polygons() or b.polygons()):
+        pts_g, line_g = (a, b) if a_punt else (b, a)
+        bnd = _lineal_boundary_set(line_g)
+        touched = False
+        for p in pts_g.points():
+            if not len(p.coords):
+                continue
+            if _point_on_lines(p, line_g) or _point_equals_any(p, line_g):
+                if (float(p.coords[0, 0]), float(p.coords[0, 1])) not in bnd:
+                    return False
+                touched = True
+        return touched
     if a.lines() and b.lines():
         # touches if intersection only at endpoints/non-interior
         return _lines_touch_only(a, b)
@@ -725,9 +769,16 @@ def crosses(a: Optional[Geometry], b: Optional[Geometry]) -> bool:
                 ins |= l == INTERIOR
                 out |= l == OUTSIDE
             else:
-                on = _point_on_lines(p, other)
+                # interior of a line excludes its mod-2 boundary
+                # endpoints: a point AT an endpoint is boundary contact,
+                # not the interior hit crosses requires (DE-9IM
+                # 'T*T******'; pinned by the ST_Relate differential)
+                on = _point_on_lines(p, other) and (
+                    (float(p.coords[0, 0]), float(p.coords[0, 1]))
+                    not in _lineal_boundary_set(other)
+                )
                 ins |= on
-                out |= not on
+                out |= not _point_on_lines(p, other)
         return ins and out
     return False
 
