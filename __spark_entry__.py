@@ -1181,6 +1181,50 @@ def _q_st_relate(spark, sf_dir):
     )
 
 
+def _q_st_polygonize(spark, sf_dir):
+    """ST_Polygonize (GEOS Polygonizer semantics, PostGIS/Sedona name):
+    three key-selected linework shapes with closed-form face counts and
+    areas — a 2x2 unit lattice (4 cells, area 4), nested squares (donut
+    12 + inner 4), and a square ring with a dangling edge (1 face,
+    area 4, dangle removed)."""
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    x0 = ((F.col("c_custkey") * 3) % 100).cast("double")
+    y0 = ((F.col("c_custkey") * 11) % 80).cast("double")
+    k = F.col("c_custkey") % 3
+    lattice = F.format_string(
+        "MULTILINESTRING((%.1f %.1f,%.1f %.1f),(%.1f %.1f,%.1f %.1f),"
+        "(%.1f %.1f,%.1f %.1f),(%.1f %.1f,%.1f %.1f),"
+        "(%.1f %.1f,%.1f %.1f),(%.1f %.1f,%.1f %.1f))",
+        x0, y0, x0 + 2, y0,
+        x0, y0 + 1, x0 + 2, y0 + 1,
+        x0, y0 + 2, x0 + 2, y0 + 2,
+        x0, y0, x0, y0 + 2,
+        x0 + 1, y0, x0 + 1, y0 + 2,
+        x0 + 2, y0, x0 + 2, y0 + 2,
+    )
+    nested = F.format_string(
+        "MULTILINESTRING((%.1f %.1f,%.1f %.1f,%.1f %.1f,%.1f %.1f,%.1f %.1f),"
+        "(%.1f %.1f,%.1f %.1f,%.1f %.1f,%.1f %.1f,%.1f %.1f))",
+        x0, y0, x0 + 4, y0, x0 + 4, y0 + 4, x0, y0 + 4, x0, y0,
+        x0 + 1, y0 + 1, x0 + 3, y0 + 1, x0 + 3, y0 + 3, x0 + 1, y0 + 3, x0 + 1, y0 + 1,
+    )
+    dangle = F.format_string(
+        "MULTILINESTRING((%.1f %.1f,%.1f %.1f,%.1f %.1f,%.1f %.1f,%.1f %.1f),"
+        "(%.1f %.1f,%.1f %.1f))",
+        x0, y0, x0 + 2, y0, x0 + 2, y0 + 2, x0, y0 + 2, x0, y0,
+        x0 + 2, y0 + 2, x0 + 5, y0 + 5,
+    )
+    wkt = F.when(k == 0, lattice).when(k == 1, nested).otherwise(dangle)
+    faces = st.ST_Polygonize(st.ST_GeomFromWKT(wkt))
+    return c.select(
+        "c_custkey",
+        st.ST_NumGeometries(faces).cast("int").alias("pz_faces"),
+        F.round(st.ST_Area(faces), 9).alias("pz_area"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -2504,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_validity": _q_st_validity,
         "st_makevalid": _q_st_makevalid,
         "st_relate": _q_st_relate,
+        "st_polygonize": _q_st_polygonize,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -3320,6 +3365,17 @@ def oracle_sql() -> dict[str, str]:
             f"CAST((c_custkey * 3 % 17) - 8 AS DOUBLE) * CAST(0.5 AS DOUBLE) AS ox, "
             f"CAST((c_custkey * 5 % 13) - 6 AS DOUBLE) * CAST(0.5 AS DOUBLE) AS oy "
             f"FROM customer) c"
+        ),
+        # polygonize laws: 2x2 unit lattice -> 4 faces/area 4; nested
+        # squares -> donut + inner, 2 faces/area 16; ring + dangle -> the
+        # dangle is removed, 1 face/area 4
+        "st_polygonize": (
+            "SELECT c_custkey, "
+            "CASE c_custkey % 3 WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END AS pz_faces, "
+            "CASE c_custkey % 3 WHEN 0 THEN CAST(4.0 AS DOUBLE) "
+            " WHEN 1 THEN CAST(16.0 AS DOUBLE) "
+            " ELSE CAST(4.0 AS DOUBLE) END AS pz_area "
+            "FROM customer"
         ),
         # DE-9IM laws: each key-selected configuration has a constant
         # matrix (point-in-box, point-on-edge, point-off, box overlap,

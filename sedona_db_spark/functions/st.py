@@ -405,6 +405,15 @@ def _st_makevalid_fn(g):
 
 
 _st_makevalid = _make_geom_udf(_st_makevalid_fn)
+
+
+def _st_polygonize_fn(g):
+    from ..geometry.polygonize import polygonize as _pz
+
+    return _pz(g)
+
+
+_st_polygonize = _make_geom_udf(_st_polygonize_fn)
 _st_boundary = None  # not in reference's registered set
 
 
@@ -2416,6 +2425,9 @@ _UDFS: Dict[str, object] = {
     # PostGIS/Sedona name, beyond the reference's register (structure
     # semantics; sedona_db_spark/geometry/makevalid.py)
     "ST_MakeValid": _st_makevalid,
+    # faces of noded linework (compose with ST_Collect for the PostGIS
+    # aggregate shape; sedona_db_spark/geometry/polygonize.py)
+    "ST_Polygonize": _st_polygonize,
     "ST_IsSimple": _st_issimple,
     "ST_IsRing": _st_isring,
     "ST_Intersects": _st_intersects,
