@@ -1225,6 +1225,42 @@ def _q_st_polygonize(spark, sf_dir):
     )
 
 
+def _q_st_genpoints_mic(spark, sf_dir):
+    """ST_GeneratePoints + ST_MaximumInscribedCircle + ST_Project
+    (round-4f PostGIS family). All three closed-form on the key: the
+    point sampler's uniforms are the SQL-reproducible poly31 buckets
+    (no rejection inside an axis box, so the centroid of the generated
+    multipoint is plain arithmetic); a box's inscribed circle is its
+    center + half the short side; the spherical direct problem is the
+    same trig DuckDB evaluates."""
+    import math as _m
+
+    from sedona_db_spark.functions import st
+
+    c = _cust_pts(spark, sf_dir)
+    x0 = ((F.col("c_custkey") * 3) % 100).cast("double")
+    y0 = ((F.col("c_custkey") * 11) % 80).cast("double")
+    w = (F.col("c_custkey") % 7 + 1).cast("double")
+    h = (F.col("c_custkey") % 5 + 1).cast("double")
+    box = st.ST_MakeEnvelope(x0, y0, x0 + w, y0 + h)
+    gp = st.ST_GeneratePoints(box, F.lit(3), F.col("c_custkey"))
+    gc = st.ST_Centroid(gp)
+    mic = st.ST_MaximumInscribedCircle(box)
+    dist = ((F.col("c_custkey") % 900 + 100) * 1000).cast("double")
+    az = F.radians((F.col("c_custkey") % 360).cast("double"))
+    prj = st.ST_Project(F.col("geom"), dist, az)
+    return c.select(
+        "c_custkey",
+        F.round(st.ST_X(gc), 9).alias("gp_cx"),
+        F.round(st.ST_Y(gc), 9).alias("gp_cy"),
+        F.round(st.ST_X(mic["center"]), 9).alias("mic_cx"),
+        F.round(st.ST_Y(mic["center"]), 9).alias("mic_cy"),
+        F.round(mic["radius"], 9).alias("mic_r"),
+        F.round(st.ST_X(prj), 6).alias("prj_x"),
+        F.round(st.ST_Y(prj), 6).alias("prj_y"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -2549,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_makevalid": _q_st_makevalid,
         "st_relate": _q_st_relate,
         "st_polygonize": _q_st_polygonize,
+        "st_genpoints_mic": _q_st_genpoints_mic,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -3365,6 +3402,39 @@ def oracle_sql() -> dict[str, str]:
             f"CAST((c_custkey * 3 % 17) - 8 AS DOUBLE) * CAST(0.5 AS DOUBLE) AS ox, "
             f"CAST((c_custkey * 5 % 13) - 6 AS DOUBLE) * CAST(0.5 AS DOUBLE) AS oy "
             f"FROM customer) c"
+        ),
+        # point-sampling + inscribed-circle + spherical-direct laws: the
+        # sampler's uniforms are poly31 buckets (BIGINT-exact), a box's
+        # MIC is center + half short side, and ST_Project is the same
+        # great-circle trig evaluated by DuckDB
+        "st_genpoints_mic": (
+            "WITH u AS (SELECT c_custkey, "
+            " CAST((c_custkey*3 % 100) AS DOUBLE) AS x0, "
+            " CAST((c_custkey*11 % 80) AS DOUBLE) AS y0, "
+            " CAST((c_custkey % 7 + 1) AS DOUBLE) AS w, "
+            " CAST((c_custkey % 5 + 1) AS DOUBLE) AS h, "
+            " ((c_custkey*1000003 + 0) % 2147483647) * 2654435761 % 2147483647 % 1000000 / 1000000.0 AS u0, "
+            " ((c_custkey*1000003 + 1) % 2147483647) * 2654435761 % 2147483647 % 1000000 / 1000000.0 AS u1, "
+            " ((c_custkey*1000003 + 2) % 2147483647) * 2654435761 % 2147483647 % 1000000 / 1000000.0 AS u2, "
+            " ((c_custkey*1000003 + 3) % 2147483647) * 2654435761 % 2147483647 % 1000000 / 1000000.0 AS u3, "
+            " ((c_custkey*1000003 + 4) % 2147483647) * 2654435761 % 2147483647 % 1000000 / 1000000.0 AS u4, "
+            " ((c_custkey*1000003 + 5) % 2147483647) * 2654435761 % 2147483647 % 1000000 / 1000000.0 AS u5, "
+            f" radians({_CY}) AS lat1, radians({_CX}) AS lon1, "
+            " CAST((c_custkey % 900 + 100) * 1000 AS DOUBLE) / 6371008.8 AS delta, "
+            " radians(CAST(c_custkey % 360 AS DOUBLE)) AS az "
+            " FROM customer), "
+            "p AS (SELECT *, "
+            " sin(lat1)*cos(delta) + cos(lat1)*sin(delta)*cos(az) AS sl2 FROM u) "
+            "SELECT c_custkey, "
+            "round(((x0 + u0*w) + (x0 + u2*w) + (x0 + u4*w)) / 3, 9) AS gp_cx, "
+            "round(((y0 + u1*h) + (y0 + u3*h) + (y0 + u5*h)) / 3, 9) AS gp_cy, "
+            "round(x0 + w/2, 9) AS mic_cx, "
+            "round(y0 + h/2, 9) AS mic_cy, "
+            "round(least(w, h)/2, 9) AS mic_r, "
+            "round((degrees(lon1 + atan2(sin(az)*sin(delta)*cos(lat1), "
+            "       cos(delta) - sin(lat1)*sl2)) + 540.0) % 360.0 - 180.0, 6) AS prj_x, "
+            "round(degrees(asin(least(greatest(sl2, -1.0), 1.0))), 6) AS prj_y "
+            "FROM p"
         ),
         # polygonize laws: 2x2 unit lattice -> 4 faces/area 4; nested
         # squares -> donut + inner, 2 faces/area 16; ring + dangle -> the

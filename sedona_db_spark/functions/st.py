@@ -2247,6 +2247,64 @@ def _st_minimumboundingradius(s: pd.Series) -> pd.DataFrame:
                          "radius": pd.Series(radii, dtype="float64")})
 
 
+_MIC_TYPE = StructType([
+    StructField("center", BinaryType()),
+    StructField("radius", DoubleType()),
+])
+
+
+@pandas_udf(_MIC_TYPE)
+def _st_maximuminscribedcircle(s: pd.Series) -> pd.DataFrame:
+    centers, radii = [], []
+    for v in s:
+        c = None if v is None else algos.maximum_inscribed_circle(wkb.parse(bytes(v)))
+        if c is None:
+            centers.append(None)
+            radii.append(None)
+        else:
+            centers.append(wkb.encode(wkb.point(c[0], c[1])))
+            radii.append(c[2])
+    return pd.DataFrame({"center": pd.Series(centers, dtype=object),
+                         "radius": pd.Series(radii, dtype="float64")})
+
+
+@pandas_udf(BinaryType())
+def _st_generatepoints(s: pd.Series, n: pd.Series, seed: pd.Series) -> pd.Series:
+    out = []
+    for v, k, sd in zip(s, n, seed):
+        if v is None or k is None:
+            out.append(None)
+        else:
+            out.append(wkb.encode(algos.generate_points(
+                wkb.parse(bytes(v)), int(k), int(sd) if sd is not None else 0)))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_project(s: pd.Series, dist: pd.Series, az: pd.Series) -> pd.Series:
+    """Spherical direct problem (PostGIS geography ST_Project): the point
+    reached from a lon/lat point after ``dist`` meters on initial bearing
+    ``az`` radians (clockwise from north), on the mean-radius sphere —
+    numpy-vectorized over the whole Arrow batch."""
+    x, y, valid = wkb.decode_points_xy(list(s))
+    d = pd.to_numeric(dist, errors="coerce").to_numpy(dtype=np.float64)
+    t = pd.to_numeric(az, errors="coerce").to_numpy(dtype=np.float64)
+    ok = valid & np.isfinite(d) & np.isfinite(t)
+    lat1, lon1 = np.radians(y), np.radians(x)
+    delta = d / algos.EARTH_RADIUS_M
+    with np.errstate(invalid="ignore"):
+        sin_lat2 = np.sin(lat1) * np.cos(delta) + np.cos(lat1) * np.sin(delta) * np.cos(t)
+        lat2 = np.arcsin(np.clip(sin_lat2, -1.0, 1.0))
+        lon2 = lon1 + np.arctan2(
+            np.sin(t) * np.sin(delta) * np.cos(lat1),
+            np.cos(delta) - np.sin(lat1) * sin_lat2,
+        )
+    lon2 = (np.degrees(lon2) + 540.0) % 360.0 - 180.0
+    lat2 = np.degrees(lat2)
+    enc = wkb.encode_points_xy(lon2, lat2)
+    return pd.Series([e if o else None for e, o in zip(enc, ok)], dtype=object)
+
+
 @pandas_udf(BinaryType())
 def _st_minimumboundingcircle(s: pd.Series) -> pd.Series:
     def run(v):
@@ -2494,6 +2552,11 @@ _UDFS: Dict[str, object] = {
     "ST_SnapToGrid": _st_snaptogrid,
     "ST_MinimumBoundingCircle": _st_minimumboundingcircle,
     "ST_MinimumBoundingRadius": _st_minimumboundingradius,
+    # round 4f PostGIS family: inscribed circle, deterministic point
+    # sampling, spherical direct problem
+    "ST_MaximumInscribedCircle": _st_maximuminscribedcircle,
+    "ST_GeneratePoints": _st_generatepoints,
+    "ST_Project": _st_project,
     "ST_Dump": _st_dump,
     "ST_LineInterpolatePoint": _st_lineinterpolatepoint,
     "ST_LineLocatePoint": _st_linelocatepoint,

@@ -1337,3 +1337,115 @@ def minimum_bounding_circle(g: Optional[Geometry]):
 
     cx, cy, r = welzl(pts)
     return float(cx), float(cy), float(r)
+
+
+# ---------------------------------------------------------------------------
+# point generation + maximum inscribed circle (PostGIS/Sedona names,
+# beyond the reference's register)
+# ---------------------------------------------------------------------------
+
+_GP_P = 2147483647
+_GP_MULT = 2654435761
+
+
+def _gp_uniform(key: int) -> float:
+    """SQL-reproducible uniform in [0, 1): the poly31 bucket scheme from
+    operators/sampling.py::sample_bucket — every intermediate fits a
+    BIGINT, so DuckDB recomputes the exact same doubles."""
+    return ((abs(key) % _GP_P) * _GP_MULT) % _GP_P % 1000000 / 1e6
+
+
+def generate_points(g: Optional[Geometry], n: int, seed: int = 0) -> Optional[Geometry]:
+    """Deterministic uniform points inside an areal geometry
+    (PostGIS ST_GeneratePoints with an explicit seed, made retry-stable:
+    candidate j draws (u_x, u_y) from the poly31 hash of
+    (seed*1000003 + 2j, +2j+1), scaled into the bbox, accepted when not
+    OUTSIDE, in j order, until n points. For an axis-aligned box no
+    candidate is ever rejected, so the result is the closed form the SQL
+    oracle recomputes; general polygons take the same sequence through
+    rejection sampling."""
+    if g is None:
+        return None
+    if n <= 0 or not g.polygons():
+        return Geometry(MULTIPOINT, [])
+    c = g.all_coords()
+    xmin, ymin = float(np.min(c[:, 0])), float(np.min(c[:, 1]))
+    xmax, ymax = float(np.max(c[:, 0])), float(np.max(c[:, 1]))
+    w, h = xmax - xmin, ymax - ymin
+    pts = []
+    j = 0
+    guard = 20000 * (n + 8)
+    while len(pts) < n and j < guard:
+        ux = _gp_uniform(seed * 1000003 + 2 * j)
+        uy = _gp_uniform(seed * 1000003 + 2 * j + 1)
+        x, y = xmin + ux * w, ymin + uy * h
+        loc = locate_points_in_geometry(np.array([x]), np.array([y]), g)[0]
+        if loc != OUTSIDE:
+            pts.append(Geometry(POINT, np.array([[x, y]])))
+        j += 1
+    return Geometry(MULTIPOINT, pts)
+
+
+def maximum_inscribed_circle(g: Optional[Geometry], tolerance: Optional[float] = None):
+    """(cx, cy, radius) of the largest circle contained in an areal
+    geometry — GEOS MaximumInscribedCircle's grid refinement, run
+    LEVEL-SYNCHRONOUSLY: the whole frontier of candidate cells is scored
+    in ONE vectorized signed-distance call per level (the per-cell heap
+    version spends its time in numpy call overhead; on a rectangle the
+    medial segment keeps hundreds of tied cells alive, so batching is a
+    ~50x win). Deterministic: strict-improvement replacement with
+    smallest-(y,x) tie-break, frontier sorted and capped deterministically.
+    Default tolerance is the PostGIS max-dimension/1000; symmetric inputs
+    (axis boxes) are EXACT regardless, because the bbox center is the
+    incumbent from the start and only strictly better cells replace it."""
+    if g is None or not g.polygons():
+        return None
+    rings = [
+        Geometry(LINESTRING, np.asarray(r, float)[:, :2])
+        for poly in g.polygons()
+        for r in poly.coords
+        if len(r) >= 2
+    ]
+    if not rings:
+        return None
+    blines = Geometry(MULTILINESTRING, rings)
+    c = g.all_coords()
+    xmin, ymin = float(np.min(c[:, 0])), float(np.min(c[:, 1]))
+    xmax, ymax = float(np.max(c[:, 0])), float(np.max(c[:, 1]))
+    w, h = xmax - xmin, ymax - ymin
+    if w == 0 or h == 0:
+        return None
+    tol = tolerance if tolerance is not None else max(w, h) / 1000.0
+
+    def sdist(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+        d = points_to_geometry_distance(xs, ys, blines)
+        loc = locate_points_in_geometry(xs, ys, g)
+        sign = np.where(loc == INTERIOR, 1.0, np.where(loc == OUTSIDE, -1.0, 0.0))
+        return sign * d
+
+    r2 = math.sqrt(2.0)
+    cx0, cy0 = (xmin + xmax) / 2.0, (ymin + ymax) / 2.0
+    half = max(w, h) / 2.0
+    best_x, best_y = cx0, cy0
+    best_d = float(sdist(np.array([cx0]), np.array([cy0]))[0])
+    fx = np.array([cx0])
+    fy = np.array([cy0])
+    for _level in range(48):
+        if half * r2 <= tol or len(fx) == 0:
+            break
+        q = half / 2.0
+        cxs = np.repeat(fx, 4) + np.tile(np.array([-q, -q, q, q]), len(fx))
+        cys = np.repeat(fy, 4) + np.tile(np.array([-q, q, -q, q]), len(fy))
+        ds = sdist(cxs, cys)
+        mx = float(np.max(ds))
+        if mx > best_d:
+            ties = np.flatnonzero(ds == mx)
+            k = ties[np.lexsort((cxs[ties], cys[ties]))[0]]
+            best_d, best_x, best_y = mx, float(cxs[k]), float(cys[k])
+        keep = ds + q * r2 > best_d + tol
+        fx, fy, ds = cxs[keep], cys[keep], ds[keep]
+        if len(fx) > 4096:  # deterministic cap: best-scoring cells first
+            order = np.lexsort((fx, fy, -ds))[:4096]
+            fx, fy = fx[order], fy[order]
+        half = q
+    return best_x, best_y, max(best_d, 0.0)
