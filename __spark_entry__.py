@@ -1261,6 +1261,43 @@ def _q_st_genpoints_mic(spark, sf_dir):
     )
 
 
+def _q_st_split_node(spark, sf_dir):
+    """ST_Split + ST_Node (noding family, PostGIS/Sedona names): a box
+    split by its vertical midline (2 parts, full area preserved), a
+    3-4-5-style diagonal split by its crossing diagonal (2 parts, length
+    preserved), crossing lines noded (4 maximal pieces) — all closed-form
+    on the key."""
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    x0 = ((F.col("c_custkey") * 3) % 100).cast("double")
+    y0 = ((F.col("c_custkey") * 11) % 80).cast("double")
+    w = (F.col("c_custkey") % 7 + 1).cast("double")
+    h = (F.col("c_custkey") % 5 + 1).cast("double")
+    k = F.col("c_custkey") % 3
+    box = st.ST_MakeEnvelope(x0, y0, x0 + w, y0 + h)
+    vline = st.ST_MakeLine(
+        st.ST_Point(x0 + w / 2, y0 - 1), st.ST_Point(x0 + w / 2, y0 + h + 1)
+    )
+    diag1 = st.ST_MakeLine(st.ST_Point(x0, y0), st.ST_Point(x0 + 4, y0 + 4))
+    diag2 = st.ST_MakeLine(st.ST_Point(x0, y0 + 4), st.ST_Point(x0 + 4, y0))
+    xwkt = F.format_string(
+        "MULTILINESTRING((%.1f %.1f,%.1f %.1f),(%.1f %.1f,%.1f %.1f))",
+        x0, y0, x0 + 4, y0 + 4, x0, y0 + 4, x0 + 4, y0,
+    )
+    out = (
+        F.when(k == 0, st.ST_Split(box, vline))
+        .when(k == 1, st.ST_Split(diag1, diag2))
+        .otherwise(st.ST_Node(st.ST_GeomFromWKT(xwkt)))
+    )
+    measure = F.when(k == 0, st.ST_Area(out)).otherwise(st.ST_Length(out))
+    return c.select(
+        "c_custkey",
+        st.ST_NumGeometries(out).cast("int").alias("sn_parts"),
+        F.round(measure, 9).alias("sn_measure"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -2586,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_relate": _q_st_relate,
         "st_polygonize": _q_st_polygonize,
         "st_genpoints_mic": _q_st_genpoints_mic,
+        "st_split_node": _q_st_split_node,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -3402,6 +3440,19 @@ def oracle_sql() -> dict[str, str]:
             f"CAST((c_custkey * 3 % 17) - 8 AS DOUBLE) * CAST(0.5 AS DOUBLE) AS ox, "
             f"CAST((c_custkey * 5 % 13) - 6 AS DOUBLE) * CAST(0.5 AS DOUBLE) AS oy "
             f"FROM customer) c"
+        ),
+        # split/node laws: midline split keeps the full box area in 2
+        # parts; a diagonal split by its crossing diagonal keeps the
+        # 4*sqrt(2) length in 2 parts; noded crossing diagonals are 4
+        # maximal pieces of total length 8*sqrt(2)
+        "st_split_node": (
+            "SELECT c_custkey, "
+            "CASE c_custkey % 3 WHEN 2 THEN 4 ELSE 2 END AS sn_parts, "
+            "round(CASE c_custkey % 3 "
+            " WHEN 0 THEN CAST((c_custkey % 7 + 1) * (c_custkey % 5 + 1) AS DOUBLE) "
+            " WHEN 1 THEN 4*sqrt(CAST(2.0 AS DOUBLE)) "
+            " ELSE 8*sqrt(CAST(2.0 AS DOUBLE)) END, 9) AS sn_measure "
+            "FROM customer"
         ),
         # point-sampling + inscribed-circle + spherical-direct laws: the
         # sampler's uniforms are poly31 buckets (BIGINT-exact), a box's

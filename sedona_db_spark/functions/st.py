@@ -414,6 +414,15 @@ def _st_polygonize_fn(g):
 
 
 _st_polygonize = _make_geom_udf(_st_polygonize_fn)
+
+
+def _st_node_fn(g):
+    from ..geometry.split import node_linework as _nl
+
+    return _nl(g)
+
+
+_st_node = _make_geom_udf(_st_node_fn)
 _st_boundary = None  # not in reference's registered set
 
 
@@ -1361,6 +1370,14 @@ def _make_overlay_udf(fn):
 
     return f
 
+
+def _st_split_fn(a, b):
+    from ..geometry.split import split_geometry as _sp
+
+    return _sp(a, b)
+
+
+_st_split = _make_overlay_udf(_st_split_fn)
 
 _st_intersection = _make_overlay_udf(_intersection)
 
@@ -2486,6 +2503,9 @@ _UDFS: Dict[str, object] = {
     # faces of noded linework (compose with ST_Collect for the PostGIS
     # aggregate shape; sedona_db_spark/geometry/polygonize.py)
     "ST_Polygonize": _st_polygonize,
+    # noding family (sedona_db_spark/geometry/split.py)
+    "ST_Node": _st_node,
+    "ST_Split": _st_split,
     "ST_IsSimple": _st_issimple,
     "ST_IsRing": _st_isring,
     "ST_Intersects": _st_intersects,
