@@ -1298,6 +1298,36 @@ def _q_st_split_node(spark, sf_dir):
     )
 
 
+def _q_st_orient_measures(spark, sf_dir):
+    """ST_OrientedEnvelope + ST_LongestLine + ST_Angle (round-4f
+    extras): the minimum rotated rectangle's area is rotation-invariant
+    (w*h for a rotated box), the longest line from a box to an outside
+    point leaves from the far corner, and the 3-point clockwise angle is
+    plain atan2 algebra — all closed-form on the key."""
+    import math as _m
+
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    x0 = ((F.col("c_custkey") * 3) % 100).cast("double")
+    y0 = ((F.col("c_custkey") * 11) % 80).cast("double")
+    w = (F.col("c_custkey") % 7 + 1).cast("double")
+    h = (F.col("c_custkey") % 5 + 1).cast("double")
+    box = st.ST_MakeEnvelope(x0, y0, x0 + w, y0 + h)
+    rot = st.ST_Rotate(box, F.lit(0.3))
+    oe = st.ST_OrientedEnvelope(rot)
+    ll = st.ST_LongestLine(box, st.ST_Point(x0 - 3, y0 - 4))
+    ang = st.ST_Angle(
+        st.ST_Point(x0 + w, y0 + h), st.ST_Point(x0, y0), st.ST_Point(x0, y0 + 1)
+    )
+    return c.select(
+        "c_custkey",
+        F.round(st.ST_Area(oe), 6).alias("oe_area"),
+        F.round(st.ST_Length(ll), 9).alias("ll_len"),
+        F.round(ang, 9).alias("ang"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -2624,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_polygonize": _q_st_polygonize,
         "st_genpoints_mic": _q_st_genpoints_mic,
         "st_split_node": _q_st_split_node,
+        "st_orient_measures": _q_st_orient_measures,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -3440,6 +3471,19 @@ def oracle_sql() -> dict[str, str]:
             f"CAST((c_custkey * 3 % 17) - 8 AS DOUBLE) * CAST(0.5 AS DOUBLE) AS ox, "
             f"CAST((c_custkey * 5 % 13) - 6 AS DOUBLE) * CAST(0.5 AS DOUBLE) AS oy "
             f"FROM customer) c"
+        ),
+        # calipers/measure laws: min rotated rectangle area is
+        # rotation-invariant (w*h), the longest line leaves the far
+        # corner (hypot(w+3, h+4)), the clockwise 3-point angle is
+        # 2*pi - atan2(w, h)
+        "st_orient_measures": (
+            "SELECT c_custkey, "
+            "round(CAST((c_custkey % 7 + 1) * (c_custkey % 5 + 1) AS DOUBLE), 6) AS oe_area, "
+            "round(sqrt(CAST((c_custkey % 7 + 4) AS DOUBLE) * (c_custkey % 7 + 4) "
+            "         + CAST((c_custkey % 5 + 5) AS DOUBLE) * (c_custkey % 5 + 5)), 9) AS ll_len, "
+            "round(2*pi() - atan2(CAST(c_custkey % 7 + 1 AS DOUBLE), "
+            "                     CAST(c_custkey % 5 + 1 AS DOUBLE)), 9) AS ang "
+            "FROM customer"
         ),
         # split/node laws: midline split keeps the full box area in 2
         # parts; a diagonal split by its crossing diagonal keeps the

@@ -1379,6 +1379,20 @@ def _st_split_fn(a, b):
 
 _st_split = _make_overlay_udf(_st_split_fn)
 
+_st_orientedenvelope = _make_geom_udf(algos.oriented_envelope)
+_st_longestline = _make_overlay_udf(algos.longest_line)
+
+
+@pandas_udf(DoubleType())
+def _st_angle(p1: pd.Series, p2: pd.Series, p3: pd.Series) -> pd.Series:
+    x1, y1, v1 = wkb.decode_points_xy(list(p1))
+    x2, y2, v2 = wkb.decode_points_xy(list(p2))
+    x3, y3, v3 = wkb.decode_points_xy(list(p3))
+    ok = v1 & v2 & v3
+    with np.errstate(invalid="ignore"):
+        a = algos.angle_3pt(x1, y1, x2, y2, x3, y3)
+    return pd.Series([float(t) if o else None for t, o in zip(a, ok)], dtype="float64")
+
 _st_intersection = _make_overlay_udf(_intersection)
 
 
@@ -2506,6 +2520,11 @@ _UDFS: Dict[str, object] = {
     # noding family (sedona_db_spark/geometry/split.py)
     "ST_Node": _st_node,
     "ST_Split": _st_split,
+    # rotating-calipers / measurement extras (round 4f)
+    "ST_OrientedEnvelope": _st_orientedenvelope,
+    "ST_MinimumRotatedRectangle": _st_orientedenvelope,
+    "ST_LongestLine": _st_longestline,
+    "ST_Angle": _st_angle,
     "ST_IsSimple": _st_issimple,
     "ST_IsRing": _st_isring,
     "ST_Intersects": _st_intersects,

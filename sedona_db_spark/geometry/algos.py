@@ -1449,3 +1449,64 @@ def maximum_inscribed_circle(g: Optional[Geometry], tolerance: Optional[float] =
             fx, fy = fx[order], fy[order]
         half = q
     return best_x, best_y, max(best_d, 0.0)
+
+
+def oriented_envelope(g: Optional[Geometry]) -> Optional[Geometry]:
+    """Minimum-area rotated rectangle enclosing the geometry (PostGIS
+    ST_OrientedEnvelope / ST_MinimumRotatedRectangle) — rotating calipers:
+    the optimal rectangle is flush with some convex-hull edge, so score
+    every hull edge's projection extents and keep the smallest area
+    (ties: first hull edge in ring order, deterministic). Degenerate
+    inputs degrade like ST_Envelope (point -> point, collinear -> line)."""
+    hull = convex_hull(g)
+    if hull is None:
+        return None
+    if hull.type_id != POLYGON or hull.is_empty:
+        return hull  # point / segment / empty degrade exactly like GEOS
+    ring = hull.coords[0][:-1, :2]
+    n = len(ring)
+    pts = np.asarray(ring, dtype=np.float64)
+    best = None
+    for i in range(n):
+        ex, ey = pts[(i + 1) % n] - pts[i]
+        L = math.hypot(ex, ey)
+        if L == 0:
+            continue
+        ux, uy = ex / L, ey / L           # edge direction
+        u = pts[:, 0] * ux + pts[:, 1] * uy
+        v = -pts[:, 0] * uy + pts[:, 1] * ux  # left normal
+        u0, u1 = float(np.min(u)), float(np.max(u))
+        v0, v1 = float(np.min(v)), float(np.max(v))
+        area = (u1 - u0) * (v1 - v0)
+        if best is None or area < best[0]:
+            best = (area, ux, uy, u0, u1, v0, v1)
+    if best is None:
+        return hull
+    _, ux, uy, u0, u1, v0, v1 = best
+    corners = [
+        (u0 * ux - v0 * uy, u0 * uy + v0 * ux),
+        (u1 * ux - v0 * uy, u1 * uy + v0 * ux),
+        (u1 * ux - v1 * uy, u1 * uy + v1 * ux),
+        (u0 * ux - v1 * uy, u0 * uy + v1 * ux),
+    ]
+    arr = np.array(corners + [corners[0]], dtype=np.float64)
+    return Geometry(POLYGON, [arr])
+
+
+def longest_line(a: Optional[Geometry], b: Optional[Geometry]) -> Optional[Geometry]:
+    """The vertex pair realizing ST_MaxDistance, as a LINESTRING
+    (PostGIS ST_LongestLine; first-in-scan-order tie-break)."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return None
+    ca, cb = a.all_coords()[:, :2], b.all_coords()[:, :2]
+    d = np.hypot(ca[:, None, 0] - cb[None, :, 0], ca[:, None, 1] - cb[None, :, 1])
+    i, j = np.unravel_index(int(np.argmax(d)), d.shape)
+    return Geometry(LINESTRING, np.array([ca[i], cb[j]], dtype=np.float64))
+
+
+def angle_3pt(x1, y1, x2, y2, x3, y3):
+    """PostGIS ST_Angle(P1, P2, P3): clockwise angle at P2 from ray
+    P2->P1 to ray P2->P3, in [0, 2*pi)."""
+    a1 = azimuth(x2, y2, x1, y1)
+    a2 = azimuth(x2, y2, x3, y3)
+    return np.mod(a2 - a1, 2 * np.pi)
