@@ -1328,6 +1328,55 @@ def _q_st_orient_measures(spark, sf_dir):
     )
 
 
+def _q_st_normal_forms(spark, sf_dir):
+    """Orientation / normal-form family (round-4f extras): forcing CW
+    preserves area; ST_Normalize starts the (now CW) ring at the min
+    corner so vertex 2 is (x0, y1); ST_Expand grows the box area to
+    (w+2d)(h+2d); the bounding diagonal is hypot(w, h); point-on-surface
+    and the geometric median of a rectangle are both its center;
+    Visvalingam drops the w/8-area zigzag vertex; ST_Multi wraps one
+    part; RemoveRepeatedPoints collapses the doubled endpoints — every
+    output recomputable in closed form on the key."""
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    x0 = ((F.col("c_custkey") * 3) % 100).cast("double")
+    y0 = ((F.col("c_custkey") * 11) % 80).cast("double")
+    w = (F.col("c_custkey") % 7 + 1).cast("double")
+    h = (F.col("c_custkey") % 5 + 1).cast("double")
+    d = (F.col("c_custkey") % 3 + 1).cast("double")
+    box = st.ST_MakeEnvelope(x0, y0, x0 + w, y0 + h)
+    cw = st.ST_ForcePolygonCW(box)
+    ring2 = st.ST_PointN(st.ST_ExteriorRing(st.ST_Normalize(box)), F.lit(2))
+    pos = st.ST_PointOnSurface(box)
+    gm = st.ST_GeometricMedian(box)
+    zig = st.ST_GeomFromWKT(F.format_string(
+        "LINESTRING (%.6f %.6f, %.6f %.6f, %.6f %.6f)",
+        x0, y0, x0 + w / 2, y0 + F.lit(0.25), x0 + w, y0))
+    dup = st.ST_GeomFromWKT(F.format_string(
+        "LINESTRING (%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f)",
+        x0, y0, x0, y0, x0 + w / 2, y0 + h / 2, x0 + w, y0 + h, x0 + w, y0 + h))
+    return c.select(
+        "c_custkey",
+        F.round(st.ST_Area(cw), 6).alias("cw_area"),
+        st.ST_IsPolygonCCW(box).cast("int").alias("is_ccw"),
+        F.round(st.ST_X(ring2), 6).alias("nx2"),
+        F.round(st.ST_Y(ring2), 6).alias("ny2"),
+        F.round(st.ST_Area(st.ST_Expand(box, d)), 6).alias("exp_area"),
+        F.round(st.ST_Length(st.ST_BoundingDiagonal(box)), 9).alias("bd_len"),
+        F.round(st.ST_X(pos), 6).alias("pos_x"),
+        F.round(st.ST_Y(pos), 6).alias("pos_y"),
+        F.round(st.ST_X(gm), 6).alias("gm_x"),
+        F.round(st.ST_Y(gm), 6).alias("gm_y"),
+        F.round(st.ST_Length(st.ST_SimplifyVW(zig, F.lit(1.0))), 9).alias("vw_len"),
+        st.ST_NumGeometries(st.ST_Multi(box)).cast("int").alias("mp_n"),
+        st.ST_NPoints(st.ST_RemoveRepeatedPoints(dup, F.lit(0.0)))
+        .cast("int").alias("rrp_n"),
+        (st.ST_OrderingEquals(box, box)
+         & ~st.ST_OrderingEquals(box, cw)).cast("int").alias("oeq"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -2655,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_genpoints_mic": _q_st_genpoints_mic,
         "st_split_node": _q_st_split_node,
         "st_orient_measures": _q_st_orient_measures,
+        "st_normal_forms": _q_st_normal_forms,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -3483,6 +3533,29 @@ def oracle_sql() -> dict[str, str]:
             "         + CAST((c_custkey % 5 + 5) AS DOUBLE) * (c_custkey % 5 + 5)), 9) AS ll_len, "
             "round(2*pi() - atan2(CAST(c_custkey % 7 + 1 AS DOUBLE), "
             "                     CAST(c_custkey % 5 + 1 AS DOUBLE)), 9) AS ang "
+            "FROM customer"
+        ),
+        # normal-form laws: CW forcing preserves |area| = w*h; normalize
+        # starts the CW ring at the min corner (vertex 2 = (x0, y1));
+        # expand area = (w+2d)(h+2d); bounding diagonal = hypot(w, h);
+        # point-on-surface and geometric median of a rectangle = center;
+        # VW drops the w/8 zigzag triangle so the line length is w
+        "st_normal_forms": (
+            "SELECT c_custkey, "
+            "round(CAST((c_custkey % 7 + 1) * (c_custkey % 5 + 1) AS DOUBLE), 6) AS cw_area, "
+            "1 AS is_ccw, "
+            "round(CAST((c_custkey * 3) % 100 AS DOUBLE), 6) AS nx2, "
+            "round(CAST((c_custkey * 11) % 80 + (c_custkey % 5 + 1) AS DOUBLE), 6) AS ny2, "
+            "round(CAST(((c_custkey % 7 + 1) + 2*(c_custkey % 3 + 1)) "
+            "         * ((c_custkey % 5 + 1) + 2*(c_custkey % 3 + 1)) AS DOUBLE), 6) AS exp_area, "
+            "round(sqrt(CAST((c_custkey % 7 + 1) * (c_custkey % 7 + 1) "
+            "              + (c_custkey % 5 + 1) * (c_custkey % 5 + 1) AS DOUBLE)), 9) AS bd_len, "
+            "round(CAST((c_custkey * 3) % 100 + (c_custkey % 7 + 1) / 2.0 AS DOUBLE), 6) AS pos_x, "
+            "round(CAST((c_custkey * 11) % 80 + (c_custkey % 5 + 1) / 2.0 AS DOUBLE), 6) AS pos_y, "
+            "round(CAST((c_custkey * 3) % 100 + (c_custkey % 7 + 1) / 2.0 AS DOUBLE), 6) AS gm_x, "
+            "round(CAST((c_custkey * 11) % 80 + (c_custkey % 5 + 1) / 2.0 AS DOUBLE), 6) AS gm_y, "
+            "round(CAST(c_custkey % 7 + 1 AS DOUBLE), 9) AS vw_len, "
+            "1 AS mp_n, 3 AS rrp_n, 1 AS oeq "
             "FROM customer"
         ),
         # split/node laws: midline split keeps the full box area in 2

@@ -1383,6 +1383,56 @@ _st_orientedenvelope = _make_geom_udf(algos.oriented_envelope)
 _st_longestline = _make_overlay_udf(algos.longest_line)
 
 
+def _normform():
+    from ..geometry import normform as _nf  # local: keep import cost off module load
+
+    return _nf
+
+
+_st_forcepolygoncw = _make_geom_udf(
+    lambda g: _normform().force_polygon_cw(g))
+_st_forcepolygonccw = _make_geom_udf(
+    lambda g: _normform().force_polygon_ccw(g))
+_st_normalize = _make_geom_udf(lambda g: _normform().normalize(g))
+_st_multi = _make_geom_udf(lambda g: _normform().multi(g))
+_st_pointonsurface = _make_geom_udf(lambda g: _normform().point_on_surface(g))
+_st_boundingdiagonal = _make_geom_udf(
+    lambda g: _normform().bounding_diagonal(g))
+_st_geometricmedian = _make_geom_udf(
+    lambda g: _normform().geometric_median(g))
+_st_ispolygoncw = _make_bool_udf(lambda g: _normform().is_polygon_cw(g))
+_st_ispolygonccw = _make_bool_udf(lambda g: _normform().is_polygon_ccw(g))
+_st_orderingequals = _make_pred_udf(
+    lambda a, b: _normform().ordering_equals(a, b))
+
+
+@pandas_udf(BinaryType())
+def _st_removerepeatedpoints(s: pd.Series, tol: pd.Series) -> pd.Series:
+    nf = _normform()
+    return pd.Series(
+        [None if (v is None or t is None) else
+         wkb.encode(nf.remove_repeated_points(wkb.parse(bytes(v)), float(t)))
+         for v, t in zip(s, tol)], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_expand(s: pd.Series, d: pd.Series) -> pd.Series:
+    nf = _normform()
+    return pd.Series(
+        [None if (v is None or t is None) else
+         wkb.encode(nf.expand(wkb.parse(bytes(v)), float(t)))
+         for v, t in zip(s, d)], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_simplifyvw(s: pd.Series, tol: pd.Series) -> pd.Series:
+    nf = _normform()
+    return pd.Series(
+        [None if (v is None or t is None) else
+         wkb.encode(nf.simplify_vw(wkb.parse(bytes(v)), float(t)))
+         for v, t in zip(s, tol)], dtype=object)
+
+
 @pandas_udf(DoubleType())
 def _st_angle(p1: pd.Series, p2: pd.Series, p3: pd.Series) -> pd.Series:
     x1, y1, v1 = wkb.decode_points_xy(list(p1))
@@ -2525,6 +2575,26 @@ _UDFS: Dict[str, object] = {
     "ST_MinimumRotatedRectangle": _st_orientedenvelope,
     "ST_LongestLine": _st_longestline,
     "ST_Angle": _st_angle,
+    # orientation / normal forms (geometry/normform.py)
+    "ST_ForcePolygonCW": _st_forcepolygoncw,
+    "ST_ForceRHR": _st_forcepolygoncw,
+    "ST_ForcePolygonCCW": _st_forcepolygonccw,
+    "ST_IsPolygonCW": _st_ispolygoncw,
+    "ST_IsPolygonCCW": _st_ispolygonccw,
+    "ST_Normalize": _st_normalize,
+    "ST_Multi": _st_multi,
+    "ST_PointOnSurface": _st_pointonsurface,
+    "ST_InteriorPoint": _st_pointonsurface,
+    "ST_BoundingDiagonal": _st_boundingdiagonal,
+    "ST_GeometricMedian": _st_geometricmedian,
+    "ST_OrderingEquals": _st_orderingequals,
+    "ST_RemoveRepeatedPoints": _st_removerepeatedpoints,
+    "ST_Expand": _st_expand,
+    # DP simplify without the topology guard is the same kernel here —
+    # our from-scratch DP keeps ring minimums, a strict superset of
+    # PostGIS ST_Simplify's collapse-allowed contract (documented)
+    "ST_Simplify": _st_simplifypreservetopology,
+    "ST_SimplifyVW": _st_simplifyvw,
     "ST_IsSimple": _st_issimple,
     "ST_IsRing": _st_isring,
     "ST_Intersects": _st_intersects,
