@@ -1377,6 +1377,44 @@ def _q_st_normal_forms(spark, sf_dir):
     )
 
 
+def _q_st_measures(spark, sf_dir):
+    """Linear referencing + 3D measures (round-4g): on a per-customer
+    3-4-5 segment with M running 0..10 and Z rising to z = k%9+1, every
+    output is closed-form — InterpolatePoint at the t=(k%5+1)/10 on-line
+    probe returns k%5+1, LocateAlong at m=2(k%4+1) sits at
+    x0 + 0.6(k%4+1), LocateBetween [0, z] keeps z/2 of the length, and
+    the 3D length/distance are sqrt(25 + z^2)."""
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    x0 = ((k * 3) % 100).cast("double")
+    y0 = ((k * 11) % 80).cast("double")
+    z = (k % 9 + 1).cast("double")
+    t = (k % 5 + 1).cast("double") * F.lit(0.1)
+    mt = (k % 4 + 1).cast("double") * F.lit(2.0)
+    lm = st.ST_GeomFromWKT(F.format_string(
+        "LINESTRING M (%.6f %.6f 0, %.6f %.6f 10)",
+        x0, y0, x0 + 3, y0 + 4))
+    lz = st.ST_GeomFromWKT(F.format_string(
+        "LINESTRING Z (%.6f %.6f 0, %.6f %.6f %.6f)",
+        x0, y0, x0 + 3, y0 + 4, z))
+    probe = st.ST_Point(x0 + F.lit(3.0) * t, y0 + F.lit(4.0) * t)
+    la_pt = st.ST_GeometryN(st.ST_LocateAlong(lm, mt), F.lit(1))
+    return c.select(
+        "c_custkey",
+        F.round(st.ST_InterpolatePoint(lm, probe), 6).alias("ip"),
+        F.round(st.ST_X(la_pt), 6).alias("la_x"),
+        F.round(st.ST_Length(
+            st.ST_LocateBetween(lm, F.lit(0.0), z)), 6).alias("lb_len"),
+        F.round(st.ST_3DLength(lz), 9).alias("l3"),
+        F.round(st.ST_3DDistance(
+            st.ST_PointZ(x0, y0, F.lit(0.0)),
+            st.ST_PointZ(x0 + 3, y0 + 4, z)), 9).alias("d3"),
+        F.round(st.ST_M(st.ST_Force4D(st.ST_Point(x0, y0))), 6).alias("f4m"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -2705,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_split_node": _q_st_split_node,
         "st_orient_measures": _q_st_orient_measures,
         "st_normal_forms": _q_st_normal_forms,
+        "st_measures": _q_st_measures,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -3556,6 +3595,23 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST((c_custkey * 11) % 80 + (c_custkey % 5 + 1) / 2.0 AS DOUBLE), 6) AS gm_y, "
             "round(CAST(c_custkey % 7 + 1 AS DOUBLE), 9) AS vw_len, "
             "1 AS mp_n, 3 AS rrp_n, 1 AS oeq "
+            "FROM customer"
+        ),
+        # measure laws (3-4-5 segment, M 0..10, Z = k%9+1): on-line probe
+        # at t=(k%5+1)/10 -> M = k%5+1; locate-along x = x0 + 0.6(k%4+1);
+        # locate-between [0, z] keeps z/2 of the 2D length; 3D length and
+        # endpoint distance are sqrt(25 + z^2); forced M is 0
+        "st_measures": (
+            "SELECT c_custkey, "
+            "round(CAST(c_custkey % 5 + 1 AS DOUBLE), 6) AS ip, "
+            "round(CAST((c_custkey * 3) % 100 AS DOUBLE) "
+            "      + 0.6 * (c_custkey % 4 + 1), 6) AS la_x, "
+            "round(CAST(c_custkey % 9 + 1 AS DOUBLE) / 2.0, 6) AS lb_len, "
+            "round(sqrt(25.0 + CAST((c_custkey % 9 + 1) * (c_custkey % 9 + 1) "
+            "                       AS DOUBLE)), 9) AS l3, "
+            "round(sqrt(25.0 + CAST((c_custkey % 9 + 1) * (c_custkey % 9 + 1) "
+            "                       AS DOUBLE)), 9) AS d3, "
+            "CAST(0.0 AS DOUBLE) AS f4m "
             "FROM customer"
         ),
         # split/node laws: midline split keeps the full box area in 2

@@ -1433,6 +1433,40 @@ def _st_simplifyvw(s: pd.Series, tol: pd.Series) -> pd.Series:
          for v, t in zip(s, tol)], dtype=object)
 
 
+def _measures():
+    from ..geometry import measures as _ms
+
+    return _ms
+
+
+_st_3ddistance = _make_dist_udf(lambda a, b: _measures().distance_3d(a, b))
+_st_3dmaxdistance = _make_dist_udf(
+    lambda a, b: _measures().max_distance_3d(a, b))
+_st_3dlength = _make_double_udf(lambda g: _measures().length_3d(g))
+_st_interpolatepoint = _make_dist_udf(
+    lambda a, b: _measures().interpolate_point(a, b))
+_st_force3dm = _make_geom_udf(lambda g: _measures().force_3dm(g))
+_st_force4d = _make_geom_udf(lambda g: _measures().force_4d(g))
+
+
+@pandas_udf(BinaryType())
+def _st_locatealong(s: pd.Series, m: pd.Series) -> pd.Series:
+    ms_ = _measures()
+    return pd.Series(
+        [None if (v is None or t is None) else
+         wkb.encode(ms_.locate_along(wkb.parse(bytes(v)), float(t)))
+         for v, t in zip(s, m)], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_locatebetween(s: pd.Series, m0: pd.Series, m1: pd.Series) -> pd.Series:
+    ms_ = _measures()
+    return pd.Series(
+        [None if (v is None or a is None or b is None) else
+         wkb.encode(ms_.locate_between(wkb.parse(bytes(v)), float(a), float(b)))
+         for v, a, b in zip(s, m0, m1)], dtype=object)
+
+
 @pandas_udf(DoubleType())
 def _st_angle(p1: pd.Series, p2: pd.Series, p3: pd.Series) -> pd.Series:
     x1, y1, v1 = wkb.decode_points_xy(list(p1))
@@ -2595,6 +2629,15 @@ _UDFS: Dict[str, object] = {
     # PostGIS ST_Simplify's collapse-allowed contract (documented)
     "ST_Simplify": _st_simplifypreservetopology,
     "ST_SimplifyVW": _st_simplifyvw,
+    # linear referencing + 3D measures (geometry/measures.py)
+    "ST_InterpolatePoint": _st_interpolatepoint,
+    "ST_LocateAlong": _st_locatealong,
+    "ST_LocateBetween": _st_locatebetween,
+    "ST_3DDistance": _st_3ddistance,
+    "ST_3DMaxDistance": _st_3dmaxdistance,
+    "ST_3DLength": _st_3dlength,
+    "ST_Force3DM": _st_force3dm,
+    "ST_Force4D": _st_force4d,
     "ST_IsSimple": _st_issimple,
     "ST_IsRing": _st_isring,
     "ST_Intersects": _st_intersects,
