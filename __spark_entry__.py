@@ -1415,6 +1415,29 @@ def _q_st_measures(spark, sf_dir):
     )
 
 
+def _q_st_ewkt(spark, sf_dir):
+    """EWKT wire format (round-4g): SRID-prefixed text round-trips
+    bit-exactly, and the integral box coordinates make the EWKT string
+    itself recomputable by plain string concatenation in SQL."""
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    x0 = ((k * 3) % 100).cast("double")
+    y0 = ((k * 11) % 80).cast("double")
+    g = st.ST_SetSRID(st.ST_Point(x0, y0), F.lit(4326))
+    rt = st.ST_GeomFromEWKT(st.ST_AsEWKT(g))
+    rb = st.ST_GeomFromEWKB(st.ST_AsEWKB(g))
+    return c.select(
+        "c_custkey",
+        st.ST_AsEWKT(g).alias("ewkt"),
+        st.ST_SRID(rt).cast("int").alias("srid_t"),
+        st.ST_SRID(rb).cast("int").alias("srid_b"),
+        F.round(st.ST_X(rt), 6).alias("x"),
+        F.round(st.ST_Y(rb), 6).alias("y"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -2744,6 +2767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_orient_measures": _q_st_orient_measures,
         "st_normal_forms": _q_st_normal_forms,
         "st_measures": _q_st_measures,
+        "st_ewkt": _q_st_ewkt,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -3612,6 +3636,18 @@ def oracle_sql() -> dict[str, str]:
             "round(sqrt(25.0 + CAST((c_custkey % 9 + 1) * (c_custkey % 9 + 1) "
             "                       AS DOUBLE)), 9) AS d3, "
             "CAST(0.0 AS DOUBLE) AS f4m "
+            "FROM customer"
+        ),
+        # EWKT law: integral coordinates print as integers, so the whole
+        # SRID-prefixed string is plain concatenation; both wire formats
+        # round-trip the SRID and coordinates exactly
+        "st_ewkt": (
+            "SELECT c_custkey, "
+            "'SRID=4326;POINT (' || CAST(CAST((c_custkey * 3) % 100 AS INTEGER) AS VARCHAR) "
+            "|| ' ' || CAST(CAST((c_custkey * 11) % 80 AS INTEGER) AS VARCHAR) || ')' AS ewkt, "
+            "4326 AS srid_t, 4326 AS srid_b, "
+            "round(CAST((c_custkey * 3) % 100 AS DOUBLE), 6) AS x, "
+            "round(CAST((c_custkey * 11) % 80 AS DOUBLE), 6) AS y "
             "FROM customer"
         ),
         # split/node laws: midline split keeps the full box area in 2

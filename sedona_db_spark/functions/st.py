@@ -1458,6 +1458,55 @@ def _st_locatealong(s: pd.Series, m: pd.Series) -> pd.Series:
          for v, t in zip(s, m)], dtype=object)
 
 
+# ---------------------------------------------------------------------------
+# EWKT / EWKB (PostGIS extended formats: 'SRID=n;<WKT>' and the EWKB
+# SRID-flag binary — the reference exchanges CRS through column metadata
+# only; these close the PostGIS wire-format interop gap)
+# ---------------------------------------------------------------------------
+
+@pandas_udf(StringType())
+def _st_asewkt(s: pd.Series) -> pd.Series:
+    def run(v):
+        if v is None:
+            return None
+        b = bytes(v)
+        srid = _read_srid(b)
+        w = wkb.to_wkt(wkb.parse(b))
+        return f"SRID={srid};{w}" if srid else w
+
+    return pd.Series([run(v) for v in s], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_geomfromewkt(s: pd.Series) -> pd.Series:
+    def run(v):
+        if v is None:
+            return None
+        t = str(v).strip()
+        srid = 0
+        if t.upper().startswith("SRID="):
+            head, _, rest = t.partition(";")
+            if not rest:
+                raise ValueError(f"malformed EWKT (missing ';'): {t[:40]!r}")
+            srid = int(head[5:])
+            t = rest
+        iso = wkb.encode(wkb.from_wkt(t))
+        return _set_srid_bytes(iso, srid) if srid else iso
+
+    return pd.Series([run(v) for v in s], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_asewkb(s: pd.Series) -> pd.Series:
+    def run(v):
+        if v is None:
+            return None
+        b = bytes(v)
+        return _set_srid_bytes(b, _read_srid(b))
+
+    return pd.Series([run(v) for v in s], dtype=object)
+
+
 @pandas_udf(BinaryType())
 def _st_locatebetween(s: pd.Series, m0: pd.Series, m1: pd.Series) -> pd.Series:
     ms_ = _measures()
@@ -2541,6 +2590,13 @@ _UDFS: Dict[str, object] = {
     "ST_GeogFromWKT": _st_geomfromwkt,
     "ST_GeomFromText": _st_geomfromwkt,
     "ST_GeomFromWKB": _st_geomfromwkb,
+    # PostGIS extended wire formats (SRID-carrying)
+    "ST_AsEWKT": _st_asewkt,
+    "ST_GeomFromEWKT": _st_geomfromewkt,
+    "ST_AsEWKB": _st_asewkb,
+    # decode-validate-re-encode preserving the SRID flag (same kernel as
+    # AsEWKB: parse() decodes EWKB, _set_srid_bytes re-applies the SRID)
+    "ST_GeomFromEWKB": _st_asewkb,
     "ST_GeogFromWKB": _st_geomfromwkb,
     "ST_AsText": _st_astext,
     "ST_AsBinary": _st_asbinary,
