@@ -1438,6 +1438,51 @@ def _q_st_ewkt(spark, sf_dir):
     )
 
 
+def _q_st_triangulate(spark, sf_dir):
+    """Triangulation / snap / shared-path laws (round-4g): a w x h box
+    with one square hole ear-clips into exactly n_shell + n_hole + 2h - 2
+    = 8 triangles whose areas sum to w*h - 1/16; snapping inserts the
+    near-segment vertex (3 points, its y preserved); shared paths of
+    collinear sub-segments have closed-form same/opposite lengths."""
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    x0 = ((k * 3) % 100).cast("double")
+    y0 = ((k * 11) % 80).cast("double")
+    w = (k % 7 + 1).cast("double")
+    h = (k % 5 + 1).cast("double")
+    holed = st.ST_GeomFromWKT(F.format_string(
+        "POLYGON ((%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f), "
+        "(%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f))",
+        x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h, x0, y0,
+        x0 + F.lit(0.3), y0 + F.lit(0.3), x0 + F.lit(0.3), y0 + F.lit(0.55),
+        x0 + F.lit(0.55), y0 + F.lit(0.55), x0 + F.lit(0.55), y0 + F.lit(0.3),
+        x0 + F.lit(0.3), y0 + F.lit(0.3)))
+    tris = st.ST_TriangulatePolygon(holed)
+    base = st.ST_GeomFromWKT(F.format_string(
+        "LINESTRING (%.6f %.6f, %.6f %.6f)", x0, y0, x0 + w, y0))
+    snapped = st.ST_Snap(base, st.ST_Point(x0 + w / 2, y0 + F.lit(0.05)),
+                         F.lit(0.1))
+    fwd = st.ST_GeomFromWKT(F.format_string(
+        "LINESTRING (%.6f %.6f, %.6f %.6f)", x0 + F.lit(0.5), y0, x0 + w, y0))
+    rev = st.ST_GeomFromWKT(F.format_string(
+        "LINESTRING (%.6f %.6f, %.6f %.6f)", x0 + w, y0, x0 + w / 2, y0))
+    sp1 = st.ST_SharedPaths(base, fwd)
+    sp2 = st.ST_SharedPaths(base, rev)
+    return c.select(
+        "c_custkey",
+        st.ST_NumGeometries(tris).cast("int").alias("tri_n"),
+        F.round(st.ST_Area(tris), 6).alias("tri_area"),
+        st.ST_NPoints(snapped).cast("int").alias("snp"),
+        F.round(st.ST_Y(st.ST_PointN(snapped, F.lit(2))), 6).alias("sy"),
+        F.round(st.ST_Length(st.ST_GeometryN(sp1, F.lit(1))), 9)
+        .alias("sp_same"),
+        F.round(st.ST_Length(st.ST_GeometryN(sp2, F.lit(2))), 9)
+        .alias("sp_opp"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -2768,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_normal_forms": _q_st_normal_forms,
         "st_measures": _q_st_measures,
         "st_ewkt": _q_st_ewkt,
+        "st_triangulate": _q_st_triangulate,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -3648,6 +3694,20 @@ def oracle_sql() -> dict[str, str]:
             "4326 AS srid_t, 4326 AS srid_b, "
             "round(CAST((c_custkey * 3) % 100 AS DOUBLE), 6) AS x, "
             "round(CAST((c_custkey * 11) % 80 AS DOUBLE), 6) AS y "
+            "FROM customer"
+        ),
+        # triangulation laws: holed box -> 4+4+2-2 = 8 ear-clip triangles
+        # summing to w*h - 1/16; snap inserts the near-segment vertex
+        # (3 points, y = y0 + 0.05); shared-path lengths are w - 0.5
+        # (same direction) and w/2 (opposite)
+        "st_triangulate": (
+            "SELECT c_custkey, 8 AS tri_n, "
+            "round(CAST((c_custkey % 7 + 1) * (c_custkey % 5 + 1) AS DOUBLE) "
+            "      - 0.0625, 6) AS tri_area, "
+            "3 AS snp, "
+            "round(CAST((c_custkey * 11) % 80 AS DOUBLE) + 0.05, 6) AS sy, "
+            "round(CAST(c_custkey % 7 + 1 AS DOUBLE) - 0.5, 9) AS sp_same, "
+            "round(CAST(c_custkey % 7 + 1 AS DOUBLE) / 2.0, 9) AS sp_opp "
             "FROM customer"
         ),
         # split/node laws: midline split keeps the full box area in 2

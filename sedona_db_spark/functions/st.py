@@ -1439,6 +1439,28 @@ def _measures():
     return _ms
 
 
+def _triangulate_mod():
+    from ..geometry import triangulate as _tg
+
+    return _tg
+
+
+_st_triangulatepolygon = _make_geom_udf(
+    lambda g: _triangulate_mod().triangulate_polygon(g))
+_st_sharedpaths = _make_overlay_udf(
+    lambda a, b: _triangulate_mod().shared_paths(a, b))
+
+
+@pandas_udf(BinaryType())
+def _st_snap(s: pd.Series, ref: pd.Series, tol: pd.Series) -> pd.Series:
+    tg = _triangulate_mod()
+    return pd.Series(
+        [None if (v is None or r is None or t is None) else
+         wkb.encode(tg.snap(wkb.parse(bytes(v)), wkb.parse(bytes(r)),
+                            float(t)))
+         for v, r, t in zip(s, ref, tol)], dtype=object)
+
+
 _st_3ddistance = _make_dist_udf(lambda a, b: _measures().distance_3d(a, b))
 _st_3dmaxdistance = _make_dist_udf(
     lambda a, b: _measures().max_distance_3d(a, b))
@@ -2694,6 +2716,10 @@ _UDFS: Dict[str, object] = {
     "ST_3DLength": _st_3dlength,
     "ST_Force3DM": _st_force3dm,
     "ST_Force4D": _st_force4d,
+    # triangulation / snapping / shared paths (geometry/triangulate.py)
+    "ST_TriangulatePolygon": _st_triangulatepolygon,
+    "ST_Snap": _st_snap,
+    "ST_SharedPaths": _st_sharedpaths,
     "ST_IsSimple": _st_issimple,
     "ST_IsRing": _st_isring,
     "ST_Intersects": _st_intersects,
