@@ -1483,6 +1483,34 @@ def _q_st_triangulate(spark, sf_dir):
     )
 
 
+def _q_st_trajectory(spark, sf_dir):
+    """Trajectory CPA laws (round-4g): two constant-velocity lanes with
+    closing speed 2 and initial x-gap c meet closest at t = c/2 with the
+    constant lateral offset h as the CPA distance — all algebra on the
+    key."""
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    x0 = ((k * 3) % 100).cast("double")
+    y0 = ((k * 11) % 80).cast("double")
+    h = (k % 5 + 1).cast("double")
+    cc = (k % 5 + 2).cast("double")
+    a = st.ST_GeomFromWKT(F.format_string(
+        "LINESTRING M (%.6f %.6f 0, %.6f %.6f 10)", x0, y0, x0 + 10, y0))
+    b = st.ST_GeomFromWKT(F.format_string(
+        "LINESTRING M (%.6f %.6f 0, %.6f %.6f 10)",
+        x0 + cc, y0 + h, x0 + cc - 10, y0 + h))
+    return c.select(
+        "c_custkey",
+        st.ST_IsValidTrajectory(a).cast("int").alias("valid"),
+        F.round(st.ST_ClosestPointOfApproach(a, b), 9).alias("cpa_t"),
+        F.round(st.ST_DistanceCPA(a, b), 9).alias("cpa_d"),
+        st.ST_CPAWithin(a, b, h).cast("int").alias("w1"),
+        st.ST_CPAWithin(a, b, h - F.lit(0.5)).cast("int").alias("w0"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -2814,6 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_measures": _q_st_measures,
         "st_ewkt": _q_st_ewkt,
         "st_triangulate": _q_st_triangulate,
+        "st_trajectory": _q_st_trajectory,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -3708,6 +3737,15 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST((c_custkey * 11) % 80 AS DOUBLE) + 0.05, 6) AS sy, "
             "round(CAST(c_custkey % 7 + 1 AS DOUBLE) - 0.5, 9) AS sp_same, "
             "round(CAST(c_custkey % 7 + 1 AS DOUBLE) / 2.0, 9) AS sp_opp "
+            "FROM customer"
+        ),
+        # trajectory CPA laws: closing speed 2 over x-gap c -> t* = c/2;
+        # constant lateral offset h is the CPA distance
+        "st_trajectory": (
+            "SELECT c_custkey, 1 AS valid, "
+            "round(CAST(c_custkey % 5 + 2 AS DOUBLE) / 2.0, 9) AS cpa_t, "
+            "round(CAST(c_custkey % 5 + 1 AS DOUBLE), 9) AS cpa_d, "
+            "1 AS w1, 0 AS w0 "
             "FROM customer"
         ),
         # split/node laws: midline split keeps the full box area in 2

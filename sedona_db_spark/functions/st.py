@@ -1445,6 +1445,29 @@ def _triangulate_mod():
     return _tg
 
 
+def _trajectory_mod():
+    from ..geometry import trajectory as _tj
+
+    return _tj
+
+
+_st_isvalidtrajectory = _make_bool_udf(
+    lambda g: _trajectory_mod().is_valid_trajectory(g))
+_st_closestpointofapproach = _make_dist_udf(
+    lambda a, b: _trajectory_mod().closest_point_of_approach(a, b))
+_st_distancecpa = _make_dist_udf(
+    lambda a, b: _trajectory_mod().distance_cpa(a, b))
+
+
+@pandas_udf(BooleanType())
+def _st_cpawithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
+    tj = _trajectory_mod()
+    return pd.Series(
+        [None if (x is None or y is None or t is None) else
+         tj.cpa_within(wkb.parse(bytes(x)), wkb.parse(bytes(y)), float(t))
+         for x, y, t in zip(a, b, d)], dtype=object)
+
+
 _st_triangulatepolygon = _make_geom_udf(
     lambda g: _triangulate_mod().triangulate_polygon(g))
 _st_sharedpaths = _make_overlay_udf(
@@ -2720,6 +2743,11 @@ _UDFS: Dict[str, object] = {
     "ST_TriangulatePolygon": _st_triangulatepolygon,
     "ST_Snap": _st_snap,
     "ST_SharedPaths": _st_sharedpaths,
+    # spatio-temporal trajectories (geometry/trajectory.py)
+    "ST_IsValidTrajectory": _st_isvalidtrajectory,
+    "ST_ClosestPointOfApproach": _st_closestpointofapproach,
+    "ST_DistanceCPA": _st_distancecpa,
+    "ST_CPAWithin": _st_cpawithin,
     "ST_IsSimple": _st_issimple,
     "ST_IsRing": _st_isring,
     "ST_Intersects": _st_intersects,
