@@ -1511,6 +1511,37 @@ def _q_st_trajectory(spark, sf_dir):
     )
 
 
+def _q_cpa_pairs(spark, sf_dir):
+    """Distributed trajectory proximity join (round-4g operators/
+    cpa_join.py): customer lanes move +x at speed 1, supplier lanes -x at
+    speed 1 over the same 10-unit window, so each pair's CPA is the
+    clamped vertex of one quadratic — recomputable as plain algebra in
+    the SQL oracle.  The Spark side runs the banded dwithin prefilter +
+    time conjunct + exact refine (never a cartesian product)."""
+    from sedona_db_spark.functions import st
+    from sedona_db_spark.operators.cpa_join import cpa_join
+
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    xi = ((F.col("c_custkey") * 3) % 100).cast("double")
+    yi = ((F.col("c_custkey") * 11) % 80).cast("double")
+    left = c.select(
+        "c_custkey",
+        st.ST_GeomFromWKT(F.format_string(
+            "LINESTRING M (%.6f %.6f 0, %.6f %.6f 10)",
+            xi, yi, xi + 10, yi)).alias("traj"))
+    xj = ((F.col("s_suppkey") * 7) % 100).cast("double")
+    yj = ((F.col("s_suppkey") * 13) % 80).cast("double")
+    h = (F.col("s_suppkey") % 4).cast("double")
+    right = s.select(
+        "s_suppkey",
+        st.ST_GeomFromWKT(F.format_string(
+            "LINESTRING M (%.6f %.6f 0, %.6f %.6f 10)",
+            xj + 4, yj + h, xj - 6, yj + h)).alias("traj"))
+    j = cpa_join(left, right, 2.0)
+    return j.select("c_custkey", "s_suppkey")
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -2843,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_ewkt": _q_st_ewkt,
         "st_triangulate": _q_st_triangulate,
         "st_trajectory": _q_st_trajectory,
+        "cpa_pairs": _q_cpa_pairs,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -3747,6 +3779,23 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(c_custkey % 5 + 1 AS DOUBLE), 9) AS cpa_d, "
             "1 AS w1, 0 AS w0 "
             "FROM customer"
+        ),
+        # CPA join: head-on lanes, closing speed 2 — t* clamps the vertex
+        # of the per-pair quadratic; the whole join is one algebraic
+        # predicate in SQL
+        "cpa_pairs": (
+            "WITH a AS (SELECT c_custkey, "
+            "  CAST((c_custkey * 3) % 100 AS DOUBLE) AS xi, "
+            "  CAST((c_custkey * 11) % 80 AS DOUBLE) AS yi FROM customer), "
+            "b AS (SELECT s_suppkey, "
+            "  CAST((s_suppkey * 7) % 100 AS DOUBLE) AS xj, "
+            "  CAST((s_suppkey * 13) % 80 AS DOUBLE) AS yj, "
+            "  CAST(s_suppkey % 4 AS DOUBLE) AS h FROM supplier), "
+            "p AS (SELECT c_custkey, s_suppkey, "
+            "  least(greatest((xj + 4 - xi) / 2.0, 0.0), 10.0) AS ts, "
+            "  xi - xj - 4 AS gx, yi - yj - h AS gy FROM a, b) "
+            "SELECT c_custkey, s_suppkey FROM p "
+            "WHERE sqrt((gx + 2*ts)*(gx + 2*ts) + gy*gy) <= 2.0"
         ),
         # split/node laws: midline split keeps the full box area in 2
         # parts; a diagonal split by its crossing diagonal keeps the
