@@ -1542,6 +1542,40 @@ def _q_cpa_pairs(spark, sf_dir):
     return j.select("c_custkey", "s_suppkey")
 
 
+def _q_st_grids(spark, sf_dir):
+    """Grid-generator laws (round-4g): XYZ tile envelopes have area
+    (2A/2^z)^2 and a west edge at -A + tx*(2A/2^z) (A = the web-mercator
+    extent); the origin-aligned square grid over an integral w x h box
+    emits exactly w*h unit cells; a hexagon of side s has area
+    1.5*sqrt(3)*s^2 and centroid x = 1.5*s*i."""
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    z = (k % 8 + 1).cast("int")
+    n = F.pow(F.lit(2.0), z.cast("double"))
+    tx = (k % n.cast("long")).cast("int")
+    ty = ((k * 5) % n.cast("long")).cast("int")
+    x0 = ((k * 3) % 100).cast("double")
+    y0 = ((k * 11) % 80).cast("double")
+    w = (k % 7 + 1).cast("double")
+    h = (k % 5 + 1).cast("double")
+    box = st.ST_MakeEnvelope(x0, y0, x0 + w, y0 + h)
+    tile = st.ST_TileEnvelope(z, tx, ty)
+    hexc = st.ST_Hexagon((k % 3 + 1).cast("double"), (k % 9).cast("int"),
+                         F.lit(0))
+    sq = st.ST_SquareGrid(F.lit(1.0), box)
+    return c.select(
+        "c_custkey",
+        F.round(st.ST_Area(tile) / F.lit(1e12), 6).alias("tile_area"),
+        F.round(st.ST_XMin(tile) / F.lit(1e6), 6).alias("tile_xmin"),
+        st.ST_NumGeometries(sq).cast("int").alias("sq_n"),
+        F.round(st.ST_Area(sq), 6).alias("sq_area"),
+        F.round(st.ST_Area(hexc), 9).alias("hex_area"),
+        F.round(st.ST_X(st.ST_Centroid(hexc)), 9).alias("hex_cx"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -2875,6 +2909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_triangulate": _q_st_triangulate,
         "st_trajectory": _q_st_trajectory,
         "cpa_pairs": _q_cpa_pairs,
+        "st_grids": _q_st_grids,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -3796,6 +3831,30 @@ def oracle_sql() -> dict[str, str]:
             "  xi - xj - 4 AS gx, yi - yj - h AS gy FROM a, b) "
             "SELECT c_custkey, s_suppkey FROM p "
             "WHERE sqrt((gx + 2*ts)*(gx + 2*ts) + gy*gy) <= 2.0"
+        ),
+        # grid-generator laws: tile area (2A/2^z)^2, west edge
+        # -A + tx*2A/2^z (A = web-mercator extent), unit square grid over
+        # an integral w x h box = w*h cells, hexagon area 1.5*sqrt(3)*s^2
+        # with centroid x = 1.5*s*i
+        "st_grids": (
+            "WITH p AS (SELECT c_custkey, "
+            "  CAST(c_custkey % 8 + 1 AS INTEGER) AS z, "
+            "  CAST(c_custkey % 7 + 1 AS DOUBLE) AS w, "
+            "  CAST(c_custkey % 5 + 1 AS DOUBLE) AS h, "
+            "  CAST(c_custkey % 3 + 1 AS DOUBLE) AS hs, "
+            "  CAST(c_custkey % 9 AS DOUBLE) AS hi "
+            "  FROM customer), "
+            "q AS (SELECT *, 20037508.342789244 AS a, "
+            "  CAST(c_custkey % CAST(pow(2, z) AS BIGINT) AS DOUBLE) AS tx "
+            "  FROM p) "
+            "SELECT c_custkey, "
+            "round((2*a/pow(2, z)) * (2*a/pow(2, z)) / 1e12, 6) AS tile_area, "
+            "round((-a + tx * (2*a/pow(2, z))) / 1e6, 6) AS tile_xmin, "
+            "CAST(w * h AS INTEGER) AS sq_n, "
+            "round(w * h, 6) AS sq_area, "
+            "round(1.5 * sqrt(3.0) * hs * hs, 9) AS hex_area, "
+            "round(1.5 * hs * hi, 9) AS hex_cx "
+            "FROM q"
         ),
         # split/node laws: midline split keeps the full box area in 2
         # parts; a diagonal split by its crossing diagonal keeps the

@@ -1451,6 +1451,57 @@ def _trajectory_mod():
     return _tj
 
 
+def _grids_mod():
+    from ..geometry import grids as _gr
+
+    return _gr
+
+
+@pandas_udf(BinaryType())
+def _st_tileenvelope(z: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    gr = _grids_mod()
+    return pd.Series(
+        [None if (a is None or b is None or c is None) else
+         wkb.encode(gr.tile_envelope(int(a), int(b), int(c)))
+         for a, b, c in zip(z, x, y)], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_squaregrid(size: pd.Series, s: pd.Series) -> pd.Series:
+    gr = _grids_mod()
+    return pd.Series(
+        [None if (z is None or v is None) else
+         wkb.encode(gr.square_grid(float(z), wkb.parse(bytes(v))))
+         for z, v in zip(size, s)], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_hexagongrid(size: pd.Series, s: pd.Series) -> pd.Series:
+    gr = _grids_mod()
+    return pd.Series(
+        [None if (z is None or v is None) else
+         wkb.encode(gr.hexagon_grid(float(z), wkb.parse(bytes(v))))
+         for z, v in zip(size, s)], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_hexagon(size: pd.Series, ci: pd.Series, cj: pd.Series) -> pd.Series:
+    gr = _grids_mod()
+    return pd.Series(
+        [None if (z is None or a is None or b is None) else
+         wkb.encode(gr.hexagon(int(a), int(b), float(z)))
+         for z, a, b in zip(size, ci, cj)], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _st_square(size: pd.Series, ci: pd.Series, cj: pd.Series) -> pd.Series:
+    gr = _grids_mod()
+    return pd.Series(
+        [None if (z is None or a is None or b is None) else
+         wkb.encode(gr.square(int(a), int(b), float(z)))
+         for z, a, b in zip(size, ci, cj)], dtype=object)
+
+
 _st_isvalidtrajectory = _make_bool_udf(
     lambda g: _trajectory_mod().is_valid_trajectory(g))
 _st_closestpointofapproach = _make_dist_udf(
@@ -2744,6 +2795,12 @@ _UDFS: Dict[str, object] = {
     "ST_Snap": _st_snap,
     "ST_SharedPaths": _st_sharedpaths,
     # spatio-temporal trajectories (geometry/trajectory.py)
+    # grid generators (geometry/grids.py)
+    "ST_TileEnvelope": _st_tileenvelope,
+    "ST_SquareGrid": _st_squaregrid,
+    "ST_HexagonGrid": _st_hexagongrid,
+    "ST_Hexagon": _st_hexagon,
+    "ST_Square": _st_square,
     "ST_IsValidTrajectory": _st_isvalidtrajectory,
     "ST_ClosestPointOfApproach": _st_closestpointofapproach,
     "ST_DistanceCPA": _st_distancecpa,
