@@ -1576,6 +1576,25 @@ def _q_st_grids(spark, sf_dir):
     )
 
 
+def _q_st_lonwrap(spark, sf_dir):
+    """Anti-meridian helpers (round-4g): ST_ShiftLongitude maps negative
+    longitudes to [180, 360); ST_WrapX translates components left of the
+    wrap line by the move — both one CASE expression in SQL."""
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lon = ((k * 7) % 360).cast("double") - F.lit(180.0)
+    lat = ((k * 13) % 180).cast("double") - F.lit(90.0)
+    p = st.ST_Point(lon, lat)
+    return c.select(
+        "c_custkey",
+        F.round(st.ST_X(st.ST_ShiftLongitude(p)), 6).alias("sx"),
+        F.round(st.ST_X(st.ST_WrapX(p, F.lit(50.0), F.lit(360.0))), 6)
+        .alias("wx"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -2910,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_trajectory": _q_st_trajectory,
         "cpa_pairs": _q_cpa_pairs,
         "st_grids": _q_st_grids,
+        "st_lonwrap": _q_st_lonwrap,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -3855,6 +3875,16 @@ def oracle_sql() -> dict[str, str]:
             "round(1.5 * sqrt(3.0) * hs * hs, 9) AS hex_area, "
             "round(1.5 * hs * hi, 9) AS hex_cx "
             "FROM q"
+        ),
+        # anti-meridian laws: shift adds 360 to negative longitudes;
+        # wrap-at-50 moves components with x < 50 by +360
+        "st_lonwrap": (
+            "SELECT c_custkey, "
+            "round(CASE WHEN lon < 0 THEN lon + 360.0 ELSE lon END, 6) AS sx, "
+            "round(CASE WHEN lon < 50 THEN lon + 360.0 ELSE lon END, 6) AS wx "
+            "FROM (SELECT c_custkey, "
+            "  CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 AS lon "
+            "  FROM customer)"
         ),
         # split/node laws: midline split keeps the full box area in 2
         # parts; a diagonal split by its crossing diagonal keeps the

@@ -1400,7 +1400,17 @@ _st_boundingdiagonal = _make_geom_udf(
     lambda g: _normform().bounding_diagonal(g))
 _st_geometricmedian = _make_geom_udf(
     lambda g: _normform().geometric_median(g))
+_st_shiftlongitude = _make_geom_udf(lambda g: _normform().shift_longitude(g))
 _st_ispolygoncw = _make_bool_udf(lambda g: _normform().is_polygon_cw(g))
+
+
+@pandas_udf(BinaryType())
+def _st_wrapx(s: pd.Series, wrap: pd.Series, move: pd.Series) -> pd.Series:
+    nf = _normform()
+    return pd.Series(
+        [None if (v is None or w is None or m is None) else
+         wkb.encode(nf.wrap_x(wkb.parse(bytes(v)), float(w), float(m)))
+         for v, w, m in zip(s, wrap, move)], dtype=object)
 _st_ispolygonccw = _make_bool_udf(lambda g: _normform().is_polygon_ccw(g))
 _st_orderingequals = _make_pred_udf(
     lambda a, b: _normform().ordering_equals(a, b))
@@ -2776,6 +2786,9 @@ _UDFS: Dict[str, object] = {
     "ST_OrderingEquals": _st_orderingequals,
     "ST_RemoveRepeatedPoints": _st_removerepeatedpoints,
     "ST_Expand": _st_expand,
+    "ST_ShiftLongitude": _st_shiftlongitude,
+    "ST_Shift_Longitude": _st_shiftlongitude,
+    "ST_WrapX": _st_wrapx,
     # DP simplify without the topology guard is the same kernel here —
     # our from-scratch DP keeps ring minimums, a strict superset of
     # PostGIS ST_Simplify's collapse-allowed contract (documented)

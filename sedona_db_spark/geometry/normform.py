@@ -452,3 +452,73 @@ def geometric_median(g: Optional[Geometry], tol: float = 1e-9,
             break
         cur = nxt
     return Geometry(POINT, np.array([cur], dtype=np.float64))
+
+
+# ---------------------------------------------------------------------------
+# longitude wrapping (Sedona ST_ShiftLongitude, PostGIS ST_WrapX)
+# ---------------------------------------------------------------------------
+
+def shift_longitude(g: Optional[Geometry]) -> Optional[Geometry]:
+    """Map x in [-180, 0) to [180, 360) and back, vertex-wise (Apache
+    Sedona ST_ShiftLongitude — the standard anti-meridian crossing fix:
+    applying it twice is the identity)."""
+    if g is None:
+        return None
+
+    def conv(arr: np.ndarray) -> np.ndarray:
+        out = arr.copy()
+        x = out[:, 0]
+        out[:, 0] = np.where(x < 0, x + 360.0, np.where(x > 180.0, x - 360.0, x))
+        return out
+
+    def walk(geom: Geometry) -> Geometry:
+        t = geom.type_id
+        if t in (POINT, LINESTRING):
+            return Geometry(t, conv(geom.coords), geom.has_z, geom.has_m)
+        if t == POLYGON:
+            return Geometry(t, [conv(r) for r in geom.coords],
+                            geom.has_z, geom.has_m)
+        return Geometry(t, [walk(s) for s in geom.coords],
+                        geom.has_z, geom.has_m)
+
+    return walk(g)
+
+
+def wrap_x(g: Optional[Geometry], wrap: float, move: float) -> Optional[Geometry]:
+    """Translate whole COMPONENTS by (move, 0) when they lie on the wrap
+    side of the line x = wrap (PostGIS ST_WrapX): with move > 0,
+    components entirely LEFT of the line move right; with move < 0,
+    components entirely RIGHT move left.  Components crossing the line
+    stay (PostGIS splits them only in the topology variant; documented
+    deviation: we never split)."""
+    if g is None:
+        return None
+
+    def component_moves(geom: Geometry) -> bool:
+        c = geom.all_coords()
+        if len(c) == 0:
+            return False
+        if move > 0:
+            return float(np.max(c[:, 0])) < wrap
+        return float(np.min(c[:, 0])) > wrap
+
+    def shift(geom: Geometry) -> Geometry:
+        def conv(arr: np.ndarray) -> np.ndarray:
+            out = arr.copy()
+            out[:, 0] = out[:, 0] + move
+            return out
+
+        t = geom.type_id
+        if t in (POINT, LINESTRING):
+            return Geometry(t, conv(geom.coords), geom.has_z, geom.has_m)
+        if t == POLYGON:
+            return Geometry(t, [conv(r) for r in geom.coords],
+                            geom.has_z, geom.has_m)
+        return Geometry(t, [shift(s) for s in geom.coords],
+                        geom.has_z, geom.has_m)
+
+    t = g.type_id
+    if t in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        parts = [shift(s) if component_moves(s) else s for s in g.coords]
+        return Geometry(t, parts, g.has_z, g.has_m)
+    return shift(g) if component_moves(g) else g

@@ -288,3 +288,47 @@ class TestSQL:
         ).collect()[0]
         assert row.n == 2
         assert row.nrm.startswith("POLYGON ((1 2, 1 7")
+
+
+# ---------------------------------------------------------------------------
+# longitude wrapping
+# ---------------------------------------------------------------------------
+
+class TestLongitude:
+    def test_shift_involution(self):
+        g = wkb.from_wkt("POINT (-170 10)")
+        s = nf.shift_longitude(g)
+        assert s.coords[0].tolist() == [190.0, 10.0]
+        assert nf.shift_longitude(s).coords[0].tolist() == [-170.0, 10.0]
+
+    def test_shift_line(self):
+        g = wkb.from_wkt("LINESTRING (179 0, -179 1)")
+        s = nf.shift_longitude(g)
+        assert s.coords[:, 0].tolist() == [179.0, 181.0]
+
+    def test_wrapx_moves_left_components(self):
+        g = wkb.from_wkt("MULTIPOINT ((-170 0), (170 0))")
+        out = nf.wrap_x(g, 0.0, 360.0)
+        xs = sorted(p.coords[0, 0] for p in out.coords)
+        assert xs == [170.0, 190.0]
+
+    def test_wrapx_negative_move(self):
+        g = wkb.from_wkt("MULTIPOINT ((-170 0), (170 0))")
+        out = nf.wrap_x(g, 0.0, -360.0)
+        xs = sorted(p.coords[0, 0] for p in out.coords)
+        assert xs == [-190.0, -170.0]
+
+    def test_wrapx_crossing_component_stays(self):
+        g = wkb.from_wkt("LINESTRING (-10 0, 10 0)")
+        out = nf.wrap_x(g, 0.0, 360.0)
+        assert out.coords[:, 0].tolist() == [-10.0, 10.0]
+
+    def test_sql(self, spark):
+        from sedona_db_spark.functions import st
+
+        st.register_all(spark)
+        row = spark.sql(
+            "SELECT ST_X(ST_ShiftLongitude(ST_Point(-170.0D, 0.0D))) AS sx, "
+            "ST_X(ST_WrapX(ST_Point(-170.0D, 0.0D), 0.0D, 360.0D)) AS wx"
+        ).collect()[0]
+        assert row.sx == 190.0 and row.wx == 190.0
