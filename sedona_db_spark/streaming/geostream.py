@@ -236,3 +236,99 @@ def streaming_cms_registers(
                  F.col("row"), F.col("pos"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def trajectory_tracker(
+    events: DataFrame,
+    entity_col: str = "entity_id",
+    ts_col: str = "event_ts",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    max_points: int = 256,
+    watermark_delay: str = "2 hours",
+    state_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator: assembles per-entity
+    trajectories (LINESTRING M, measure = epoch seconds) incrementally
+    from a point-event stream via applyInPandasWithState.
+
+    Each micro-batch merges the entity's new points into its stored
+    track (kept sorted by time, deduplicated on timestamp, capped at the
+    NEWEST ``max_points`` — bounded state, the property that matters at
+    10^12 events/day) and emits the entity's current trajectory WKB plus
+    point count.  Ties into the batch side: the emitted column feeds
+    ST_IsValidTrajectory / ST_DistanceCPA / operators/cpa_join.py
+    unchanged.  State expires by EVENT-TIME timeout past the watermark,
+    so idle entities cost nothing and no perpetual empty micro-batches
+    occur."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType([
+        StructField("entity_id", StringType()),
+        StructField("traj", BinaryType()),
+        StructField("n_points", IntegerType()),
+    ])
+    state_schema = StructType([
+        StructField("xs", ArrayType(DoubleType())),
+        StructField("ys", ArrayType(DoubleType())),
+        StructField("ts", ArrayType(DoubleType())),
+    ])
+
+    def track(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        from ..geometry import wkb as _wkb
+        from ..geometry.wkb import Geometry, LINESTRING
+
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"entity_id": [], "traj": [], "n_points": []})
+            return
+        xs, ys, ts = [], [], []
+        if state.exists:
+            sx, sy, st_ = state.get
+            xs, ys, ts = list(sx), list(sy), list(st_)
+        for pdf in pdfs:
+            xs.extend(float(v) for v in pdf[x_col])
+            ys.extend(float(v) for v in pdf[y_col])
+            ts.extend(float(v.timestamp()) if hasattr(v, "timestamp")
+                      else float(v) for v in pdf[ts_col])
+        arr = np.array([ts, xs, ys], dtype=np.float64).T
+        # sort by time, dedup equal timestamps (last write wins), cap to
+        # the newest max_points so state stays bounded
+        arr = arr[np.argsort(arr[:, 0], kind="stable")]
+        keep = np.concatenate([np.diff(arr[:, 0]) > 0, [True]])
+        arr = arr[keep][-max_points:]
+        state.update((arr[:, 1].tolist(), arr[:, 2].tolist(),
+                      arr[:, 0].tolist()))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
+        if len(arr) < 2:
+            yield pd.DataFrame({"entity_id": [], "traj": [], "n_points": []})
+            return
+        coords = np.column_stack([arr[:, 1], arr[:, 2], arr[:, 0]])
+        g = Geometry(LINESTRING, coords, has_z=False, has_m=True)
+        yield pd.DataFrame({
+            "entity_id": [key[0]],
+            "traj": [_wkb.encode(g)],
+            "n_points": [int(len(arr))],
+        })
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(entity_col)
+        .applyInPandasWithState(
+            track, out_schema, state_schema, "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -231,3 +231,67 @@ def test_streaming_cms_matches_batch_and_absorbs_replay(spark, tmp_path):
              .agg(F.count("*").alias("n")).collect()}
     for k, n in exact.items():
         assert est[k] >= n
+
+
+def test_trajectory_tracker(spark, tmp_path):
+    """Streaming per-entity trajectory assembly equals the batch-built
+    LINESTRING M, and the emitted WKB feeds the batch CPA kernels."""
+    import numpy as np
+
+    from sedona_db_spark.geometry import trajectory as TJ, wkb as WKB
+
+    src = str(tmp_path / "traj_src")
+    rows = []
+    # 6 entities x 20 ordered pings; files split so several micro-batches
+    # each carry partial tracks.  BASE keeps event times away from epoch
+    # 0 — Spark's watermark floors at 0, so a 1970-01-01T00:00:00 event
+    # is "late" against the initial watermark and silently dropped.
+    BASE = 1_700_000_000.0
+    for e in range(6):
+        for t in range(20):
+            rows.append((
+                f"ent-{e}",
+                BASE + float(t * 60),               # epoch seconds
+                float(e * 10 + t * 0.5),
+                float(e * 5 + (t % 7) * 0.25),
+            ))
+    df = spark.createDataFrame(
+        rows, "entity_id string, ts double, lon double, lat double"
+    ).withColumn("event_ts", F.timestamp_seconds(F.col("ts"))).drop("ts")
+    df.repartition(5).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    traj = GS.trajectory_tracker(stream, entity_col="entity_id",
+                                 ts_col="event_ts")
+    q = (
+        traj.writeStream.format("memory").queryName("traj_out")
+        .outputMode("update").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT entity_id, traj, n_points FROM traj_out "
+            "WHERE n_points = (SELECT max(n_points) FROM traj_out t2 "
+            "                  WHERE t2.entity_id = traj_out.entity_id)"
+        ).collect()
+    finally:
+        q.stop()
+
+    final = {r.entity_id: r for r in got}
+    assert set(final) == {f"ent-{e}" for e in range(6)}
+    for e in range(6):
+        r = final[f"ent-{e}"]
+        assert r.n_points == 20
+        g = WKB.parse(bytes(r.traj))
+        assert TJ.is_valid_trajectory(g) is True
+        c = g.coords
+        # matches the batch-built track exactly
+        assert np.allclose(c[:, 0], [e * 10 + t * 0.5 for t in range(20)])
+        assert np.allclose(c[:, 2], [BASE + t * 60 for t in range(20)])
+    # and the streamed WKB drives the batch CPA kernel unchanged
+    a = WKB.parse(bytes(final["ent-0"].traj))
+    b = WKB.parse(bytes(final["ent-1"].traj))
+    assert TJ.distance_cpa(a, b) is not None
