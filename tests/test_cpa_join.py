@@ -77,3 +77,14 @@ class TestCPAJoin:
             [(2, make_traj(0, 0, 1, 1, 0, 10))], "rid int, traj binary")
         with pytest.raises(Exception):
             cpa_join(left, right, 1.0).collect()
+
+
+class TestPlanShape:
+    def test_no_cartesian_product(self, spark, frames):
+        left, right, *_ = frames
+        plan = (cpa_join(left, right, 3.0)
+                ._jdf.queryExecution().executedPlan().toString())
+        # the candidate generator must be the grid equi-join, never a
+        # cartesian/NL product — the property that survives 100x scale
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
