@@ -1595,6 +1595,29 @@ def _q_st_lonwrap(spark, sf_dir):
     )
 
 
+def _q_st_dump_points(spark, sf_dir):
+    """ST_DumpPoints set-shape (round-4g): exploding a box's vertices
+    yields exactly the 5 ring corners in construction order — the oracle
+    regenerates them with a 5-row VALUES join."""
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    x0 = ((k * 3) % 100).cast("double")
+    y0 = ((k * 11) % 80).cast("double")
+    w = (k % 7 + 1).cast("double")
+    h = (k % 5 + 1).cast("double")
+    box = st.ST_MakeEnvelope(x0, y0, x0 + w, y0 + h)
+    d = c.select("c_custkey",
+                 F.explode(st.ST_DumpPoints(box)).alias("d"))
+    return d.select(
+        "c_custkey",
+        F.element_at(F.col("d.path"), 2).cast("int").alias("vi"),
+        F.round(st.ST_X(F.col("d.geom")), 6).alias("px"),
+        F.round(st.ST_Y(F.col("d.geom")), 6).alias("py"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -2930,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpa_pairs": _q_cpa_pairs,
         "st_grids": _q_st_grids,
         "st_lonwrap": _q_st_lonwrap,
+        "st_dump_points": _q_st_dump_points,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -3885,6 +3909,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT c_custkey, "
             "  CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 AS lon "
             "  FROM customer)"
+        ),
+        # dump-points law: a box explodes to its 5 ring corners in
+        # construction order (CCW from the min corner, closed)
+        "st_dump_points": (
+            "WITH p AS (SELECT c_custkey, "
+            "  CAST((c_custkey * 3) % 100 AS DOUBLE) AS x0, "
+            "  CAST((c_custkey * 11) % 80 AS DOUBLE) AS y0, "
+            "  CAST(c_custkey % 7 + 1 AS DOUBLE) AS w, "
+            "  CAST(c_custkey % 5 + 1 AS DOUBLE) AS h FROM customer) "
+            "SELECT c_custkey, v.i AS vi, "
+            "round(CASE WHEN v.i IN (2, 3) THEN x0 + w ELSE x0 END, 6) AS px, "
+            "round(CASE WHEN v.i IN (3, 4) THEN y0 + h ELSE y0 END, 6) AS py "
+            "FROM p CROSS JOIN (VALUES (1), (2), (3), (4), (5)) v(i)"
         ),
         # split/node laws: midline split keeps the full box area in 2
         # parts; a diagonal split by its crossing diagonal keeps the

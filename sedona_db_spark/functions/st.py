@@ -1901,6 +1901,82 @@ def _st_dump(s: pd.Series) -> pd.Series:
     return pd.Series([dump(v) for v in s], dtype=object)
 
 
+@pandas_udf(_DUMP_TYPE)
+def _st_dumppoints(s: pd.Series) -> pd.Series:
+    """Every vertex as a POINT with its (part..., ring, vertex) path —
+    PostGIS ST_DumpPoints shape over the same struct array ST_Dump uses."""
+    def dump(v):
+        if v is None:
+            return None
+        g = wkb.parse(v)
+        out = []
+
+        def rec(geom, path):
+            t = geom.type_id
+            if t in (wkb.MULTIPOINT, wkb.MULTILINESTRING, wkb.MULTIPOLYGON,
+                     wkb.GEOMETRYCOLLECTION):
+                for i, sub in enumerate(geom.coords):
+                    rec(sub, path + [i + 1])
+            elif t == wkb.POLYGON:
+                for ri, ring in enumerate(geom.coords):
+                    for vi, row in enumerate(ring):
+                        out.append({
+                            "path": path + [ri + 1, vi + 1],
+                            "geom": wkb.encode(wkb.Geometry(
+                                wkb.POINT, row[None, :].copy(),
+                                geom.has_z, geom.has_m)),
+                        })
+            else:
+                for vi, row in enumerate(geom.coords):
+                    out.append({
+                        "path": path + [vi + 1],
+                        "geom": wkb.encode(wkb.Geometry(
+                            wkb.POINT, row[None, :].copy(),
+                            geom.has_z, geom.has_m)),
+                    })
+
+        rec(g, [])
+        return out
+
+    return pd.Series([dump(v) for v in s], dtype=object)
+
+
+@pandas_udf(_DUMP_TYPE)
+def _st_dumpsegments(s: pd.Series) -> pd.Series:
+    """Every line/ring edge as a 2-point LINESTRING (PostGIS
+    ST_DumpSegments shape)."""
+    def dump(v):
+        if v is None:
+            return None
+        g = wkb.parse(v)
+        out = []
+
+        def emit(arr, path, has_z, has_m):
+            for i in range(len(arr) - 1):
+                out.append({
+                    "path": path + [i + 1],
+                    "geom": wkb.encode(wkb.Geometry(
+                        wkb.LINESTRING, arr[i:i + 2].copy(), has_z, has_m)),
+                })
+
+        def rec(geom, path):
+            t = geom.type_id
+            if t in (wkb.MULTIPOINT, wkb.MULTILINESTRING, wkb.MULTIPOLYGON,
+                     wkb.GEOMETRYCOLLECTION):
+                for i, sub in enumerate(geom.coords):
+                    rec(sub, path + [i + 1])
+            elif t == wkb.POLYGON:
+                for ri, ring in enumerate(geom.coords):
+                    emit(ring, path + [ri + 1], geom.has_z, geom.has_m)
+            elif t == wkb.LINESTRING:
+                emit(geom.coords, path, geom.has_z, geom.has_m)
+
+        rec(g, [])
+        return out
+
+    return pd.Series([dump(v) for v in s], dtype=object)
+
+
 @pandas_udf(BinaryType())
 def _st_lineinterpolatepoint(s: pd.Series, frac: pd.Series) -> pd.Series:
     def lip(v, f):
@@ -2890,6 +2966,8 @@ _UDFS: Dict[str, object] = {
     "ST_GeneratePoints": _st_generatepoints,
     "ST_Project": _st_project,
     "ST_Dump": _st_dump,
+    "ST_DumpPoints": _st_dumppoints,
+    "ST_DumpSegments": _st_dumpsegments,
     "ST_LineInterpolatePoint": _st_lineinterpolatepoint,
     "ST_LineLocatePoint": _st_linelocatepoint,
     # the reference's canonical SQL identifiers are the underscore forms
