@@ -1618,6 +1618,27 @@ def _q_st_dump_points(spark, sf_dir):
     )
 
 
+def _q_geog_buffer_area(spark, sf_dir):
+    """Geodesic buffer (round-4g): the buffered point is a regular
+    spherical 32-gon inscribed in the d-meter cap, so its spherical area
+    is the n(C + 2A - pi)R^2 excess closed form and its max latitude is
+    exactly lat + degrees(d/R) — both plain trig on the key, at any
+    center latitude (rotation invariance of the sphere)."""
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lon = ((k * 7) % 300).cast("double") - F.lit(150.0)
+    lat = ((k * 13) % 60).cast("double")
+    d = (k % 5 + 1).cast("double") * F.lit(20000.0)
+    b = st.ST_Buffer_Spherical(st.ST_Point(lon, lat), d)
+    return c.select(
+        "c_custkey",
+        F.round(st.ST_Area_Spherical(b) / F.lit(1e9), 3).alias("barea"),
+        F.round(st.ST_YMax(b), 6).alias("ymax"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -2954,6 +2975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_grids": _q_st_grids,
         "st_lonwrap": _q_st_lonwrap,
         "st_dump_points": _q_st_dump_points,
+        "geog_buffer_area": _q_geog_buffer_area,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -3922,6 +3944,23 @@ def oracle_sql() -> dict[str, str]:
             "round(CASE WHEN v.i IN (2, 3) THEN x0 + w ELSE x0 END, 6) AS px, "
             "round(CASE WHEN v.i IN (3, 4) THEN y0 + h ELSE y0 END, 6) AS py "
             "FROM p CROSS JOIN (VALUES (1), (2), (3), (4), (5)) v(i)"
+        ),
+        # geodesic buffer laws: spherical 32-gon excess area
+        # n(C + 2A - pi)R^2 and exact polar vertex lat + degrees(d/R)
+        "geog_buffer_area": (
+            "WITH p AS (SELECT c_custkey, "
+            "  CAST((c_custkey * 13) % 60 AS DOUBLE) AS lat, "
+            "  CAST(c_custkey % 5 + 1 AS DOUBLE) * 20000.0 AS d, "
+            "  6371008.8 AS r FROM customer), "
+            "q AS (SELECT *, d / r AS th, 2 * pi() / 32 AS cang FROM p), "
+            "s AS (SELECT *, "
+            "  cos(th)*cos(th) + sin(th)*sin(th)*cos(cang) AS cos_c FROM q) "
+            "SELECT c_custkey, "
+            "round(32 * (cang + 2 * acos(cos(th) * (1 - cos_c) "
+            "      / (sin(th) * sin(acos(cos_c)))) - pi()) * r * r / 1e9, 3) "
+            "  AS barea, "
+            "round(lat + degrees(th), 6) AS ymax "
+            "FROM s"
         ),
         # split/node laws: midline split keeps the full box area in 2
         # parts; a diagonal split by its crossing diagonal keeps the

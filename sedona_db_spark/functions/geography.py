@@ -481,3 +481,19 @@ def fn_for_edges(df: DataFrame, geom_col: str, name: str):
     }
     planar_fn, geog_fn = table[name.lower()]
     return geog_fn if spherical else planar_fn
+
+
+@pandas_udf(BinaryType())
+def ST_Buffer_Spherical(s: pd.Series, dist_m: pd.Series) -> pd.Series:
+    """Geodesic buffer in meters (PostGIS geography ST_Buffer; the
+    reference's s2 kernel set has no buffer — geometry/sphere.py
+    buffer_geography documents the AEQD construction and its guards)."""
+    from ..geometry.sphere import buffer_geography
+
+    out = []
+    for v, d in zip(s, dist_m):
+        if v is None or d is None:
+            out.append(None)
+            continue
+        out.append(wkb.encode(buffer_geography(wkb.parse(bytes(v)), float(d))))
+    return pd.Series(out, dtype=object)

@@ -2991,6 +2991,7 @@ def _register_geography_udfs() -> None:
         "ST_Length_Spherical": _geog.ST_Length_Spherical,
         "ST_Perimeter_Spherical": _geog.ST_Perimeter_Spherical,
         "ST_Distance_Spherical": _geog.ST_Distance_Spherical,
+        "ST_Buffer_Spherical": _geog.ST_Buffer_Spherical,
     })
 
 

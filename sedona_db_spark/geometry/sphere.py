@@ -28,6 +28,7 @@ All angles are radians on the unit sphere; multiply by a radius for meters.
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -666,3 +667,105 @@ def overlay(a: Geometry, b: Geometry, op: str) -> Geometry:
     pb = _project_geom(b, center, e1, e2)
     res = polygon_overlay(pa, pb, op)
     return _unproject_geom(res, center, e1, e2)
+
+
+# ---------------------------------------------------------------------------
+# geography buffer (PostGIS geography ST_Buffer; the reference's s2 kernel
+# set stops short of buffer — this completes the geography processing
+# surface)
+# ---------------------------------------------------------------------------
+
+def _spherical_direct(lon1, lat1, bearing, delta):
+    """Destination of the spherical direct problem (arrays OK): start at
+    (lon1, lat1) deg, initial bearing rad, angular distance delta rad."""
+    la1 = np.radians(lat1)
+    lo1 = np.radians(lon1)
+    sin_la2 = np.sin(la1) * np.cos(delta) + np.cos(la1) * np.sin(delta) * np.cos(bearing)
+    la2 = np.arcsin(np.clip(sin_la2, -1.0, 1.0))
+    lo2 = lo1 + np.arctan2(
+        np.sin(bearing) * np.sin(delta) * np.cos(la1),
+        np.cos(delta) - np.sin(la1) * sin_la2,
+    )
+    return np.degrees(lo2), np.degrees(la2)
+
+
+def buffer_geography(g: Geometry, dist_m: float, quad_segs: int = 8,
+                     radius: float = EARTH_RADIUS_M) -> Geometry:
+    """Geodesic buffer on the sphere (PostGIS geography ST_Buffer shape).
+
+    POINT: exact — 4*quad_segs vertices each at geodesic distance
+    ``dist_m`` along evenly spaced bearings (a regular spherical polygon
+    inscribed in the cap, the same n-gon discipline as the planar point
+    buffer).
+
+    Other geometries: azimuthal-equidistant round trip about the vertex
+    mean — forward (bearing, geodesic distance) -> planar meters, the
+    planar snap-rounded buffer engine, inverse spherical direct.  AEQD
+    preserves distances from the projection center exactly; elsewhere the
+    relative error is O((span/R)^2), so inputs spanning more than ~30 deg
+    of arc from their centroid raise rather than silently distort."""
+    if dist_m <= 0:
+        raise ValueError(f"geography buffer distance must be > 0, got {dist_m}")
+    n = max(8, 4 * int(quad_segs))
+    delta = dist_m / radius
+    if delta >= math.pi / 2:
+        raise NotImplementedError(
+            "geography buffer of a quarter-circumference or more is not "
+            "supported (cap would cross the antipode)"
+        )
+    if g.type_id == POINT and len(g.coords):
+        lon0, lat0 = float(g.coords[0, 0]), float(g.coords[0, 1])
+        bearings = 2.0 * math.pi * np.arange(n) / n
+        lon, lat = _spherical_direct(lon0, lat0, bearings, delta)
+        ring = np.column_stack([lon, lat])
+        # CCW on the sphere seen from outside: bearings sweep clockwise in
+        # lon/lat for northern observers; orient by signed area
+        if algos._ring_area(ring) < 0:
+            ring = ring[::-1]
+        ring = np.vstack([ring, ring[:1]])
+        return Geometry(POLYGON, [ring])
+
+    from .overlay import buffer_geometry as _planar_buffer
+
+    V = _vertices_xyz(g)
+    if len(V) == 0:
+        raise ValueError("cannot buffer an empty geography")
+    center = V.mean(axis=0)
+    cn = np.linalg.norm(center)
+    if cn < _EPS:
+        raise NotImplementedError(
+            "geography buffer input surrounds the globe (no stable "
+            "projection center)"
+        )
+    center /= cn
+    span = float(np.max(angle_between(V, center[None, :])))
+    if span > math.radians(30.0):
+        raise NotImplementedError(
+            f"geography buffer input spans {math.degrees(span):.1f} deg of "
+            "arc from its centroid (> 30 deg): AEQD distortion would "
+            "exceed the engine's accuracy bar — tile the input first"
+        )
+    clon, clat = to_lonlat(center[None, :])[0]
+
+    def fwd(arr: np.ndarray) -> np.ndarray:
+        xyz = to_xyz(arr[:, 0], arr[:, 1])
+        dlt = angle_between(xyz, center[None, :])
+        # bearing from center to each vertex
+        la1, lo1 = math.radians(clat), math.radians(clon)
+        la2 = np.radians(arr[:, 1])
+        dlo = np.radians(arr[:, 0]) - lo1
+        y = np.sin(dlo) * np.cos(la2)
+        x = math.cos(la1) * np.sin(la2) - math.sin(la1) * np.cos(la2) * np.cos(dlo)
+        brg = np.arctan2(y, x)
+        return np.column_stack([radius * dlt * np.sin(brg),
+                                radius * dlt * np.cos(brg)])
+
+    def inv(arr: np.ndarray) -> np.ndarray:
+        r = np.hypot(arr[:, 0], arr[:, 1])
+        brg = np.arctan2(arr[:, 0], arr[:, 1])
+        lon, lat = _spherical_direct(clon, clat, brg, r / radius)
+        return np.column_stack([lon, lat])
+
+    flat = _map_coords(g, fwd)
+    buf = _planar_buffer(flat, float(dist_m), quad_segs=quad_segs)
+    return _map_coords(buf, inv)
