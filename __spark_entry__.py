@@ -1639,6 +1639,33 @@ def _q_geog_buffer_area(spark, sf_dir):
     )
 
 
+def _q_st_clearance(spark, sf_dir):
+    """ST_MinimumClearance laws (round-4g): a w x h box's clearance is
+    its short side; a zigzag line's clearance is the apex-to-base
+    height e (the only interior vertex-segment distance below every
+    vertex-pair distance)."""
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    x0 = ((k * 3) % 100).cast("double")
+    y0 = ((k * 11) % 80).cast("double")
+    w = (k % 7 + 1).cast("double")
+    h = (k % 5 + 1).cast("double")
+    e = (k % 3 + 1).cast("double") * F.lit(0.1)
+    box = st.ST_MakeEnvelope(x0, y0, x0 + w, y0 + h)
+    zig = st.ST_GeomFromWKT(F.format_string(
+        "LINESTRING (%.6f %.6f, %.6f %.6f, %.6f %.6f)",
+        x0, y0, x0 + w, y0, x0 + w / 2, y0 + e))
+    return c.select(
+        "c_custkey",
+        F.round(st.ST_MinimumClearance(box), 9).alias("box_cl"),
+        F.round(st.ST_Length(st.ST_MinimumClearanceLine(box)), 9)
+        .alias("box_cl_len"),
+        F.round(st.ST_MinimumClearance(zig), 9).alias("zig_cl"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -2976,6 +3003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_lonwrap": _q_st_lonwrap,
         "st_dump_points": _q_st_dump_points,
         "geog_buffer_area": _q_geog_buffer_area,
+        "st_clearance": _q_st_clearance,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -3961,6 +3989,16 @@ def oracle_sql() -> dict[str, str]:
             "  AS barea, "
             "round(lat + degrees(th), 6) AS ymax "
             "FROM s"
+        ),
+        # minimum-clearance laws: box -> min(w, h); zigzag apex height e
+        "st_clearance": (
+            "SELECT c_custkey, "
+            "round(CAST(least(c_custkey % 7 + 1, c_custkey % 5 + 1) "
+            "      AS DOUBLE), 9) AS box_cl, "
+            "round(CAST(least(c_custkey % 7 + 1, c_custkey % 5 + 1) "
+            "      AS DOUBLE), 9) AS box_cl_len, "
+            "round(CAST(c_custkey % 3 + 1 AS DOUBLE) * 0.1, 9) AS zig_cl "
+            "FROM customer"
         ),
         # split/node laws: midline split keeps the full box area in 2
         # parts; a diagonal split by its crossing diagonal keeps the

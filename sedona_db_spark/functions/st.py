@@ -1401,6 +1401,10 @@ _st_boundingdiagonal = _make_geom_udf(
 _st_geometricmedian = _make_geom_udf(
     lambda g: _normform().geometric_median(g))
 _st_shiftlongitude = _make_geom_udf(lambda g: _normform().shift_longitude(g))
+_st_minimumclearance = _make_double_udf(
+    lambda g: _normform().minimum_clearance(g))
+_st_minimumclearanceline = _make_geom_udf(
+    lambda g: _normform().minimum_clearance(g, want_line=True))
 _st_ispolygoncw = _make_bool_udf(lambda g: _normform().is_polygon_cw(g))
 
 
@@ -2863,6 +2867,8 @@ _UDFS: Dict[str, object] = {
     "ST_RemoveRepeatedPoints": _st_removerepeatedpoints,
     "ST_Expand": _st_expand,
     "ST_ShiftLongitude": _st_shiftlongitude,
+    "ST_MinimumClearance": _st_minimumclearance,
+    "ST_MinimumClearanceLine": _st_minimumclearanceline,
     "ST_Shift_Longitude": _st_shiftlongitude,
     "ST_WrapX": _st_wrapx,
     # DP simplify without the topology guard is the same kernel here —

@@ -522,3 +522,70 @@ def wrap_x(g: Optional[Geometry], wrap: float, move: float) -> Optional[Geometry
         parts = [shift(s) if component_moves(s) else s for s in g.coords]
         return Geometry(t, parts, g.has_z, g.has_m)
     return shift(g) if component_moves(g) else g
+
+
+# ---------------------------------------------------------------------------
+# minimum clearance (GEOS/PostGIS ST_MinimumClearance)
+# ---------------------------------------------------------------------------
+
+def minimum_clearance(g: Optional[Geometry], want_line: bool = False):
+    """The smallest distance any vertex can move before the geometry
+    becomes invalid (PostGIS ST_MinimumClearance): the minimum over
+    (a) distances between distinct vertices and (b) distances from each
+    vertex to each non-incident segment.  ``want_line`` returns the
+    realizing 2-point LINESTRING instead (ST_MinimumClearanceLine).
+    Geometries with fewer than 2 distinct vertices have infinite
+    clearance (PostGIS returns Infinity / LINESTRING EMPTY)."""
+    if g is None:
+        return None
+    pts = np.unique(g.all_coords()[:, :2], axis=0)
+    if len(pts) < 2:
+        return (Geometry(LINESTRING, np.empty((0, 2))) if want_line
+                else math.inf)
+    best = math.inf
+    best_pair = None
+    # (a) vertex-vertex
+    d = np.hypot(pts[:, None, 0] - pts[None, :, 0],
+                 pts[:, None, 1] - pts[None, :, 1])
+    np.fill_diagonal(d, np.inf)
+    i, j = np.unravel_index(int(np.argmin(d)), d.shape)
+    best, best_pair = float(d[i, j]), (pts[i], pts[j])
+    # (b) vertex to non-incident segment (interior projection only —
+    # endpoint distances are already covered by (a))
+    segs = []
+
+    def walk(geom: Geometry):
+        t = geom.type_id
+        if t == LINESTRING:
+            c = geom.coords[:, :2]
+            segs.extend((c[k], c[k + 1]) for k in range(len(c) - 1))
+        elif t == POLYGON:
+            for r in geom.coords:
+                c = r[:, :2]
+                segs.extend((c[k], c[k + 1]) for k in range(len(c) - 1))
+        elif t not in (POINT,):
+            for s in geom.coords:
+                walk(s)
+
+    walk(g)
+    for a, b in segs:
+        ab = b - a
+        L2 = float(ab @ ab)
+        if L2 == 0:
+            continue
+        t = ((pts - a) @ ab) / L2
+        q = a[None, :] + t[:, None] * ab[None, :]
+        dd = np.hypot(pts[:, 0] - q[:, 0], pts[:, 1] - q[:, 1])
+        # strict interior projections, and exclude the segment's own
+        # endpoints (dd == 0 there only when the vertex IS an endpoint)
+        mask = (t > 1e-12) & (t < 1 - 1e-12) & (dd > 0)
+        if np.any(mask):
+            k = int(np.argmin(np.where(mask, dd, np.inf)))
+            if float(dd[k]) < best:
+                best = float(dd[k])
+                best_pair = (pts[k], q[k])
+    if want_line:
+        return Geometry(LINESTRING,
+                        np.array([best_pair[0], best_pair[1]],
+                                 dtype=np.float64))
+    return best

@@ -332,3 +332,34 @@ class TestLongitude:
             "ST_X(ST_WrapX(ST_Point(-170.0D, 0.0D), 0.0D, 360.0D)) AS wx"
         ).collect()[0]
         assert row.sx == 190.0 and row.wx == 190.0
+
+
+# ---------------------------------------------------------------------------
+# minimum clearance
+# ---------------------------------------------------------------------------
+
+class TestMinimumClearance:
+    def test_box_is_short_side(self):
+        assert nf.minimum_clearance(box(0, 0, 4, 2)) == 2.0
+
+    def test_vertex_to_segment(self):
+        g = wkb.from_wkt("LINESTRING (0 0, 10 0, 10 10, 1 0.5)")
+        assert nf.minimum_clearance(g) == pytest.approx(0.5)
+
+    def test_line_realizes_it(self):
+        ln = nf.minimum_clearance(box(0, 0, 4, 2), want_line=True)
+        assert algos.length(ln) == pytest.approx(2.0)
+
+    def test_degenerate_infinite(self):
+        assert nf.minimum_clearance(wkb.from_wkt("POINT (1 1)")) == math.inf
+
+    def test_sql(self, spark):
+        from sedona_db_spark.functions import st
+
+        st.register_all(spark)
+        row = spark.sql(
+            "SELECT ST_MinimumClearance(ST_MakeEnvelope(0D,0D,4D,2D)) AS c, "
+            "ST_Length(ST_MinimumClearanceLine("
+            "  ST_MakeEnvelope(0D,0D,4D,2D))) AS l"
+        ).collect()[0]
+        assert row.c == 2.0 and row.l == 2.0
