@@ -1666,6 +1666,29 @@ def _q_st_clearance(spark, sf_dir):
     )
 
 
+def _q_hotspot_cells(spark, sf_dir):
+    """Getis-Ord Gi* hotspot scores (round-4g operators/hotspot.py) over
+    an integer lattice of per-cell customer weights — every moment and
+    neighborhood sum is integer-exact double arithmetic, so the SQL
+    oracle recomputes the z-scores verbatim via a 3x3 self-join."""
+    from sedona_db_spark.operators.hotspot import getis_ord_gstar
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cells = (
+        c.select((k % 15).alias("cx"), ((k * 3) % 12).alias("cy"),
+                 (k % 10 + 1).cast("double").alias("w"))
+        .groupBy("cx", "cy").agg(F.sum("w").alias("value"))
+    )
+    out = getis_ord_gstar(cells)
+    return out.select(
+        F.col("cx").cast("int").alias("cx"),
+        F.col("cy").cast("int").alias("cy"),
+        F.col("n_i").cast("int").alias("n_i"),
+        F.round(F.col("gi_star"), 6).alias("gi"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -3004,6 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_dump_points": _q_st_dump_points,
         "geog_buffer_area": _q_geog_buffer_area,
         "st_clearance": _q_st_clearance,
+        "hotspot_cells": _q_hotspot_cells,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -3999,6 +4023,24 @@ def oracle_sql() -> dict[str, str]:
             "      AS DOUBLE), 9) AS box_cl_len, "
             "round(CAST(c_custkey % 3 + 1 AS DOUBLE) * 0.1, 9) AS zig_cl "
             "FROM customer"
+        ),
+        # Gi* hotspot: global moments + 3x3 queen-neighborhood self-join,
+        # the Getis-Ord 1992 z-score verbatim
+        "hotspot_cells": (
+            "WITH cells AS (SELECT cx, cy, CAST(SUM(w) AS DOUBLE) AS v "
+            "  FROM (SELECT c_custkey % 15 AS cx, (c_custkey * 3) % 12 AS cy, "
+            "        CAST(c_custkey % 10 + 1 AS DOUBLE) AS w FROM customer) "
+            "  GROUP BY cx, cy), "
+            "st AS (SELECT count(*) AS n, avg(v) AS xbar, "
+            "  sqrt(avg(v*v) - avg(v)*avg(v)) AS s FROM cells), "
+            "nb AS (SELECT a.cx, a.cy, sum(b.v) AS si, count(*) AS ni "
+            "  FROM cells a JOIN cells b "
+            "  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 "
+            "  GROUP BY a.cx, a.cy) "
+            "SELECT CAST(nb.cx AS INTEGER) AS cx, CAST(nb.cy AS INTEGER) AS cy, "
+            "CAST(ni AS INTEGER) AS n_i, "
+            "round((si - xbar * ni) / (s * sqrt((n * ni - ni * ni) / (n - 1.0))), 6) AS gi "
+            "FROM nb, st"
         ),
         # split/node laws: midline split keeps the full box area in 2
         # parts; a diagonal split by its crossing diagonal keeps the

@@ -1,0 +1,88 @@
+"""Getis-Ord Gi* hotspot statistic over a cell lattice — the classic
+"where are the significant hot/cold spots" analysis, Spark-first.
+
+Getis & Ord 1992/1995 (the star variant includes the focal cell).  The
+engine's geotag pipeline already aggregates events/pages into quadkey or
+integer lattice cells (tiling.py, operators/tiles.py); this operator
+takes that per-cell table and scores every cell's 3x3 neighborhood
+(queen contiguity) against the global distribution:
+
+    Gi* = (S_i - x_bar * n_i) / (s * sqrt((N*n_i - n_i^2) / (N - 1)))
+
+with S_i = neighborhood sum, n_i = OBSERVED neighbors (cells absent from
+the table are no-data, not zero — the standard lattice convention),
+x_bar/s = global mean/std over the N observed cells.
+
+Scale shape (no new machinery):
+1. global moments — one map-side-combinable agg, joined back as a
+   broadcast literal row (never a driver round trip inside the plan).
+2. neighborhood sums — each cell EXPLODES to its 9 neighbor keys (a 9x
+   map-side fan, no pairwise join), one groupBy(cell) shuffle, then one
+   equi-join back to the observed cells.  Two narrow shuffles total,
+   both on the same (cx, cy) key.
+3. the z-score is pure column algebra (whole-stage codegen).
+
+No reference analogue (SedonaDB has no spatial statistics); PostGIS
+users reach for pysal/esda — this is that operator at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def getis_ord_gstar(
+    df: DataFrame,
+    cell_x: str = "cx",
+    cell_y: str = "cy",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-cell Gi* z-scores.  ``df`` must carry ONE row per (cell_x,
+    cell_y) integer cell; duplicate cells raise downstream of the
+    neighbor join (pre-aggregate first — the contract every lattice
+    statistic assumes)."""
+    cells = df.select(
+        F.col(cell_x).cast("long").alias("cx"),
+        F.col(cell_y).cast("long").alias("cy"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+
+    stats = cells.agg(
+        F.count("*").alias("n_total"),
+        F.avg("v").alias("xbar"),
+        # population std (the Gi* definition), guarded against the
+        # negative-epsilon of catastrophic cancellation
+        F.sqrt(F.greatest(
+            F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v"),
+            F.lit(0.0))).alias("s"),
+    )
+
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    # each cell fans out onto its 9 neighbor keys (map-side, no join)
+    fan = cells.select("cx", "cy", "v", F.explode(offsets).alias("o")).select(
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+        "v",
+    )
+    neigh = fan.groupBy("cx", "cy").agg(
+        F.sum("v").alias("s_i"),
+        F.count("*").alias("n_i"),
+    )
+
+    out = (
+        cells.join(neigh, ["cx", "cy"])      # keeps observed cells only
+        .join(F.broadcast(stats))
+        .withColumn(
+            "gi_star",
+            (F.col("s_i") - F.col("xbar") * F.col("n_i"))
+            / (F.col("s") * F.sqrt(
+                (F.col("n_total") * F.col("n_i") - F.col("n_i") * F.col("n_i"))
+                / (F.col("n_total") - F.lit(1)))),
+        )
+    )
+    return out.select("cx", "cy", F.col("v").alias(value_col),
+                      "n_i", "gi_star")
