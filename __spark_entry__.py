@@ -1689,6 +1689,49 @@ def _q_hotspot_cells(spark, sf_dir):
     )
 
 
+def _q_morans_i_cells(spark, sf_dir):
+    """Global Moran's I (round-4g) over the same customer lattice as
+    hotspot_cells — one-row output, recomputed verbatim in SQL."""
+    from sedona_db_spark.operators.hotspot import morans_i
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cells = (
+        c.select((k % 15).alias("cx"), ((k * 3) % 12).alias("cy"),
+                 (k % 10 + 1).cast("double").alias("w"))
+        .groupBy("cx", "cy").agg(F.sum("w").alias("value"))
+    )
+    out = morans_i(cells)
+    return out.select(
+        F.round(F.col("i"), 9).alias("i"),
+        F.round(F.col("e_i"), 9).alias("e_i"),
+        F.col("n_cells").cast("int").alias("n_cells"),
+        F.col("w_sum").cast("int").alias("w_sum"),
+    )
+
+
+def _q_lisa_cells(spark, sf_dir):
+    """Local Moran's I / LISA quadrants (round-4g) — per-cell I_i with
+    row-standardized queen weights, one 3x3 self-join in the oracle."""
+    from sedona_db_spark.operators.hotspot import local_morans_i
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cells = (
+        c.select((k % 15).alias("cx"), ((k * 3) % 12).alias("cy"),
+                 (k % 10 + 1).cast("double").alias("w"))
+        .groupBy("cx", "cy").agg(F.sum("w").alias("value"))
+    )
+    out = local_morans_i(cells)
+    return out.select(
+        F.col("cx").cast("int").alias("cx"),
+        F.col("cy").cast("int").alias("cy"),
+        F.col("w_i").cast("int").alias("w_i"),
+        F.round(F.col("i_i"), 6).alias("i_i"),
+        "quadrant",
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -3028,6 +3071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geog_buffer_area": _q_geog_buffer_area,
         "st_clearance": _q_st_clearance,
         "hotspot_cells": _q_hotspot_cells,
+        "morans_i_cells": _q_morans_i_cells,
+        "lisa_cells": _q_lisa_cells,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -4041,6 +4086,50 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ni AS INTEGER) AS n_i, "
             "round((si - xbar * ni) / (s * sqrt((n * ni - ni * ni) / (n - 1.0))), 6) AS gi "
             "FROM nb, st"
+        ),
+        # global Moran's I: (N/W) * sum z_i z_lag / sum z^2, queen
+        # weights self-excluded
+        "morans_i_cells": (
+            "WITH cells AS (SELECT cx, cy, CAST(SUM(w) AS DOUBLE) AS v "
+            "  FROM (SELECT c_custkey % 15 AS cx, (c_custkey * 3) % 12 AS cy, "
+            "        CAST(c_custkey % 10 + 1 AS DOUBLE) AS w FROM customer) "
+            "  GROUP BY cx, cy), "
+            "st AS (SELECT count(*) AS n, avg(v) AS xbar FROM cells), "
+            "z AS (SELECT cx, cy, v - xbar AS z FROM cells, st), "
+            "nb AS (SELECT a.cx, a.cy, a.z, sum(b.z) AS zlag, count(*) AS wi "
+            "  FROM z a JOIN z b ON abs(a.cx - b.cx) <= 1 "
+            "  AND abs(a.cy - b.cy) <= 1 "
+            "  AND NOT (a.cx = b.cx AND a.cy = b.cy) "
+            "  GROUP BY a.cx, a.cy, a.z) "
+            "SELECT round((SELECT n FROM st) * sum(z * zlag) "
+            "      / (sum(wi) * sum(z * z)), 9) AS i, "
+            "round(-1.0 / ((SELECT n FROM st) - 1), 9) AS e_i, "
+            "CAST((SELECT n FROM st) AS INTEGER) AS n_cells, "
+            "CAST(sum(wi) AS INTEGER) AS w_sum "
+            "FROM nb"
+        ),
+        # LISA: I_i = z_i/m2 * mean(neighbor z), HH/LL/HL/LH quadrants
+        "lisa_cells": (
+            "WITH cells AS (SELECT cx, cy, CAST(SUM(w) AS DOUBLE) AS v "
+            "  FROM (SELECT c_custkey % 15 AS cx, (c_custkey * 3) % 12 AS cy, "
+            "        CAST(c_custkey % 10 + 1 AS DOUBLE) AS w FROM customer) "
+            "  GROUP BY cx, cy), "
+            "st AS (SELECT avg(v) AS xbar, "
+            "  avg(v*v) - avg(v)*avg(v) AS m2 FROM cells), "
+            "z AS (SELECT cx, cy, v - xbar AS z, m2 FROM cells, st), "
+            "nb AS (SELECT a.cx, a.cy, a.z, a.m2, avg(b.z) AS zlag, "
+            "  count(*) AS wi FROM z a JOIN z b "
+            "  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 "
+            "  AND NOT (a.cx = b.cx AND a.cy = b.cy) "
+            "  GROUP BY a.cx, a.cy, a.z, a.m2) "
+            "SELECT CAST(cx AS INTEGER) AS cx, CAST(cy AS INTEGER) AS cy, "
+            "CAST(wi AS INTEGER) AS w_i, "
+            "round(z / m2 * zlag, 6) AS i_i, "
+            "CASE WHEN z >= 0 AND zlag >= 0 THEN 'HH' "
+            "     WHEN z < 0 AND zlag < 0 THEN 'LL' "
+            "     WHEN z >= 0 AND zlag < 0 THEN 'HL' "
+            "     ELSE 'LH' END AS quadrant "
+            "FROM nb"
         ),
         # split/node laws: midline split keeps the full box area in 2
         # parts; a diagonal split by its crossing diagonal keeps the

@@ -86,3 +86,103 @@ def getis_ord_gstar(
     )
     return out.select("cx", "cy", F.col("v").alias(value_col),
                       "n_i", "gi_star")
+
+
+def morans_i(
+    df: DataFrame,
+    cell_x: str = "cx",
+    cell_y: str = "cy",
+    value_col: str = "value",
+) -> DataFrame:
+    """Global Moran's I spatial autocorrelation over the queen-contiguity
+    lattice (Moran 1950; weights binary, self excluded):
+
+        I = (N / W) * sum_ij w_ij z_i z_j / sum_i z_i^2
+
+    Returns ONE row: (i, e_i, n_cells, w_sum) with E[I] = -1/(N-1).
+    Same two-shuffle shape as Gi*: moments agg + 8-key neighbor fan."""
+    cells = df.select(
+        F.col(cell_x).cast("long").alias("cx"),
+        F.col(cell_y).cast("long").alias("cy"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    stats = cells.agg(F.count("*").alias("n"), F.avg("v").alias("xbar"))
+    z = cells.join(F.broadcast(stats)).withColumn("z", F.col("v") - F.col("xbar"))
+
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    ])
+    fan = z.select("cx", "cy", "z", F.explode(offsets).alias("o")).select(
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+        F.col("z").alias("z_nb"),
+    )
+    lag = fan.groupBy("cx", "cy").agg(
+        F.sum("z_nb").alias("z_lag"),
+        F.count("*").alias("w_i"),
+    )
+    joined = z.join(lag, ["cx", "cy"])  # observed cells only
+    return (
+        joined.agg(
+            F.sum(F.col("z") * F.col("z_lag")).alias("cross"),
+            F.sum(F.col("z") * F.col("z")).alias("ss"),
+            F.sum("w_i").alias("w_sum"),
+            F.count("*").alias("n_cells"),
+        )
+        .withColumn("i", (F.col("n_cells") / F.col("w_sum"))
+                    * F.col("cross") / F.col("ss"))
+        .withColumn("e_i", F.lit(-1.0) / (F.col("n_cells") - 1))
+        .select("i", "e_i", "n_cells", "w_sum")
+    )
+
+
+def local_morans_i(
+    df: DataFrame,
+    cell_x: str = "cx",
+    cell_y: str = "cy",
+    value_col: str = "value",
+) -> DataFrame:
+    """Local Moran's I (Anselin 1995 LISA): I_i = (z_i / m2) * sum_j w_ij
+    z_j with m2 = sum z^2 / N, plus the HH/LL/HL/LH quadrant label used
+    for cluster maps.  Cells with no observed neighbor are dropped (their
+    lag is undefined)."""
+    cells = df.select(
+        F.col(cell_x).cast("long").alias("cx"),
+        F.col(cell_y).cast("long").alias("cy"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    stats = cells.agg(
+        F.count("*").alias("n"),
+        F.avg("v").alias("xbar"),
+        F.avg(F.col("v") * F.col("v")).alias("x2bar"),
+    )
+    z = cells.join(F.broadcast(stats)).withColumn("z", F.col("v") - F.col("xbar")) \
+        .withColumn("m2", F.col("x2bar") - F.col("xbar") * F.col("xbar"))
+
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    ])
+    fan = z.select("cx", "cy", "z", F.explode(offsets).alias("o")).select(
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+        F.col("z").alias("z_nb"),
+    )
+    lag = fan.groupBy("cx", "cy").agg(
+        F.avg("z_nb").alias("z_lag"),      # row-standardized weights
+        F.count("*").alias("w_i"),
+    )
+    out = z.join(lag, ["cx", "cy"]).withColumn(
+        "i_i", F.col("z") / F.col("m2") * F.col("z_lag")
+    ).withColumn(
+        "quadrant",
+        F.when((F.col("z") >= 0) & (F.col("z_lag") >= 0), F.lit("HH"))
+        .when((F.col("z") < 0) & (F.col("z_lag") < 0), F.lit("LL"))
+        .when((F.col("z") >= 0) & (F.col("z_lag") < 0), F.lit("HL"))
+        .otherwise(F.lit("LH")),
+    )
+    return out.select("cx", "cy", F.col("v").alias(value_col),
+                      "w_i", "i_i", "quadrant")

@@ -72,3 +72,67 @@ class TestGiStar:
         plan = (getis_ord_gstar(df)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "CartesianProduct" not in plan
+
+
+def reference_morans(cells):
+    keys = list(cells)
+    vals = np.array([cells[k] for k in keys], dtype=float)
+    n = len(vals)
+    xbar = vals.mean()
+    z = {k: cells[k] - xbar for k in keys}
+    cross = ss = w = 0.0
+    for (cx, cy) in keys:
+        nb = [(cx + dx, cy + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+              if (dx, dy) != (0, 0) and (cx + dx, cy + dy) in cells]
+        cross += z[(cx, cy)] * sum(z[k] for k in nb)
+        ss += z[(cx, cy)] ** 2
+        w += len(nb)
+    return (n / w) * cross / ss
+
+
+class TestMoransI:
+    def test_matches_reference(self, spark, lattice):
+        df, cells = lattice
+        from sedona_db_spark.operators.hotspot import morans_i
+
+        row = morans_i(df).collect()[0]
+        assert row.i == pytest.approx(reference_morans(cells), rel=1e-9)
+        assert row.e_i == pytest.approx(-1.0 / (len(cells) - 1))
+
+    def test_stripes_negative(self, spark):
+        # vertical stripes: 6 of 8 queen neighbors are the opposite color
+        # (a checkerboard is ~0 under QUEEN weights — diagonals match)
+        from sedona_db_spark.operators.hotspot import morans_i
+
+        rows = [(cx, cy, float(cx % 2))
+                for cx in range(10) for cy in range(10)]
+        df = spark.createDataFrame(rows, "cx long, cy long, value double")
+        assert morans_i(df).collect()[0].i < -0.3
+
+    def test_blob_positive(self, spark, lattice):
+        df, _ = lattice
+        from sedona_db_spark.operators.hotspot import morans_i
+
+        assert morans_i(df).collect()[0].i > 0.05
+
+
+class TestLocalMorans:
+    def test_quadrants_and_values(self, spark, lattice):
+        df, cells = lattice
+        from sedona_db_spark.operators.hotspot import local_morans_i
+
+        got = {(r.cx, r.cy): r for r in local_morans_i(df).collect()}
+        vals = np.array(list(cells.values()))
+        n = len(vals)
+        xbar = vals.mean()
+        m2 = (vals ** 2).mean() - xbar ** 2
+        for (cx, cy), r in got.items():
+            nb = [cells[k] - xbar for k in
+                  [(cx + dx, cy + dy) for dx in (-1, 0, 1)
+                   for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+                  if k in cells]
+            zi = cells[(cx, cy)] - xbar
+            want = zi / m2 * (sum(nb) / len(nb))
+            assert r.i_i == pytest.approx(want, rel=1e-9)
+        # the hot blob is an HH island
+        assert got[(3, 3)].quadrant == "HH" and got[(3, 3)].i_i > 0
