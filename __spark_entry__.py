@@ -1732,6 +1732,27 @@ def _q_lisa_cells(spark, sf_dir):
     )
 
 
+def _q_st_mvt_geom(spark, sf_dir):
+    """ST_AsMVTGeom quantization law (round-4g): tile-local integer
+    coordinates on the 4096 extent with the Y axis flipped — pure
+    affine-round algebra on the key (fractions chosen tie-free so
+    banker's and half-away rounding agree)."""
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    A = 20037508.342789244
+    px = F.lit(-A) + (k % 1000).cast("double") / F.lit(1000.0) * F.lit(A)
+    py = (k % 800).cast("double") / F.lit(800.0) * F.lit(A)
+    g = st.ST_AsMVTGeom(st.ST_Point(px, py),
+                        st.ST_TileEnvelope(F.lit(1), F.lit(0), F.lit(0)))
+    return c.select(
+        "c_custkey",
+        st.ST_X(g).cast("int").alias("mx"),
+        st.ST_Y(g).cast("int").alias("my"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -3073,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_cells": _q_hotspot_cells,
         "morans_i_cells": _q_morans_i_cells,
         "lisa_cells": _q_lisa_cells,
+        "st_mvt_geom": _q_st_mvt_geom,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -4130,6 +4152,16 @@ def oracle_sql() -> dict[str, str]:
             "     WHEN z >= 0 AND zlag < 0 THEN 'HL' "
             "     ELSE 'LH' END AS quadrant "
             "FROM nb"
+        ),
+        # MVT quantization: x' = round(fx * 4096), y' = round((1-fy) * 4096)
+        # on tile (1,0,0) = [-A, 0] x [0, A]
+        "st_mvt_geom": (
+            "SELECT c_custkey, "
+            "CAST(round(CAST(c_custkey % 1000 AS DOUBLE) / 1000.0 * 4096) "
+            "  AS INTEGER) AS mx, "
+            "CAST(round((1.0 - CAST(c_custkey % 800 AS DOUBLE) / 800.0) * 4096) "
+            "  AS INTEGER) AS my "
+            "FROM customer"
         ),
         # split/node laws: midline split keeps the full box area in 2
         # parts; a diagonal split by its crossing diagonal keeps the

@@ -1472,6 +1472,24 @@ def _grids_mod():
 
 
 @pandas_udf(BinaryType())
+def _st_asmvtgeom(s: pd.Series, tile: pd.Series) -> pd.Series:
+    from ..sources.mvt import as_mvt_geom
+
+    out = []
+    for v, t in zip(s, tile):
+        if v is None or t is None:
+            out.append(None)
+            continue
+        tg = wkb.parse(bytes(t))
+        c = tg.all_coords()
+        bounds = (float(np.min(c[:, 0])), float(np.min(c[:, 1])),
+                  float(np.max(c[:, 0])), float(np.max(c[:, 1])))
+        g = as_mvt_geom(wkb.parse(bytes(v)), bounds)
+        out.append(None if g is None else wkb.encode(g))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
 def _st_tileenvelope(z: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
     gr = _grids_mod()
     return pd.Series(
@@ -2890,7 +2908,8 @@ _UDFS: Dict[str, object] = {
     "ST_Snap": _st_snap,
     "ST_SharedPaths": _st_sharedpaths,
     # spatio-temporal trajectories (geometry/trajectory.py)
-    # grid generators (geometry/grids.py)
+    # grid generators (geometry/grids.py) + vector tiles (sources/mvt.py)
+    "ST_AsMVTGeom": _st_asmvtgeom,
     "ST_TileEnvelope": _st_tileenvelope,
     "ST_SquareGrid": _st_squaregrid,
     "ST_HexagonGrid": _st_hexagongrid,
