@@ -1753,6 +1753,23 @@ def _q_st_mvt_geom(spark, sf_dir):
     )
 
 
+def _q_geog_azimuth(spark, sf_dir):
+    """Great-circle initial bearing (round-4g): the spherical azimuth
+    formula atan2(sin dlon cos lat2, cos lat1 sin lat2 - sin lat1 cos
+    lat2 cos dlon) mod 2*pi is itself plain SQL trig."""
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lon1 = ((k * 7) % 300).cast("double") - F.lit(150.0)
+    lat1 = ((k * 13) % 120).cast("double") - F.lit(60.0)
+    lon2 = lon1 + (k % 11 + 1).cast("double")
+    lat2 = lat1 + (k % 7 - 3).cast("double")
+    az = st.ST_Azimuth_Spherical(st.ST_Point(lon1, lat1),
+                                 st.ST_Point(lon2, lat2))
+    return c.select("c_custkey", F.round(az, 9).alias("az"))
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -3095,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i_cells": _q_morans_i_cells,
         "lisa_cells": _q_lisa_cells,
         "st_mvt_geom": _q_st_mvt_geom,
+        "geog_azimuth": _q_geog_azimuth,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -4162,6 +4180,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round((1.0 - CAST(c_custkey % 800 AS DOUBLE) / 800.0) * 4096) "
             "  AS INTEGER) AS my "
             "FROM customer"
+        ),
+        # spherical azimuth: the initial-bearing trig verbatim
+        "geog_azimuth": (
+            "WITH p AS (SELECT c_custkey, "
+            "  radians(CAST((c_custkey * 7) % 300 AS DOUBLE) - 150.0) AS lo1, "
+            "  radians(CAST((c_custkey * 13) % 120 AS DOUBLE) - 60.0) AS la1, "
+            "  radians(CAST((c_custkey * 7) % 300 AS DOUBLE) - 150.0 "
+            "          + (c_custkey % 11 + 1)) AS lo2, "
+            "  radians(CAST((c_custkey * 13) % 120 AS DOUBLE) - 60.0 "
+            "          + (c_custkey % 7 - 3)) AS la2 FROM customer) "
+            "SELECT c_custkey, "
+            "round(CASE WHEN atan2(sin(lo2 - lo1) * cos(la2), "
+            "  cos(la1) * sin(la2) - sin(la1) * cos(la2) * cos(lo2 - lo1)) < 0 "
+            "  THEN atan2(sin(lo2 - lo1) * cos(la2), "
+            "    cos(la1) * sin(la2) - sin(la1) * cos(la2) * cos(lo2 - lo1)) "
+            "    + 2 * pi() "
+            "  ELSE atan2(sin(lo2 - lo1) * cos(la2), "
+            "    cos(la1) * sin(la2) - sin(la1) * cos(la2) * cos(lo2 - lo1)) "
+            "  END, 9) AS az "
+            "FROM p"
         ),
         # split/node laws: midline split keeps the full box area in 2
         # parts; a diagonal split by its crossing diagonal keeps the

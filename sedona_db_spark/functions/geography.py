@@ -497,3 +497,26 @@ def ST_Buffer_Spherical(s: pd.Series, dist_m: pd.Series) -> pd.Series:
             continue
         out.append(wkb.encode(buffer_geography(wkb.parse(bytes(v)), float(d))))
     return pd.Series(out, dtype=object)
+
+
+@pandas_udf(DoubleType())
+def ST_Azimuth_Spherical(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Initial great-circle bearing from point a to point b, radians in
+    [0, 2*pi) clockwise from north (PostGIS geography ST_Azimuth)."""
+    import math
+
+    def az(x, y):
+        ga, gb = wkb.parse(bytes(x)), wkb.parse(bytes(y))
+        if ga.type_id != 1 or gb.type_id != 1:
+            raise ValueError("ST_Azimuth_Spherical expects two POINTs")
+        lo1, la1 = (math.radians(v) for v in ga.coords[0, :2])
+        lo2, la2 = (math.radians(v) for v in gb.coords[0, :2])
+        dlo = lo2 - lo1
+        yy = math.sin(dlo) * math.cos(la2)
+        xx = (math.cos(la1) * math.sin(la2)
+              - math.sin(la1) * math.cos(la2) * math.cos(dlo))
+        return math.atan2(yy, xx) % (2.0 * math.pi)
+
+    vals = [None if (x is None or y is None) else az(x, y)
+            for x, y in zip(a, b)]
+    return pd.Series(vals, dtype="float64")

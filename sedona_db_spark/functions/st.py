@@ -3017,6 +3017,7 @@ def _register_geography_udfs() -> None:
         "ST_Perimeter_Spherical": _geog.ST_Perimeter_Spherical,
         "ST_Distance_Spherical": _geog.ST_Distance_Spherical,
         "ST_Buffer_Spherical": _geog.ST_Buffer_Spherical,
+        "ST_Azimuth_Spherical": _geog.ST_Azimuth_Spherical,
     })
 
 
