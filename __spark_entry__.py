@@ -1770,6 +1770,25 @@ def _q_geog_azimuth(spark, sf_dir):
     return c.select("c_custkey", F.round(az, 9).alias("az"))
 
 
+def _q_doc_winnow(spark, sf_dir):
+    """Winnowing fingerprints (round-4g, MOSS/SIGMOD-2003) over the
+    documents table — count/sum/min of each doc's fingerprint set,
+    recomputed verbatim in DuckDB list comprehensions (same Horner
+    k-gram arithmetic as the minhash oracle)."""
+    from sedona_db_spark.functions.text import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(F.col("text"), 5, 4)
+    return d.select(
+        "doc_id",
+        F.size(fps).alias("n_fp"),
+        F.aggregate(fps, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("fp_sum"),
+        F.coalesce(F.element_at(fps, 1), F.lit(-1).cast("long"))
+        .alias("fp_min"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -3113,6 +3132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lisa_cells": _q_lisa_cells,
         "st_mvt_geom": _q_st_mvt_geom,
         "geog_azimuth": _q_geog_azimuth,
+        "doc_winnow": _q_doc_winnow,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -4200,6 +4220,27 @@ def oracle_sql() -> dict[str, str]:
             "    cos(la1) * sin(la2) - sin(la1) * cos(la2) * cos(lo2 - lo1)) "
             "  END, 9) AS az "
             "FROM p"
+        ),
+        # winnowing: distinct window-minima of the ordered k-gram Horner
+        # hashes (k=5, w=4; shared substrings >= 8 chars share a print)
+        "doc_winnow": (
+            "WITH h AS (SELECT doc_id, "
+            "  CASE WHEN text IS NOT NULL AND length(text) >= 8 THEN "
+            "  [ (((((ascii(substr(text, CAST(i AS INTEGER), 1))*31 "
+            "      + ascii(substr(text, CAST(i+1 AS INTEGER), 1)))*31 "
+            "      + ascii(substr(text, CAST(i+2 AS INTEGER), 1)))*31 "
+            "      + ascii(substr(text, CAST(i+3 AS INTEGER), 1)))*31 "
+            "      + ascii(substr(text, CAST(i+4 AS INTEGER), 1))) "
+            "      % 2147483647) for i in range(1, length(text) - 3)] "
+            "  ELSE []::BIGINT[] END AS hs FROM documents), "
+            "w AS (SELECT doc_id, CASE WHEN len(hs) >= 4 THEN "
+            "  list_sort(list_distinct([list_aggregate("
+            "    hs[CAST(i AS INTEGER):CAST(i+3 AS INTEGER)], 'min') "
+            "    for i in range(1, len(hs) - 2)])) "
+            "  ELSE []::BIGINT[] END AS fps FROM h) "
+            "SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fp, "
+            "CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum, "
+            "CAST(coalesce(fps[1], -1) AS BIGINT) AS fp_min FROM w"
         ),
         # split/node laws: midline split keeps the full box area in 2
         # parts; a diagonal split by its crossing diagonal keeps the

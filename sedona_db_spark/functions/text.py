@@ -368,3 +368,39 @@ def c4_page_keep(
         & ~text.contains("{")
         & ~F.lower(text).contains("lorem ipsum")
     )
+
+
+def _gram_hashes(text: Column, k: int) -> Column:
+    """Ordered base-31 Horner hashes (mod 2^31-1) of every char k-gram —
+    the same arithmetic as the minhash shingles (operators/dedup.py
+    _char_shingles31), but POSITIONAL (winnowing needs order, not a
+    set).  Pure Column algebra: whole-stage codegen, no Python."""
+    def horner(i: Column) -> Column:
+        h = F.ascii(text.substr(i, F.lit(1)))
+        for j in range(1, k):
+            h = h * F.lit(31) + F.ascii(text.substr(i + F.lit(j), F.lit(1)))
+        return (h % F.lit(2147483647)).cast("long")
+
+    return F.transform(
+        F.sequence(F.lit(1), F.length(text) - F.lit(k - 1)), horner)
+
+
+def winnow_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): the distinct minima of every
+    ``window`` consecutive k-gram hashes.  Guarantees: any shared
+    substring of length >= k + window - 1 contributes at least one
+    common fingerprint, and fingerprint density is ~2/(window+1).
+    Returns a sorted array<long>; docs shorter than k + window - 1
+    yield an empty array."""
+    hs = _gram_hashes(text, k)
+    n_h = F.size(hs)
+    wins = F.transform(
+        F.sequence(F.lit(1), n_h - F.lit(window - 1)),
+        lambda i: F.array_min(F.slice(hs, i, window)),
+    )
+    fps = F.array_sort(F.array_distinct(wins))
+    empty = F.array().cast("array<long>")
+    return F.when(
+        text.isNotNull() & (F.length(text) >= k + window - 1), fps
+    ).otherwise(empty)
