@@ -1789,6 +1789,38 @@ def _q_doc_winnow(spark, sf_dir):
     )
 
 
+def _q_pyramid_levels(spark, sf_dir):
+    """Tile-pyramid rollup (round-4g operators/tiles.py): per-level cell
+    counts, value conservation, and child totals after the one-shuffle
+    ancestor explode — the oracle recomputes every level's distinct
+    cells directly from the points (nested-floor law: the morton parent
+    IS the coarser-grid floor)."""
+    from pyspark.sql.types import LongType
+
+    from sedona_db_spark.geometry import wkb
+    from sedona_db_spark.operators.tiles import pyramid_rollup
+    from sedona_db_spark.tiling import Grid
+
+    grid = Grid(6)
+    pts = _cust_pts(spark, sf_dir)
+
+    @F.pandas_udf(LongType())
+    def cell_of(s: pd.Series) -> pd.Series:
+        x, y, valid = wkb.decode_points_xy(list(s))
+        return pd.Series(grid.cell_of_points(x, y), dtype="int64")
+
+    leaf = (pts.withColumn("cell_id", cell_of(F.col("geom")))
+            .groupBy("cell_id").agg(F.count("*").cast("double").alias("value")))
+    pyr = pyramid_rollup(leaf, to_level=0)
+    return (
+        pyr.groupBy("level")
+        .agg(F.count("*").cast("int").alias("n_cells"),
+             F.round(F.sum("value"), 6).alias("total_v"),
+             F.sum("n_children").cast("long").alias("total_children"))
+        .select("level", "n_cells", "total_v", "total_children")
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -3133,6 +3165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_mvt_geom": _q_st_mvt_geom,
         "geog_azimuth": _q_geog_azimuth,
         "doc_winnow": _q_doc_winnow,
+        "pyramid_levels": _q_pyramid_levels,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -4241,6 +4274,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fp, "
             "CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum, "
             "CAST(coalesce(fps[1], -1) AS BIGINT) AS fp_min FROM w"
+        ),
+        # pyramid rollup: per-level distinct coarser-grid cells; totals
+        # are conserved at every level; every leaf contributes one child
+        # count per level
+        "pyramid_levels": (
+            "WITH lv AS (SELECT CAST(unnest(range(0, 7)) AS INTEGER) AS level), "
+            "pt AS (SELECT c_custkey, "
+            "  CAST(-180.0 AS DOUBLE) + ((c_custkey*7) % 3600)*CAST(0.1 AS DOUBLE) "
+            "    + CAST(0.005 AS DOUBLE) AS x, "
+            "  CAST(-90.0 AS DOUBLE) + ((c_custkey*13) % 1800)*CAST(0.1 AS DOUBLE) "
+            "    + CAST(0.005 AS DOUBLE) AS y FROM customer), "
+            "cel AS (SELECT lv.level, "
+            "  CAST(floor((x - CAST(-180.0 AS DOUBLE)) "
+            "       / (360.0 / pow(2, lv.level))) AS BIGINT) AS ix, "
+            "  CAST(floor((y - CAST(-90.0 AS DOUBLE)) "
+            "       / (180.0 / pow(2, lv.level))) AS BIGINT) AS iy "
+            "  FROM pt CROSS JOIN lv), "
+            "leaf AS (SELECT count(DISTINCT (ix, iy)) AS n_leaf FROM cel "
+            "  WHERE level = 6) "
+            "SELECT level, CAST(count(DISTINCT (ix, iy)) AS INTEGER) AS n_cells, "
+            "round(CAST((SELECT count(*) FROM customer) AS DOUBLE), 6) AS total_v, "
+            "CAST((SELECT n_leaf FROM leaf) AS BIGINT) AS total_children "
+            "FROM cel GROUP BY level"
         ),
         # split/node laws: midline split keeps the full box area in 2
         # parts; a diagonal split by its crossing diagonal keeps the

@@ -177,3 +177,53 @@ def tile_cut(
     if keep_clip:
         cols.insert(len(cols) - 1, F.col("_c.clip").alias("clip"))
     return out.select(*cols)
+
+
+def _parent_cell_expr(cell, d: int):
+    """Column form of tiling.cell_parent: drop 2 morton bits per level
+    (pure bit math — whole-stage codegen)."""
+    lvl = F.shiftright(cell, 58)
+    m = cell.bitwiseAND(F.lit((1 << 58) - 1))
+    return F.shiftleft(lvl - F.lit(d), 58).bitwiseOR(
+        F.shiftright(m, 2 * d))
+
+
+def pyramid_rollup(
+    df: DataFrame,
+    cell_col: str = "cell_id",
+    value_col: str = "value",
+    to_level: int = 0,
+) -> DataFrame:
+    """Tile-pyramid rollup: per-cell additive metrics aggregated to EVERY
+    ancestor level down to ``to_level`` (the hypertable / tile-server
+    zoom-stack shape).
+
+    Scale shape: each input row EXPLODES to its (L - to_level + 1)
+    ancestors via bit math — one map-side fan, ONE shuffle on the
+    ancestor cell — instead of L sequential groupBy stages.  At 10^12
+    rows the fan factor is the zoom depth (constant, <= 29), and the
+    per-level outputs shrink 4x per level so the shuffle is dominated by
+    the finest level, same as the sequential plan but in one stage.
+
+    Input cells must sit at ONE level (the geotag pipelines emit exactly
+    that); mixed levels raise."""
+    cells = df.select(F.col(cell_col).cast("long").alias("cell"),
+                      F.col(value_col).cast("double").alias("v"))
+    levels = [int(r[0]) for r in
+              cells.select(F.shiftright("cell", 58)).distinct().collect()]
+    if len(levels) != 1:
+        raise ValueError(f"pyramid_rollup expects one cell level, got {levels}")
+    base = levels[0]
+    if to_level < 0 or to_level > base:
+        raise ValueError(f"to_level {to_level} outside [0, {base}]")
+    ancestors = F.array(*[
+        _parent_cell_expr(F.col("cell"), d) for d in range(base - to_level + 1)
+    ])
+    fan = cells.select(F.explode(ancestors).alias("cell"), "v")
+    return (
+        fan.groupBy("cell")
+        .agg(F.sum("v").alias(value_col), F.count("*").alias("n_children"))
+        .withColumn("level", F.shiftright("cell", 58).cast("int"))
+        .select(F.col("cell").alias(cell_col), "level", value_col,
+                "n_children")
+    )
