@@ -1821,6 +1821,37 @@ def _q_pyramid_levels(spark, sf_dir):
     )
 
 
+def _q_st_dims(spark, sf_dir):
+    """Structure accessors (round-4g): NDims over 2D/ZM points, ring
+    counts of a holed box, and the canonical WKB byte sizes (point = 21,
+    n-ring polygon = 9 + rings*(4 + 16*npts)) — all integer laws."""
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    x0 = ((k * 3) % 100).cast("double")
+    y0 = ((k * 11) % 80).cast("double")
+    w = (k % 7 + 1).cast("double")
+    h = (k % 5 + 1).cast("double")
+    p2 = st.ST_Point(x0, y0)
+    p4 = st.ST_PointZM(x0, y0, F.lit(1.0), F.lit(2.0))
+    holed = st.ST_GeomFromWKT(F.format_string(
+        "POLYGON ((%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f), "
+        "(%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f))",
+        x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h, x0, y0,
+        x0 + F.lit(0.3), y0 + F.lit(0.3), x0 + F.lit(0.3), y0 + F.lit(0.55),
+        x0 + F.lit(0.55), y0 + F.lit(0.55), x0 + F.lit(0.55), y0 + F.lit(0.3),
+        x0 + F.lit(0.3), y0 + F.lit(0.3)))
+    return c.select(
+        "c_custkey",
+        st.ST_NDims(p2).alias("d2"),
+        st.ST_NDims(p4).alias("d4"),
+        st.ST_NRings(holed).alias("nr"),
+        st.ST_MemSize(p2).alias("ms_pt"),
+        st.ST_MemSize(holed).alias("ms_poly"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -3166,6 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geog_azimuth": _q_geog_azimuth,
         "doc_winnow": _q_doc_winnow,
         "pyramid_levels": _q_pyramid_levels,
+        "st_dims": _q_st_dims,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -4297,6 +4329,12 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST((SELECT count(*) FROM customer) AS DOUBLE), 6) AS total_v, "
             "CAST((SELECT n_leaf FROM leaf) AS BIGINT) AS total_children "
             "FROM cel GROUP BY level"
+        ),
+        # structure accessors: ndims 2/4, 2 rings, point WKB = 21 bytes,
+        # 2-ring 5-vertex polygon = 9 + 2*(4 + 5*16) = 177 bytes
+        "st_dims": (
+            "SELECT c_custkey, 2 AS d2, 4 AS d4, 2 AS nr, "
+            "21 AS ms_pt, 177 AS ms_poly FROM customer"
         ),
         # split/node laws: midline split keeps the full box area in 2
         # parts; a diagonal split by its crossing diagonal keeps the

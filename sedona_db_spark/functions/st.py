@@ -1400,6 +1400,43 @@ _st_boundingdiagonal = _make_geom_udf(
     lambda g: _normform().bounding_diagonal(g))
 _st_geometricmedian = _make_geom_udf(
     lambda g: _normform().geometric_median(g))
+def _ndims(g):
+    return None if g is None else 2 + int(g.has_z) + int(g.has_m)
+
+
+def _nrings(g):
+    """Total ring count over polygonal parts (Sedona ST_NRings)."""
+    if g is None:
+        return None
+    t = g.type_id
+    if t == wkb.POLYGON:
+        return sum(1 for r in g.coords if len(r))
+    if t in (wkb.MULTIPOLYGON, wkb.GEOMETRYCOLLECTION):
+        return sum(_nrings(s) or 0 for s in g.coords)
+    return 0
+
+
+@pandas_udf(IntegerType())
+def _st_ndims(s: pd.Series) -> pd.Series:
+    return pd.Series([None if v is None else _ndims(wkb.parse(bytes(v)))
+                      for v in s], dtype="Int32")
+
+
+@pandas_udf(IntegerType())
+def _st_nrings(s: pd.Series) -> pd.Series:
+    return pd.Series([None if v is None else _nrings(wkb.parse(bytes(v)))
+                      for v in s], dtype="Int32")
+
+
+@pandas_udf(IntegerType())
+def _st_memsize(s: pd.Series) -> pd.Series:
+    """Canonical ISO-WKB byte size (documented deviation from PostGIS's
+    in-memory serialized size — the portable analogue)."""
+    return pd.Series(
+        [None if v is None else len(wkb.encode(wkb.parse(bytes(v))))
+         for v in s], dtype="Int32")
+
+
 _st_shiftlongitude = _make_geom_udf(lambda g: _normform().shift_longitude(g))
 _st_minimumclearance = _make_double_udf(
     lambda g: _normform().minimum_clearance(g))
@@ -2887,6 +2924,10 @@ _UDFS: Dict[str, object] = {
     "ST_ShiftLongitude": _st_shiftlongitude,
     "ST_MinimumClearance": _st_minimumclearance,
     "ST_MinimumClearanceLine": _st_minimumclearanceline,
+    "ST_NDims": _st_ndims,
+    "ST_CoordDim": _st_ndims,
+    "ST_NRings": _st_nrings,
+    "ST_MemSize": _st_memsize,
     "ST_Shift_Longitude": _st_shiftlongitude,
     "ST_WrapX": _st_wrapx,
     # DP simplify without the topology guard is the same kernel here —
