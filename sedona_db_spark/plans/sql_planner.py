@@ -258,6 +258,11 @@ def _parse_spatial_conjunct(text: str) -> Optional[_SpatialConjunct]:
         sph = len(args) == 4 and args[3].strip().lower() in ("true", "1")
         return _SpatialConjunct("knn", None, args[0], args[1], k=k,
                                 use_spheroid=sph)
+    if name == "st_cpawithin" and len(args) == 3 and not rest:
+        # trajectory proximity join (operators/cpa_join.py): CPA distance
+        # is symmetric, so side order never needs an invert
+        return _SpatialConjunct("cpa", None, args[0], args[1],
+                                dist_text=args[2])
     if name == "st_distance" and len(args) == 2:
         # ST_Distance(a, b) < d   /   <= d
         md = re.match(r"^<=?\s*(.+)$", rest)
@@ -429,7 +434,7 @@ def plan_spatial_sql(spark: SparkSession, sql: str) -> Optional[DataFrame]:
     masked = _mask_strings(sql)
     if not re.search(r"\bST_(Intersects|Contains|Within|Covers|CoveredBy|"
                      r"Covered_By|Touches|Crosses|Overlaps|Equals|DWithin|"
-                     r"KNN|Distance)\s*\(", masked, re.IGNORECASE):
+                     r"KNN|Distance|CPAWithin)\s*\(", masked, re.IGNORECASE):
         return None
     if re.search(rf"\b(?:FROM|JOIN)\s*\(", masked, re.IGNORECASE):
         # subqueries in FROM/JOIN position: lift each into a temp view
@@ -498,6 +503,8 @@ def plan_spatial_sql(spark: SparkSession, sql: str) -> Optional[DataFrame]:
         # kNN join as inner would drop probe rows with null/invalid
         # geometry (or all rows on an empty build side) — fall back
         return None
+    if spatial.kind == "cpa" and how != "inner":
+        return None  # cpa_join is inner-only; same fall-back discipline
 
     L, R = _table_df(spark, t1), _table_df(spark, t2)
     if L is None or R is None:
@@ -541,7 +548,17 @@ def plan_spatial_sql(spark: SparkSession, sql: str) -> Optional[DataFrame]:
     Lp = L.select([F.col(c).alias(f"{a1}__{c}") for c in cols1])
     Rp = R.select([F.col(c).alias(f"{a2}__{c}") for c in cols2])
 
-    if spatial.kind == "knn":
+    if spatial.kind == "cpa":
+        from ..operators.cpa_join import cpa_join
+
+        dt = spatial.dist_text.strip()
+        if not re.match(r"^[0-9]*\.?[0-9]+([eE][+-]?[0-9]+)?$", dt):
+            return None  # CPA join needs a literal distance
+        J = cpa_join(
+            Lp, Rp, float(dt),
+            left_geom=f"{a1}__{g_left}", right_geom=f"{a2}__{g_right}",
+        )
+    elif spatial.kind == "knn":
         from ..operators.knn_join import knn_join
 
         J = knn_join(
@@ -642,7 +659,7 @@ def _plan_or_join(spark: SparkSession, sql: str, masked: str, m, cond_raw,
     if len(parts_raw) < 2:
         return None
     parts = [_parse_spatial_conjunct(p) for p in parts_raw]
-    if any(p is None or p.kind == "knn" for p in parts):
+    if any(p is None or p.kind in ("knn", "cpa") for p in parts):
         return None  # every OR arm must be an indexable relation/dwithin
     L, R = _table_df(spark, t1), _table_df(spark, t2)
     if L is None or R is None:
@@ -881,6 +898,8 @@ def _plan_join_chain(spark: SparkSession, sql: str, masked: str) -> Optional[Dat
         right_geom = f"{new_ref[0]}__{new_ref[1]}"
         Rp = _prefixed(dfs[i], aliases[i])
 
+        if spatial.kind == "cpa":
+            return None  # CPA joins don't chain (single two-table form)
         if spatial.kind == "knn":
             if inverted:
                 return None  # ST_KNN(probe, build): probe = accumulated side
@@ -940,7 +959,7 @@ def spatial_joins_in_plain_sql(sql: str) -> bool:
     masked = _mask_strings(sql)
     has_pred = re.search(
         r"\bST_(Intersects|Contains|Within|Covers|CoveredBy|Covered_By|"
-        r"Touches|Crosses|Overlaps|Equals|DWithin|KNN)\s*\(",
+        r"Touches|Crosses|Overlaps|Equals|DWithin|KNN|CPAWithin)\s*\(",
         masked, re.IGNORECASE)
     if not has_pred:
         return False

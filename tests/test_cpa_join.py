@@ -88,3 +88,25 @@ class TestPlanShape:
         # cartesian/NL product — the property that survives 100x scale
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestSQLSurface:
+    def test_join_on_cpawithin_routes(self, spark, frames):
+        from sedona_db_spark.context import SedonaContext
+
+        left, right, lrows, rrows = frames
+        con = SedonaContext(spark)
+        left.createOrReplaceTempView("lanes_a")
+        right.withColumnRenamed("traj", "traj_b") \
+             .createOrReplaceTempView("lanes_b")
+        out = con.sql(
+            "SELECT a.lid, b.rid FROM lanes_a a JOIN lanes_b b "
+            "ON ST_CPAWithin(a.traj, b.traj_b, 3.0)")
+        got = {(r.lid, r.rid) for r in out.collect()}
+        from sedona_db_spark.geometry import trajectory as tj
+        want = {(i, j) for i, lb in lrows for j, rb in rrows
+                if tj.cpa_within(wkb.parse(lb), wkb.parse(rb), 3.0)}
+        assert got == want
+        # and the plan came from the banded prefilter, not a cartesian
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
