@@ -1852,6 +1852,19 @@ def _q_st_dims(spark, sf_dir):
     )
 
 
+def _q_knn_graph_edges(spark, sf_dir):
+    """kNN graph over the embeddings corpus (round-4g
+    operators/similarity.knn_graph): with nprobe = nlists the IVF probe
+    is exhaustive, so the graph is the exact cosine top-k minus the self
+    edge — brute-force recomputable in SQL."""
+    from sedona_db_spark.operators.similarity import knn_graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    g = knn_graph(emb, k=3, nlists=8, nprobe=8, centroids="first_n")
+    return g.select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank"))
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -3198,6 +3211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow": _q_doc_winnow,
         "pyramid_levels": _q_pyramid_levels,
         "st_dims": _q_st_dims,
+        "knn_graph_edges": _q_knn_graph_edges,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -4335,6 +4349,21 @@ def oracle_sql() -> dict[str, str]:
         "st_dims": (
             "SELECT c_custkey, 2 AS d2, 4 AS d4, 2 AS nr, "
             "21 AS ms_pt, 177 AS ms_poly FROM customer"
+        ),
+        # kNN graph: exact cosine top-k per vector minus the self edge
+        "knn_graph_edges": (
+            "SELECT query_id, neighbor_id, rank FROM ("
+            "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "  CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "    list_dot_product(CAST(q.embedding AS DOUBLE[]), "
+            "                     CAST(c.embedding AS DOUBLE[])) / "
+            "    (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), "
+            "                           CAST(q.embedding AS DOUBLE[]))) * "
+            "     sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), "
+            "                           CAST(c.embedding AS DOUBLE[])))) DESC, "
+            "    c.vec_id) AS INTEGER) AS rank "
+            "  FROM embeddings q CROSS JOIN embeddings c "
+            "  WHERE q.vec_id <> c.vec_id) WHERE rank <= 3"
         ),
         # split/node laws: midline split keeps the full box area in 2
         # parts; a diagonal split by its crossing diagonal keeps the

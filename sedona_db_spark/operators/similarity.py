@@ -345,3 +345,43 @@ def pq_topk(
         .where(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "adc_dist2", "rank")
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mutual: bool = False,
+    nlists: int = 16,
+    nprobe: int = 4,
+    centroids: str = "kmeans",
+) -> DataFrame:
+    """k-nearest-neighbor GRAPH over an embedding corpus (the backbone of
+    semantic dedup clustering, kNN-graph community detection, and hubness
+    diagnostics): each vector's top-k cosine neighbors EXCLUDING itself.
+
+    Composition, not new machinery: the corpus self-probes through
+    ``ivf_topk`` (broadcast coarse quantizer, bucket equi-join, windowed
+    top-k) asking for k+1 and dropping the self edge — so the scale shape
+    is identical to the query path (no all-pairs product).
+
+    ``mutual=True`` keeps only edges where BOTH endpoints rank each other
+    in their top-k (the mutual-kNN sparsification used before clustering;
+    one extra self-equi-join on the edge key, re-ranked afterwards)."""
+    edges = ivf_topk(
+        corpus, corpus, k + 1,
+        nlists=nlists, nprobe=nprobe,
+        query_vec=vec_col, corpus_vec=vec_col,
+        query_id=id_col, corpus_id=id_col,
+        centroids=centroids,
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    edges = (edges.withColumn("rank", F.row_number().over(w))
+             .where(F.col("rank") <= k))
+    if mutual:
+        rev = edges.select(F.col("neighbor_id").alias("query_id"),
+                           F.col("query_id").alias("neighbor_id"))
+        edges = edges.join(rev, ["query_id", "neighbor_id"], "left_semi")
+    return edges.select("query_id", "neighbor_id", "score", "rank")
