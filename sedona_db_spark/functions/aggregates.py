@@ -291,6 +291,9 @@ def register_sql_aggregates(spark) -> None:
             float(np.nanmax(bb[:, 2])), float(np.nanmax(bb[:, 3]))))
 
     spark.udf.register("ST_Envelope_Aggr", pandas_udf(_envelope, BinaryType()))
+    # PostGIS alias spellings for the same accumulators
+    spark.udf.register("ST_Extent", pandas_udf(_envelope, BinaryType()))
+    spark.udf.register("ST_MemUnion", pandas_udf(_mk_finish("union"), BinaryType()))
 
     def _analyze(s: pd.Series) -> Optional[str]:
         counts = {"puntal": 0, "lineal": 0, "polygonal": 0, "collection": 0}

@@ -147,3 +147,16 @@ def test_rs_width_sql(registered, spark):
     df.createOrReplaceTempView("tiles_t")
     rows = spark.sql(f"SELECT RS_Width({rcol}) AS w FROM tiles_t").collect()
     assert {r["w"] for r in rows} == {16}
+
+
+def test_postgis_aggregate_aliases(spark):
+    from sedona_db_spark.functions import st
+
+    st.register_all(spark)
+    r = spark.sql(
+        "SELECT ST_AsText(ST_Extent(g)) AS e, ST_Area(ST_MemUnion(g)) AS u "
+        "FROM (SELECT ST_MakeEnvelope(0D,0D,1D,1D) AS g "
+        "      UNION ALL SELECT ST_MakeEnvelope(1D,0D,2D,1D))"
+    ).collect()[0]
+    assert r.e == "POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))"
+    assert r.u == 2.0
