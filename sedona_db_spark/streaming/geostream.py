@@ -332,3 +332,117 @@ def trajectory_tracker(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_minhash_candidates(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "event_ts",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 1,
+    max_bucket: int = 256,
+    watermark_delay: str = "2 hours",
+    state_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Streaming near-duplicate candidates: the batch MinHash+LSH
+    pipeline (operators/dedup.py) re-expressed over an unbounded stream
+    with BOUNDED per-bucket state.
+
+    Stateless stages reuse the batch kernels verbatim — the signature
+    UDF and the (band, bkey) construction are the same code, so a doc
+    lands in the same buckets streaming or batch.  The stateful stage
+    keys by (band, bkey) via applyInPandasWithState: state = the doc ids
+    seen in that bucket (capped at ``max_bucket``; a hotter bucket stops
+    emitting new pairs and sets ``truncated`` — at 10^12 docs an
+    unbounded hot bucket IS the failure mode, and near-dup semantics
+    degrade gracefully because every doc already emitted against the
+    first ``max_bucket`` members).  Event-time TTL expires idle buckets.
+
+    Output: (id_a, id_b, band) candidate pairs, id_a < id_b — the same
+    contract as ``minhash_lsh_candidates`` minus the signature-verify
+    stage (run it batch-side on the much smaller candidate stream)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.dedup import minhash_signature_udf
+
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature_udf(num_hashes, shingle_k, seed, scheme="poly31")
+
+    S = docs_stream.withWatermark(ts_col, watermark_delay).select(
+        F.col(id_col).alias("doc_id"), F.col(ts_col),
+        sig(F.col(text_col)).alias("sig"),
+    ).where(F.col("sig").isNotNull())
+    band_rows = S.select(
+        "doc_id", ts_col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.element_at("sig", b * rows_per_band + r + 1)
+                             for r in range(rows_per_band)]).alias("bkey"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("doc_id", ts_col, F.col("bb.band").alias("band"),
+             F.col("bb.bkey").alias("bkey"))
+
+    out_schema = StructType([
+        StructField("id_a", StringType()),
+        StructField("id_b", StringType()),
+        StructField("band", IntegerType()),
+    ])
+    state_schema = StructType([
+        StructField("ids", StringType()),      # \x1f-joined (bounded)
+        StructField("truncated", LongType()),
+    ])
+
+    def track(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"id_a": [], "id_b": [], "band": []})
+            return
+        band = int(key[0])
+        seen, trunc = [], 0
+        if state.exists:
+            blob, trunc = state.get
+            seen = blob.split("\x1f") if blob else []
+        new_ids = []
+        for pdf in pdfs:
+            for d in pdf["doc_id"]:
+                d = str(d)
+                if d not in seen and d not in new_ids:
+                    new_ids.append(d)
+        a_out, b_out = [], []
+        for i, d in enumerate(new_ids):
+            if len(seen) + i >= max_bucket:
+                trunc = 1
+                break
+            for other in seen + new_ids[:i]:
+                lo, hi = (d, other) if d < other else (other, d)
+                a_out.append(lo)
+                b_out.append(hi)
+        keep = (seen + new_ids)[:max_bucket]
+        state.update(("\x1f".join(keep), trunc))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
+        yield pd.DataFrame({"id_a": a_out, "id_b": b_out,
+                            "band": [band] * len(a_out)})
+
+    return (
+        band_rows.groupBy("band", "bkey")
+        .applyInPandasWithState(
+            track, out_schema, state_schema, "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -295,3 +295,48 @@ def test_trajectory_tracker(spark, tmp_path):
     a = WKB.parse(bytes(final["ent-0"].traj))
     b = WKB.parse(bytes(final["ent-1"].traj))
     assert TJ.distance_cpa(a, b) is not None
+
+
+def test_streaming_minhash_candidates(spark, tmp_path):
+    """Streaming LSH candidates equal the batch minhash_lsh_candidates
+    pair set (same signature + band kernels), across micro-batches."""
+    from sedona_db_spark.operators.dedup import minhash_lsh_candidates
+
+    src = str(tmp_path / "mh_src")
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different document about spark query planning",
+        "numpy vectorization of geometry kernels for fun and profit",
+    ]
+    rows = []
+    BASE_TS = 1_700_000_000.0
+    n = 0
+    for i, t in enumerate(base):
+        for rep in range(4):          # 4 near-copies per family
+            text = t + (" tail" * rep)
+            rows.append((f"d{i}-{rep}", text, BASE_TS + n))
+            n += 1
+    df = spark.createDataFrame(rows, "doc_id string, text string, ts double") \
+        .withColumn("event_ts", F.timestamp_seconds(F.col("ts"))).drop("ts")
+    df.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    cand = GS.streaming_minhash_candidates(stream)
+    q = (cand.writeStream.format("memory").queryName("mh_cand")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        got = {(r.id_a, r.id_b) for r in
+               spark.sql("SELECT DISTINCT id_a, id_b FROM mh_cand").collect()}
+    finally:
+        q.stop()
+
+    batch = minhash_lsh_candidates(spark.read.parquet(src),
+                                   "text", "doc_id")
+    want = {(r.id_a, r.id_b) for r in batch.select("id_a", "id_b").collect()}
+    assert got == want
+    assert want      # the near-copy families produce real candidates
+    # different families never collide
+    for a, b in got:
+        assert a.split("-")[0] == b.split("-")[0]
