@@ -1775,10 +1775,10 @@ def _q_doc_winnow(spark, sf_dir):
     documents table — count/sum/min of each doc's fingerprint set,
     recomputed verbatim in DuckDB list comprehensions (same Horner
     k-gram arithmetic as the minhash oracle)."""
-    from sedona_db_spark.functions.text import winnow_fingerprints
+    from sedona_db_spark.functions.text import winnow_fingerprints_udf
 
     d = _t(spark, sf_dir, "documents")
-    fps = winnow_fingerprints(F.col("text"), 5, 4)
+    fps = winnow_fingerprints_udf(5, 4)(F.col("text"))
     return d.select(
         "doc_id",
         F.size(fps).alias("n_fp"),

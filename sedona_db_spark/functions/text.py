@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Dict, List
 
+import pandas as pd
+
 from pyspark.sql import Column, functions as F
 
 # ---------------------------------------------------------------------------
@@ -404,3 +406,43 @@ def winnow_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
     return F.when(
         text.isNotNull() & (F.length(text) >= k + window - 1), fps
     ).otherwise(empty)
+
+
+def winnow_fingerprints_udf(k: int = 5, window: int = 4):
+    """Arrow-batched numpy winnowing — same values as
+    :func:`winnow_fingerprints`, built for the hot path.
+
+    The pure-Column form above is the SQL-shaped reference, but Catalyst
+    re-evaluates the WHOLE gram-hash array inside every
+    ``slice(hs, i, w)`` lambda element (no common-subexpression
+    elimination across higher-order-function lambdas), which turns an
+    O(n) kernel into O(n^2) expression interpretation — minutes per
+    thousand documents.  Here the hashes are computed once per doc and
+    the window minima come from one ``sliding_window_view`` min."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    from ..operators.dedup import _P31
+
+    @pandas_udf(ArrayType(LongType()))
+    def winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None or len(t) < k + window - 1:
+                out.append([])
+                continue
+            codes = np.frombuffer(t.encode("utf-32-le"),
+                                  dtype=np.uint32).astype(np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(codes, k)
+            h = np.zeros(len(win), dtype=np.uint64)
+            for j in range(k):
+                h = h * np.uint64(31) + win[:, j]
+            h = h % np.uint64(_P31)
+            mins = np.lib.stride_tricks.sliding_window_view(
+                h, window).min(axis=1)
+            out.append(np.unique(mins).astype(np.int64).tolist())
+        return pd.Series(out, dtype=object)
+
+    return winnow

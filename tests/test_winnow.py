@@ -43,3 +43,18 @@ class TestWinnow:
         rows = df.select(
             winnow_fingerprints(F.col("text")).alias("f")).collect()
         assert rows[0].f == [] and len(rows[1].f) > 0
+
+
+class TestUdfParity:
+    def test_udf_equals_column_kernel(self, spark):
+        from sedona_db_spark.functions.text import winnow_fingerprints_udf
+
+        texts = ["do run run run, do run run",
+                 "héllo wörld unicode with a much longer tail " * 3,
+                 "1234567", None]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        col_side = [r.f for r in df.select(
+            winnow_fingerprints(F.col("text"), 5, 4).alias("f")).collect()]
+        udf_side = [r.f for r in df.select(
+            winnow_fingerprints_udf(5, 4)(F.col("text")).alias("f")).collect()]
+        assert udf_side == col_side
