@@ -443,7 +443,14 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
 
 
 def word_ngrams(col, n: int = 3):
-    """Column of word n-gram strings (JVM-side: split + transform + slice)."""
+    """Column of word n-gram strings (JVM-side: split + transform + slice).
+
+    Scale note: Catalyst re-evaluates `words` (the split) inside every
+    transform element — no CSE across HOF lambdas — so this kernel costs
+    O(words x doc_bytes) per row.  Fine for the web-page sizes this
+    engine targets (~ms/doc at 10 KB); for book-length documents move to
+    an Arrow numpy UDF (see functions/text.winnow_fingerprints_udf for
+    the pattern and the measured 350x precedent)."""
     words = F.split(F.trim(col), r"\s+")
     cnt = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
