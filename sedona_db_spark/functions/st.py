@@ -2204,6 +2204,24 @@ def _to_lonlat_fn(tag):
             return out
 
         return fm
+    if tag[0] == "EQC":
+
+        def fe_(arr, _p=tag[1]):
+            out = arr.copy()
+            out[:, 0], out[:, 1] = _proj.eqc_inverse(
+                arr[:, 0], arr[:, 1], _p[0], _p[1], _p[2], _p[3], _p[4])
+            return out
+
+        return fe_
+    if tag[0] == "SINU":
+
+        def fs_(arr, _p=tag[1]):
+            out = arr.copy()
+            out[:, 0], out[:, 1] = _proj.sinu_inverse(
+                arr[:, 0], arr[:, 1], _p[0], _p[1], _p[2], _p[3])
+            return out
+
+        return fs_
     if tag[0] in ("TMERC", "OBLST"):
         inv = _proj.tmerc_inverse if tag[0] == "TMERC" else _proj.oblst_inverse
 
@@ -2288,6 +2306,24 @@ def _from_lonlat_fn(tag):
             return out
 
         return fm
+    if tag[0] == "EQC":
+
+        def fe_(arr, _p=tag[1]):
+            out = arr.copy()
+            out[:, 0], out[:, 1] = _proj.eqc_forward(
+                arr[:, 0], arr[:, 1], _p[0], _p[1], _p[2], _p[3], _p[4])
+            return out
+
+        return fe_
+    if tag[0] == "SINU":
+
+        def fs_(arr, _p=tag[1]):
+            out = arr.copy()
+            out[:, 0], out[:, 1] = _proj.sinu_forward(
+                arr[:, 0], arr[:, 1], _p[0], _p[1], _p[2], _p[3])
+            return out
+
+        return fs_
     if tag[0] in ("TMERC", "OBLST"):
         fwd = _proj.tmerc_forward if tag[0] == "TMERC" else _proj.oblst_forward
 

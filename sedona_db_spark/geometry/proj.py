@@ -982,6 +982,12 @@ def parse_proj4(s: str):
         return ("UTM", zone, "south" not in flags)
     if proj == "laea":
         return ("LAEA", (f("lon_0"), f("lat_0"), f("x_0"), f("y_0")))
+    if proj == "eqc":
+        R = f("R", kv.get("a", 6378137.0))
+        return ("EQC", (f("lon_0"), f("lat_ts"), f("x_0"), f("y_0"), R))
+    if proj == "sinu":
+        R = f("R", kv.get("a", 6371007.180918474))
+        return ("SINU", (f("lon_0"), f("x_0"), f("y_0"), R))
     if proj == "lcc":
         # 2SP (+lat_1 +lat_2, k0 = 1) or 1SP (+lat_1 only, optional +k_0 —
         # EPSG 9801; silently dropping k_0 would scale every coordinate)
@@ -1027,6 +1033,44 @@ def parse_proj4(s: str):
         return ("PS", (f("lon_0"), k0, north, f("x_0"), f("y_0")))
     raise NotImplementedError(
         f"+proj={proj!r} is not implemented (supported: longlat, webmerc, "
-        f"merc, tmerc, utm, laea, lcc, aea, polar stere, sterea, omerc, "
+        f"merc, tmerc, utm, laea, eqc, sinu, lcc, aea, polar stere, sterea, omerc, "
         f"somerc)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Equidistant cylindrical (PROJ `eqc`, EPSG 1028/4087 spherical form) and
+# sinusoidal (PROJ `sinu` — the MODIS land grid, R = 6371007.181).
+# Both are SPHERICAL projections in PROJ unless an ellipsoid is forced;
+# the sphere radius rides in the parameter tuple (+R / +a, default the
+# WGS84 semi-major like PROJ).
+# ---------------------------------------------------------------------------
+
+def eqc_forward(lon, lat, lon0=0.0, lat_ts=0.0, fe=0.0, fn=0.0,
+                R=6378137.0):
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    return (fe + R * lam * math.cos(math.radians(lat_ts)),
+            fn + R * phi)
+
+
+def eqc_inverse(x, y, lon0=0.0, lat_ts=0.0, fe=0.0, fn=0.0, R=6378137.0):
+    ct = math.cos(math.radians(lat_ts))
+    lon = np.degrees((np.asarray(x, dtype=np.float64) - fe) / (R * ct)) + lon0
+    lat = np.degrees((np.asarray(y, dtype=np.float64) - fn) / R)
+    return lon, lat
+
+
+def sinu_forward(lon, lat, lon0=0.0, fe=0.0, fn=0.0, R=6371007.180918474):
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    return fe + R * lam * np.cos(phi), fn + R * phi
+
+
+def sinu_inverse(x, y, lon0=0.0, fe=0.0, fn=0.0, R=6371007.180918474):
+    phi = (np.asarray(y, dtype=np.float64) - fn) / R
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lam = (np.asarray(x, dtype=np.float64) - fe) / (R * np.cos(phi))
+    lon = np.degrees(lam) + lon0
+    lat = np.degrees(phi)
+    return lon, lat

@@ -948,3 +948,44 @@ def test_projjson_crs_input(spark):
         df.select(st.ST_Transform(
             F.col("g"), F.lit("EPSG:4326"),
             F.lit('{"type":"GeographicCRS","name":"weird"}'))).collect()
+
+
+class TestEqcSinu:
+    def test_sinu_modis_extent(self):
+        # the canonical MODIS sinusoidal grid west edge
+        x, y = proj.sinu_forward(np.array([-180.0]), np.array([0.0]))
+        assert x[0] == pytest.approx(-20015109.354, abs=0.01)
+        lon, lat = proj.sinu_inverse(x, y)
+        assert lon[0] == pytest.approx(-180.0) and lat[0] == pytest.approx(0.0)
+
+    def test_sinu_round_trip_grid(self):
+        lon = np.linspace(-179, 179, 23)
+        lat = np.linspace(-85, 85, 23)
+        x, y = proj.sinu_forward(lon, lat)
+        lo, la = proj.sinu_inverse(x, y)
+        assert np.allclose(lo, lon, atol=1e-9)
+        assert np.allclose(la, lat, atol=1e-9)
+
+    def test_eqc_round_trip_and_lat_ts(self):
+        x, y = proj.eqc_forward(np.array([10.0]), np.array([45.0]),
+                                lat_ts=30.0)
+        lo, la = proj.eqc_inverse(x, y, lat_ts=30.0)
+        assert lo[0] == pytest.approx(10.0) and la[0] == pytest.approx(45.0)
+        # true scale at lat_ts: x shrinks by cos(30 deg)
+        x0, _ = proj.eqc_forward(np.array([10.0]), np.array([45.0]))
+        assert x[0] == pytest.approx(x0[0] * np.cos(np.radians(30.0)))
+
+    def test_st_transform_proj4(self, spark):
+        from sedona_db_spark.functions import st
+
+        st.register_all(spark)
+        row = spark.sql(
+            "SELECT ST_AsText(ST_Transform(ST_Point(-180.0D, 0.0D), "
+            "  'EPSG:4326', "
+            "  '+proj=sinu +R=6371007.180918474')) AS s, "
+            "ST_X(ST_Transform(ST_Transform(ST_Point(12.0D, 55.0D), "
+            "  'EPSG:4326', '+proj=eqc'), "
+            "  '+proj=eqc', 'EPSG:4326')) AS rt"
+        ).collect()[0]
+        assert row.s.startswith("POINT (-20015109.35")
+        assert row.rt == pytest.approx(12.0)
