@@ -39,9 +39,10 @@ def getis_ord_gstar(
     value_col: str = "value",
 ) -> DataFrame:
     """Per-cell Gi* z-scores.  ``df`` must carry ONE row per (cell_x,
-    cell_y) integer cell; duplicate cells raise downstream of the
-    neighbor join (pre-aggregate first — the contract every lattice
-    statistic assumes)."""
+    cell_y) integer cell (pre-aggregate first — the contract every
+    lattice statistic assumes).  Duplicate cells are NOT detected here
+    (detection would cost an extra aggregation); they inflate n_total
+    and duplicate output rows, so groupBy before calling."""
     cells = df.select(
         F.col(cell_x).cast("long").alias("cx"),
         F.col(cell_y).cast("long").alias("cy"),
