@@ -117,12 +117,23 @@ def hot_cell_tracker(
             yield pd.DataFrame({"cell_id": [], "total": []})
             return
         n = 0
+        max_ev_ms = 0
         for pdf in pdfs:
             n += len(pdf)
+            if ts_col in pdf.columns and len(pdf):
+                mx = pdf[ts_col].max()
+                if mx is not None and not pd.isna(mx):
+                    max_ev_ms = max(max_ev_ms, int(mx.timestamp() * 1000))
         (prev,) = state.get if state.exists else (0,)
         total = prev + n
         state.update((total,))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
+        # anchor the TTL on max(watermark, batch event time): in the FIRST
+        # micro-batch the watermark is still 0 (epoch), so watermark+TTL
+        # would be a 1970 timestamp and the state would silently expire as
+        # soon as the real watermark advances — state built in batch 1
+        # vanished before batch 2 (file-order-dependent flake)
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs(), max_ev_ms) + state_ttl_ms)
         if prev < threshold <= total:
             yield pd.DataFrame({"cell_id": [key[0]], "total": [total]})
         else:
@@ -312,7 +323,12 @@ def trajectory_tracker(
         arr = arr[keep][-max_points:]
         state.update((arr[:, 1].tolist(), arr[:, 2].tolist(),
                       arr[:, 0].tolist()))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
+        # TTL anchored on max(watermark, newest point): the batch-1
+        # watermark is 0, and watermark+TTL alone would expire the track
+        # before batch 2 (see hot_cell_tracker note)
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs(),
+                int(arr[-1, 0] * 1000) if len(arr) else 0) + state_ttl_ms)
         if len(arr) < 2:
             yield pd.DataFrame({"entity_id": [], "traj": [], "n_points": []})
             return
@@ -419,7 +435,9 @@ def streaming_minhash_candidates(
             blob, trunc = state.get
             seen = blob.split("\x1f") if blob else []
         new_ids = []
+        pdfs_seen = []
         for pdf in pdfs:
+            pdfs_seen.append(pdf)
             for d in pdf["doc_id"]:
                 d = str(d)
                 if d not in seen and d not in new_ids:
@@ -435,7 +453,18 @@ def streaming_minhash_candidates(
                 b_out.append(hi)
         keep = (seen + new_ids)[:max_bucket]
         state.update(("\x1f".join(keep), trunc))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
+        # TTL anchored on max(watermark, batch event time) — the batch-1
+        # watermark is epoch 0, and watermark+TTL alone expired batch-1
+        # buckets before batch 2, silently losing cross-batch candidate
+        # pairs (file-order-dependent flake caught by the full suite)
+        max_ev_ms = 0
+        for pdf in pdfs_seen:
+            if len(pdf):
+                mx = pdf[ts_col].max()
+                if mx is not None and not pd.isna(mx):
+                    max_ev_ms = max(max_ev_ms, int(mx.timestamp() * 1000))
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs(), max_ev_ms) + state_ttl_ms)
         yield pd.DataFrame({"id_a": a_out, "id_b": b_out,
                             "band": [band] * len(a_out)})
 
