@@ -1865,6 +1865,29 @@ def _q_knn_graph_edges(spark, sf_dir):
                     F.col("rank").cast("int").alias("rank"))
 
 
+def _q_ripleys_k(spark, sf_dir):
+    """Ripley's K over the customer point pattern (round-4g
+    operators/hotspot.ripleys_k): pair counts from ONE banded dwithin
+    self-join at max(r); the oracle brute-forces the ordered-pair counts
+    and the (A/n^2) scaling."""
+    from sedona_db_spark.operators.hotspot import ripleys_k
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = c.select(
+        (F.lit(-180.0) + ((k * 7) % 3600) * F.lit(0.1) + F.lit(0.005))
+        .alias("x"),
+        (F.lit(-90.0) + ((k * 13) % 1800) * F.lit(0.1) + F.lit(0.005))
+        .alias("y"))
+    out = ripleys_k(pts, radii=(3.0, 6.0, 12.0))
+    return out.select(
+        F.round(F.col("r"), 6).alias("r"),
+        F.col("n_pairs"),
+        F.round(F.col("k"), 6).alias("k"),
+        F.round(F.col("l"), 6).alias("l"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -3212,6 +3235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_levels": _q_pyramid_levels,
         "st_dims": _q_st_dims,
         "knn_graph_edges": _q_knn_graph_edges,
+        "ripleys_k_customers": _q_ripleys_k,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -4364,6 +4388,24 @@ def oracle_sql() -> dict[str, str]:
             "    c.vec_id) AS INTEGER) AS rank "
             "  FROM embeddings q CROSS JOIN embeddings c "
             "  WHERE q.vec_id <> c.vec_id) WHERE rank <= 3"
+        ),
+        # Ripley's K: ordered-pair counts within each radius, scaled by
+        # bbox-area / n^2 (L = sqrt(K/pi))
+        "ripleys_k_customers": (
+            "WITH pt AS (SELECT c_custkey, "
+            "  -180.0 + ((c_custkey*7) % 3600)*0.1 + 0.005 AS x, "
+            "  -90.0 + ((c_custkey*13) % 1800)*0.1 + 0.005 AS y FROM customer), "
+            "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+            "  (max(x)-min(x)) * (max(y)-min(y)) AS a FROM pt), "
+            "rr AS (SELECT unnest([3.0, 6.0, 12.0]) AS r), "
+            "pr AS (SELECT rr.r, count(*) AS np FROM pt p1, pt p2, rr "
+            "  WHERE p1.c_custkey <> p2.c_custkey "
+            "  AND sqrt((p1.x-p2.x)*(p1.x-p2.x) + (p1.y-p2.y)*(p1.y-p2.y)) "
+            "      <= rr.r GROUP BY rr.r) "
+            "SELECT round(pr.r, 6) AS r, CAST(np AS BIGINT) AS n_pairs, "
+            "round(np * a / (n * n), 6) AS k, "
+            "round(sqrt(np * a / (n * n * pi())), 6) AS l "
+            "FROM pr, st"
         ),
         # split/node laws: midline split keeps the full box area in 2
         # parts; a diagonal split by its crossing diagonal keeps the

@@ -28,6 +28,9 @@ users reach for pysal/esda — this is that operator at corpus scale.
 
 from __future__ import annotations
 
+import math
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -187,3 +190,64 @@ def local_morans_i(
     )
     return out.select("cx", "cy", F.col("v").alias(value_col),
                       "w_i", "i_i", "quadrant")
+
+
+def ripleys_k(
+    df: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    radii=(1.0, 2.0, 4.0),
+    area: float = None,
+    grid_level: int = None,
+) -> DataFrame:
+    """Ripley's K function (Ripley 1976) — multi-scale clustering test
+    for a point pattern: K(r) = (A / n^2) * #{ordered pairs within r}
+    (no edge correction — the plain estimator; document/compare against
+    CSR's pi*r^2).
+
+    Scale shape: ONE banded dwithin self-join at max(radii) generates
+    candidate pairs (operators/spatial_join.py grid prefilter — never the
+    n^2 product), each pair's distance bins into every radius it fits
+    via one map-side explode, and one groupBy sums the counts.  ``area``
+    defaults to the bounding-box area of the pattern (one agg)."""
+    from ..geometry import wkb as _wkb
+    from .spatial_join import spatial_join
+
+    r_max = float(max(radii))
+    pts = df.select(F.col(x_col).cast("double").alias("x"),
+                    F.col(y_col).cast("double").alias("y"))
+    n_area = pts.agg(
+        F.count("*").alias("n"),
+        ((F.max("x") - F.min("x")) * (F.max("y") - F.min("y"))).alias("bbox_a"),
+    ).collect()[0]
+    n = int(n_area["n"])
+    a = float(area) if area is not None else float(n_area["bbox_a"])
+
+    @F.pandas_udf("binary")
+    def mkpt(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(list(_wkb.encode_points_xy(
+            np.asarray(xs, dtype=np.float64),
+            np.asarray(ys, dtype=np.float64))), dtype=object)
+
+    L = pts.withColumn("geom", mkpt("x", "y")).withColumn(
+        "_rid", F.monotonically_increasing_id())
+    R = L.select(F.col("x").alias("x2"), F.col("y").alias("y2"),
+                 F.col("geom").alias("geom2"), F.col("_rid").alias("_rid2"))
+    pairs = spatial_join(
+        L, R, "dwithin", left_geom="geom", right_geom="geom2",
+        distance=r_max, grid_level=grid_level,
+    ).where(F.col("_rid") != F.col("_rid2"))
+    d = F.sqrt((F.col("x") - F.col("x2")) ** 2 + (F.col("y") - F.col("y2")) ** 2)
+    rs = F.array(*[F.lit(float(r)) for r in sorted(radii)])
+    binned = pairs.select(
+        F.explode(F.filter(rs, lambda r: d <= r)).alias("r"))
+    out = binned.groupBy("r").agg(F.count("*").alias("n_pairs"))
+    return out.select(
+        "r",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        (F.col("n_pairs") * F.lit(a) / F.lit(float(n) * n)).alias("k"),
+        F.sqrt(F.col("n_pairs") * F.lit(a)
+               / (F.lit(float(n) * n) * F.lit(math.pi))).alias("l"),
+    )

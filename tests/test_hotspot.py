@@ -136,3 +136,36 @@ class TestLocalMorans:
             assert r.i_i == pytest.approx(want, rel=1e-9)
         # the hot blob is an HH island
         assert got[(3, 3)].quadrant == "HH" and got[(3, 3)].i_i > 0
+
+
+class TestRipleysK:
+    def test_matches_bruteforce(self, spark):
+        from sedona_db_spark.operators.hotspot import ripleys_k
+
+        rng = np.random.RandomState(2)
+        pts = rng.uniform(0, 100, (300, 2))
+        df = spark.createDataFrame(
+            [(float(x), float(y)) for x, y in pts], "x double, y double")
+        out = {r.r: (r.n_pairs, r.k)
+               for r in ripleys_k(df, radii=(2.0, 5.0, 10.0)).collect()}
+        d = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+        np.fill_diagonal(d, np.inf)
+        A = ((pts[:, 0].max() - pts[:, 0].min())
+             * (pts[:, 1].max() - pts[:, 1].min()))
+        for r in (2.0, 5.0, 10.0):
+            n_pairs = int((d <= r).sum())
+            assert out[r][0] == n_pairs
+            assert out[r][1] == pytest.approx(n_pairs * A / 300 ** 2)
+
+    def test_clustered_beats_csr(self, spark):
+        from sedona_db_spark.operators.hotspot import ripleys_k
+
+        rng = np.random.RandomState(4)
+        # 10 tight clusters: K(r) far above pi r^2 at small r
+        centers = rng.uniform(10, 90, (10, 2))
+        pts = np.vstack([c + rng.normal(0, 0.5, (30, 2)) for c in centers])
+        df = spark.createDataFrame(
+            [(float(x), float(y)) for x, y in pts], "x double, y double")
+        row = {r.r: r.k for r in ripleys_k(df, radii=(2.0,),
+                                           area=80.0 * 80.0).collect()}
+        assert row[2.0] > 3 * np.pi * 4.0
