@@ -1605,6 +1605,22 @@ def _st_snap(s: pd.Series, ref: pd.Series, tol: pd.Series) -> pd.Series:
 
 
 _st_3ddistance = _make_dist_udf(lambda a, b: _measures().distance_3d(a, b))
+_st_3dintersects = _make_pred_udf(
+    lambda a, b: (lambda d: None if d is None else d == 0.0)
+    (_measures().distance_3d(a, b)))
+
+
+@pandas_udf(BooleanType())
+def _st_3ddwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
+    ms_ = _measures()
+    out = []
+    for x, y, t in zip(a, b, d):
+        if x is None or y is None or t is None:
+            out.append(None)
+            continue
+        dd = ms_.distance_3d(wkb.parse(bytes(x)), wkb.parse(bytes(y)))
+        out.append(None if dd is None else bool(dd <= float(t)))
+    return pd.Series(out, dtype=object)
 _st_3dmaxdistance = _make_dist_udf(
     lambda a, b: _measures().max_distance_3d(a, b))
 _st_3dlength = _make_double_udf(lambda g: _measures().length_3d(g))
@@ -2977,6 +2993,10 @@ _UDFS: Dict[str, object] = {
     "ST_LocateBetween": _st_locatebetween,
     "ST_3DDistance": _st_3ddistance,
     "ST_3DMaxDistance": _st_3dmaxdistance,
+    # boundary-set semantics like ST_3DDistance (see measures.distance_3d
+    # docstring for the documented areal-interior deviation)
+    "ST_3DIntersects": _st_3dintersects,
+    "ST_3DDWithin": _st_3ddwithin,
     "ST_3DLength": _st_3dlength,
     "ST_Force3DM": _st_force3dm,
     "ST_Force4D": _st_force4d,

@@ -177,3 +177,27 @@ class TestSQL:
         assert row.lb == pytest.approx(2.5)
         assert row.la == "MULTIPOINT M ((1 0 2.5))"
         assert row.f4 == "POINT ZM (1 2 0 0)"
+
+
+@pytest.mark.usefixtures("spark")
+class Test3DPredicates:
+    def test_sql(self, spark):
+        from sedona_db_spark.functions import st
+
+        st.register_all(spark)
+        row = spark.sql(
+            "SELECT ST_3DIntersects("
+            "  ST_GeomFromText('LINESTRING Z (0 0 0, 1 1 1)'), "
+            "  ST_GeomFromText('LINESTRING Z (1 0 0, 0 1 1)')) AS hit, "
+            "ST_3DIntersects("
+            "  ST_GeomFromText('POINT Z (0 0 0)'), "
+            "  ST_GeomFromText('POINT Z (0 0 5)')) AS miss, "
+            "ST_3DDWithin("
+            "  ST_GeomFromText('POINT Z (0 0 0)'), "
+            "  ST_GeomFromText('POINT Z (3 4 12)'), 13.0D) AS w1, "
+            "ST_3DDWithin("
+            "  ST_GeomFromText('POINT Z (0 0 0)'), "
+            "  ST_GeomFromText('POINT Z (3 4 12)'), 12.9D) AS w0"
+        ).collect()[0]
+        assert row.hit is True and row.miss is False
+        assert row.w1 is True and row.w0 is False
