@@ -1888,6 +1888,31 @@ def _q_ripleys_k(spark, sf_dir):
     )
 
 
+def _q_geog_segmentize(spark, sf_dir):
+    """Geodesic densification (round-4g): a same-latitude great-circle
+    edge of length D split at max = D/(k%5+2.5) yields exactly k%5+3
+    pieces (non-integral ratio, so ceil is boundary-safe), slerp vertices
+    keep the spherical length at D — D itself is the haversine closed
+    form for two points sharing a latitude."""
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lon = ((k * 7) % 300).cast("double") - F.lit(150.0)
+    lat = ((k * 13) % 120).cast("double") - F.lit(60.0)
+    dlon = (k % 11 + 1).cast("double")
+    line = st.ST_GeomFromWKT(F.format_string(
+        "LINESTRING (%.6f %.6f, %.6f %.6f)", lon, lat, lon + dlon, lat))
+    d_m = st.ST_Length_Spherical(line)
+    ratio = (k % 5).cast("double") + F.lit(2.5)
+    seg = st.ST_Segmentize_Spherical(line, d_m / ratio)
+    return c.select(
+        "c_custkey",
+        st.ST_NPoints(seg).cast("int").alias("npts"),
+        F.round(st.ST_Length_Spherical(seg) / F.lit(1000.0), 6).alias("km"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -3236,6 +3261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_dims": _q_st_dims,
         "knn_graph_edges": _q_knn_graph_edges,
         "ripleys_k_customers": _q_ripleys_k,
+        "geog_segmentize": _q_geog_segmentize,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -4406,6 +4432,19 @@ def oracle_sql() -> dict[str, str]:
             "round(np * a / (n * n), 6) AS k, "
             "round(sqrt(np * a / (n * n * pi())), 6) AS l "
             "FROM pr, st"
+        ),
+        # geodesic segmentize: ceil(k%5+2.5) = k%5+3 pieces; spherical
+        # length preserved (haversine closed form on a same-latitude edge)
+        "geog_segmentize": (
+            "WITH p AS (SELECT c_custkey, "
+            "  radians(CAST((c_custkey * 13) % 120 AS DOUBLE) - 60.0) AS la, "
+            "  radians(CAST(c_custkey % 11 + 1 AS DOUBLE)) AS dl "
+            "  FROM customer) "
+            "SELECT c_custkey, "
+            "CAST(c_custkey % 5 + 3 AS INTEGER) + 1 AS npts, "
+            "round(6371008.8 * 2 * asin(cos(la) * sin(dl / 2)) / 1000.0, 6) "
+            "  AS km "
+            "FROM p"
         ),
         # split/node laws: midline split keeps the full box area in 2
         # parts; a diagonal split by its crossing diagonal keeps the

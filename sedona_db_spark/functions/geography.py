@@ -520,3 +520,15 @@ def ST_Azimuth_Spherical(a: pd.Series, b: pd.Series) -> pd.Series:
     vals = [None if (x is None or y is None) else az(x, y)
             for x, y in zip(a, b)]
     return pd.Series(vals, dtype="float64")
+
+
+@pandas_udf(BinaryType())
+def ST_Segmentize_Spherical(s: pd.Series, max_m: pd.Series) -> pd.Series:
+    """Geodesic densification in meters (PostGIS geography
+    ST_Segmentize; geometry/sphere.segmentize_geography)."""
+    from ..geometry.sphere import segmentize_geography
+
+    return pd.Series(
+        [None if (v is None or m is None) else
+         wkb.encode(segmentize_geography(wkb.parse(bytes(v)), float(m)))
+         for v, m in zip(s, max_m)], dtype=object)

@@ -3115,6 +3115,7 @@ def _register_geography_udfs() -> None:
         "ST_Distance_Spherical": _geog.ST_Distance_Spherical,
         "ST_Buffer_Spherical": _geog.ST_Buffer_Spherical,
         "ST_Azimuth_Spherical": _geog.ST_Azimuth_Spherical,
+        "ST_Segmentize_Spherical": _geog.ST_Segmentize_Spherical,
     })
 
 

@@ -769,3 +769,40 @@ def buffer_geography(g: Geometry, dist_m: float, quad_segs: int = 8,
     flat = _map_coords(g, fwd)
     buf = _planar_buffer(flat, float(dist_m), quad_segs=quad_segs)
     return _map_coords(buf, inv)
+
+
+def segmentize_geography(g: Geometry, max_m: float,
+                         radius: float = EARTH_RADIUS_M) -> Geometry:
+    """Insert vertices along great circles so no edge exceeds ``max_m``
+    meters (PostGIS geography ST_Segmentize): each edge splits into
+    ceil(edge_m / max_m) equal-angle slerp pieces, so inserted vertices
+    lie EXACTLY on the geodesic (planar-degree densify bends off the
+    great circle at high latitude)."""
+    if max_m <= 0:
+        raise ValueError(f"max segment length must be > 0, got {max_m}")
+
+    def densify(arr: np.ndarray) -> np.ndarray:
+        if len(arr) < 2:
+            return arr.copy()
+        out = [arr[0, :2]]
+        xyz = to_xyz(arr[:, 0], arr[:, 1])
+        for i in range(len(arr) - 1):
+            a, b = xyz[i], xyz[i + 1]
+            ang = float(angle_between(a[None, :], b[None, :])[0])
+            pieces = max(1, int(math.ceil(ang * radius / max_m)))
+            for j in range(1, pieces):
+                out.append(to_lonlat(_slerp(a, b, j / pieces)[None, :])[0])
+            out.append(arr[i + 1, :2])
+        return np.asarray(out, dtype=np.float64)
+
+    def walk(geom: Geometry) -> Geometry:
+        t = geom.type_id
+        if t == POINT:
+            return geom
+        if t == LINESTRING:
+            return Geometry(t, densify(geom.coords))
+        if t == POLYGON:
+            return Geometry(t, [densify(r) for r in geom.coords])
+        return Geometry(t, [walk(s) for s in geom.coords])
+
+    return walk(g)

@@ -95,3 +95,26 @@ class TestSQL:
         # inscribed 32-gon runs (2pi/n)^2/6 ~ 0.64% below the cap
         assert row.a == pytest.approx(cap, rel=8e-3)
         assert row.a < cap
+
+
+class TestSegmentize:
+    def test_vertices_on_geodesic(self):
+        L = G("LINESTRING (0 60, 90 60)")
+        from sedona_db_spark.functions.geography import geog_length_m
+
+        D = geog_length_m(L)
+        out = sphere.segmentize_geography(L, D / 6.5)
+        assert len(out.coords) == 8        # ceil(6.5) = 7 pieces
+        pts = out.coords
+        d = sphere.points_to_geography_distance_m(pts[:, 0], pts[:, 1], L)
+        assert float(np.max(d)) < 1e-6
+        assert geog_length_m(out) == pytest.approx(D, rel=1e-12)
+
+    def test_short_edge_untouched(self):
+        L = G("LINESTRING (0 0, 0.001 0)")
+        out = sphere.segmentize_geography(L, 1e9)
+        assert len(out.coords) == 2
+
+    def test_bad_max_raises(self):
+        with pytest.raises(ValueError):
+            sphere.segmentize_geography(G("LINESTRING (0 0, 1 1)"), 0.0)
