@@ -1913,6 +1913,35 @@ def _q_geog_segmentize(spark, sf_dir):
     )
 
 
+def _q_st_line_crossing(spark, sf_dir):
+    """ST_LineCrossingDirection (round-4g): the crossing direction of a
+    vertical probe across a horizontal base flips with the probe's
+    travel direction — one CASE on the key."""
+    from sedona_db_spark.functions import st
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    x0 = ((k * 3) % 100).cast("double")
+    y0 = ((k * 11) % 80).cast("double")
+    w = (k % 7 + 1).cast("double")
+    up = (k % 2 == 0)
+    base = st.ST_GeomFromWKT(F.format_string(
+        "LINESTRING (%.6f %.6f, %.6f %.6f)", x0, y0, x0 + w, y0))
+    y_a = F.when(up, y0 - 1).otherwise(y0 + 1)
+    y_b = F.when(up, y0 + 1).otherwise(y0 - 1)
+    single = st.ST_GeomFromWKT(F.format_string(
+        "LINESTRING (%.6f %.6f, %.6f %.6f)",
+        x0 + w / 2, y_a, x0 + w / 2, y_b))
+    double = st.ST_GeomFromWKT(F.format_string(
+        "LINESTRING (%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f)",
+        x0 + w / 4, y_a, x0 + w / 4, y_b, x0 + w / 2, y_b, x0 + w / 2, y_a))
+    return c.select(
+        "c_custkey",
+        st.ST_LineCrossingDirection(base, single).alias("d1"),
+        st.ST_LineCrossingDirection(base, double).alias("d2"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -3262,6 +3291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_edges": _q_knn_graph_edges,
         "ripleys_k_customers": _q_ripleys_k,
         "geog_segmentize": _q_geog_segmentize,
+        "st_line_crossing": _q_st_line_crossing,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -4445,6 +4475,15 @@ def oracle_sql() -> dict[str, str]:
             "round(6371008.8 * 2 * asin(cos(la) * sin(dl / 2)) / 1000.0, 6) "
             "  AS km "
             "FROM p"
+        ),
+        # line-crossing direction: upward probe ends LEFT of the east-
+        # bound base (-1), downward ends right (+1); the out-and-back
+        # double crossing ends on the opposite side (+/-2)
+        "st_line_crossing": (
+            "SELECT c_custkey, "
+            "CASE WHEN c_custkey % 2 = 0 THEN -1 ELSE 1 END AS d1, "
+            "CASE WHEN c_custkey % 2 = 0 THEN 2 ELSE -2 END AS d2 "
+            "FROM customer"
         ),
         # split/node laws: midline split keeps the full box area in 2
         # parts; a diagonal split by its crossing diagonal keeps the

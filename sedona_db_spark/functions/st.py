@@ -1440,6 +1440,16 @@ def _st_memsize(s: pd.Series) -> pd.Series:
 _st_shiftlongitude = _make_geom_udf(lambda g: _normform().shift_longitude(g))
 _st_minimumclearance = _make_double_udf(
     lambda g: _normform().minimum_clearance(g))
+
+
+@pandas_udf(IntegerType())
+def _st_linecrossingdirection(a: pd.Series, b: pd.Series) -> pd.Series:
+    from ..geometry.lineops import line_crossing_direction as _lcd
+
+    return pd.Series(
+        [None if (x is None or y is None) else
+         _lcd(wkb.parse(bytes(x)), wkb.parse(bytes(y)))
+         for x, y in zip(a, b)], dtype="Int32")
 _st_minimumclearanceline = _make_geom_udf(
     lambda g: _normform().minimum_clearance(g, want_line=True))
 _st_ispolygoncw = _make_bool_udf(lambda g: _normform().is_polygon_cw(g))
@@ -2980,6 +2990,7 @@ _UDFS: Dict[str, object] = {
     "ST_CoordDim": _st_ndims,
     "ST_NRings": _st_nrings,
     "ST_MemSize": _st_memsize,
+    "ST_LineCrossingDirection": _st_linecrossingdirection,
     "ST_Shift_Longitude": _st_shiftlongitude,
     "ST_WrapX": _st_wrapx,
     # DP simplify without the topology guard is the same kernel here —

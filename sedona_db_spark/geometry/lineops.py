@@ -386,3 +386,51 @@ def line_merge(g: Optional[Geometry]) -> Optional[Geometry]:
         [Geometry(LINESTRING, m, g.has_z, g.has_m) for m in merged],
         g.has_z, g.has_m,
     )
+
+
+def line_crossing_direction(l1: Optional[Geometry],
+                            l2: Optional[Geometry]) -> Optional[int]:
+    """PostGIS ST_LineCrossingDirection value set over proper crossings
+    of ``l2`` across ``l1``:
+
+    * 0  — no crossing
+    * -1 / 1 — single crossing, l2 passes to the LEFT / RIGHT of l1's
+      direction of travel
+    * -2 / 2 — multiple crossings, LAST crossing left / right
+    * -3 / 3 — multiple crossings ending on the SAME side as the first
+
+    Touch-only contacts (l2 meets l1 without passing through) do not
+    count — the PostGIS rule.  Crossings are ordered along l1."""
+    if l1 is None or l2 is None:
+        return None
+    if l1.type_id != LINESTRING or l2.type_id != LINESTRING:
+        raise ValueError("ST_LineCrossingDirection expects two LINESTRINGs")
+    a, b = l1.coords[:, :2], l2.coords[:, :2]
+
+    def cross(o, p, q):
+        return (p[0] - o[0]) * (q[1] - o[1]) - (p[1] - o[1]) * (q[0] - o[0])
+
+    hits = []  # (position along l1, sign)
+    for i in range(len(a) - 1):
+        p0, p1 = a[i], a[i + 1]
+        for j in range(len(b) - 1):
+            q0, q1 = b[j], b[j + 1]
+            d1 = cross(p0, p1, q0)
+            d2 = cross(p0, p1, q1)
+            d3 = cross(q0, q1, p0)
+            d4 = cross(q0, q1, p1)
+            if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)) \
+                    and d1 != 0 and d2 != 0 and d3 != 0 and d4 != 0:
+                # proper crossing; parametric position along l1's segment
+                t = d3 / (d3 - d4)
+                # l2 ends up on the side of sign(d2): d2 > 0 => q1 left
+                hits.append((i + t, -1 if d2 > 0 else 1))
+    if not hits:
+        return 0
+    hits.sort(key=lambda h: h[0])
+    if len(hits) == 1:
+        return hits[0][1]
+    first, last = hits[0][1], hits[-1][1]
+    if first == last:
+        return 3 if last > 0 else -3
+    return 2 if last > 0 else -2
