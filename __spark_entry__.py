@@ -1942,6 +1942,36 @@ def _q_st_line_crossing(spark, sf_dir):
     )
 
 
+def _q_rs_slope_stats(spark, sf_dir):
+    """Horn slope (round-4g RS_Slope): on a planar ramp z = a*col + b*row
+    the interior slope is exactly atan(hypot(a, b)) and the four corners
+    (edge replication halves BOTH gradients there) give atan(hypot(a/2,
+    b/2)) — vmax/vmin of the slope band are closed form."""
+    import pandas as _pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from sedona_db_spark import raster as R
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    rows = []
+    for r in n:
+        k = int(r["n_nationkey"])
+        a, b = float(k % 4 + 1), float(k % 3 + 1)
+        arr = np.add.outer(b * np.arange(6), a * np.arange(8))
+        rows.append({"n_nationkey": k, "raster": R.make_raster_row(
+            8, 6, 0.0, 6.0, 1.0, -1.0, [arr])})
+    schema = StructType([StructField("n_nationkey", LongType()),
+                         StructField("raster", R.RASTER_TYPE)])
+    df = spark.createDataFrame(_pd.DataFrame(rows), schema)
+    out = df.withColumn("slope", R.RS_Slope("raster")).withColumn(
+        "st", R.RS_BandStats("raster", data_col="slope"))
+    return out.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        F.round(F.col("st.vmax"), 9).alias("smax"),
+        F.round(F.col("st.vmin"), 9).alias("smin"),
+    )
+
+
 def _q_sql_sjoin_chain(spark, sf_dir):
     """3-table SQL spatial-join CHAIN folded left-to-right through
     repeated spatial_join calls by the SQL pre-planner (round-4; the
@@ -3292,6 +3322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripleys_k_customers": _q_ripleys_k,
         "geog_segmentize": _q_geog_segmentize,
         "st_line_crossing": _q_st_line_crossing,
+        "rs_slope_stats": _q_rs_slope_stats,
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
@@ -4484,6 +4515,20 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN c_custkey % 2 = 0 THEN -1 ELSE 1 END AS d1, "
             "CASE WHEN c_custkey % 2 = 0 THEN 2 ELSE -2 END AS d2 "
             "FROM customer"
+        ),
+        # Horn slope on a planar ramp: interior atan(hypot(a, b)),
+        # replicated-edge corners atan(hypot(a/2, b/2))
+        "rs_slope_stats": (
+            "SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, "
+            "round(degrees(atan(sqrt("
+            "  CAST(n_nationkey % 4 + 1 AS DOUBLE) * (n_nationkey % 4 + 1) "
+            "+ CAST(n_nationkey % 3 + 1 AS DOUBLE) * (n_nationkey % 3 + 1)"
+            "))), 9) AS smax, "
+            "round(degrees(atan(sqrt("
+            "  CAST(n_nationkey % 4 + 1 AS DOUBLE) * (n_nationkey % 4 + 1) / 4.0 "
+            "+ CAST(n_nationkey % 3 + 1 AS DOUBLE) * (n_nationkey % 3 + 1) / 4.0"
+            "))), 9) AS smin "
+            "FROM nation"
         ),
         # split/node laws: midline split keeps the full box area in 2
         # parts; a diagonal split by its crossing diagonal keeps the

@@ -27,6 +27,7 @@ is exactly how a 100 TB tile archive wants to run.
 
 from __future__ import annotations
 
+import math
 import struct as _struct
 from typing import Iterator, List, Optional
 
@@ -445,3 +446,76 @@ def synthesize_world_tiles(spark: SparkSession, tiles_x: int = 16, tiles_y: int 
                 yield pd.DataFrame(rows)
 
     return base.mapInPandas(gen, out_schema)
+
+
+def RS_Slope(raster_col: str, band: int = 1, z_factor: float = 1.0) -> F.Column:
+    """Slope in DEGREES via Horn's method (Horn 1981 — the GDAL/Esri
+    standard 3x3 kernel): per tile, dz/dx and dz/dy from the 8 neighbors
+    with edge replication, slope = atan(z * sqrt(gx^2 + gy^2)).  Gradients
+    use the raster's scale_x/scale_y as the ground distances (one numpy
+    pass per tile — no per-pixel Python).  Border pixels use edge
+    replication (the GDAL default), which DAMPS the border gradient —
+    a planar ramp is exact on the interior only (the oracle law)."""
+    meta = F.col(f"{raster_col}.metadata")
+    bd = F.element_at(F.col(f"{raster_col}.bands"), band)
+
+    @F.pandas_udf(BinaryType())
+    def slope(data: pd.Series, dc: pd.Series, w: pd.Series, h: pd.Series,
+              sx: pd.Series, sy: pd.Series) -> pd.Series:
+        out = []
+        for buf, c, ww, hh, dx, dy in zip(data, dc, w, h, sx, sy):
+            if buf is None:
+                out.append(None)
+                continue
+            ww, hh = int(ww), int(hh)
+            a = bytes_to_band(bytes(buf), ww, hh, int(c)).astype(np.float64)
+            p = np.pad(a, 1, mode="edge")
+            # Horn 1981 weights (same as GDAL gdaldem slope)
+            gx = ((p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
+                  - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2]))                 / (8.0 * abs(float(dx)))
+            gy = ((p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:])
+                  - (p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:]))                 / (8.0 * abs(float(dy)))
+            s = np.degrees(np.arctan(
+                float(z_factor) * np.hypot(gx, gy)))
+            out.append(band_to_bytes(s, BAND_FLOAT64))
+        return pd.Series(out, dtype=object)
+
+    return slope(bd["data"], bd["metadata"]["datatype"], meta["width"],
+                 meta["height"], meta["scale_x"], meta["scale_y"])
+
+
+def RS_Hillshade(raster_col: str, band: int = 1, azimuth: float = 315.0,
+                 altitude: float = 45.0, z_factor: float = 1.0) -> F.Column:
+    """Hillshade 0..255 (the GDAL gdaldem formula): Horn gradients ->
+    illumination = cos(zenith) cos(slope) + sin(zenith) sin(slope)
+    cos(azimuth - aspect), clamped at 0, scaled to 255."""
+    meta = F.col(f"{raster_col}.metadata")
+    bd = F.element_at(F.col(f"{raster_col}.bands"), band)
+    az = math.radians((360.0 - azimuth + 90.0) % 360.0)
+    zen = math.radians(90.0 - altitude)
+
+    @F.pandas_udf(BinaryType())
+    def shade(data: pd.Series, dc: pd.Series, w: pd.Series, h: pd.Series,
+              sx: pd.Series, sy: pd.Series) -> pd.Series:
+        out = []
+        for buf, c, ww, hh, dx, dy in zip(data, dc, w, h, sx, sy):
+            if buf is None:
+                out.append(None)
+                continue
+            ww, hh = int(ww), int(hh)
+            a = bytes_to_band(bytes(buf), ww, hh, int(c)).astype(np.float64)
+            p = np.pad(a, 1, mode="edge")
+            gx = ((p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
+                  - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2]))                 / (8.0 * abs(float(dx)))
+            gy = ((p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:])
+                  - (p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:]))                 / (8.0 * abs(float(dy)))
+            slope = np.arctan(float(z_factor) * np.hypot(gx, gy))
+            aspect = np.arctan2(gy, -gx)   # ESRI/GDAL: atan2(dz/dy, -dz/dx)
+            lum = (math.cos(zen) * np.cos(slope)
+                   + math.sin(zen) * np.sin(slope) * np.cos(az - aspect))
+            out.append(band_to_bytes(np.clip(lum, 0, 1) * 255.0,
+                                     BAND_FLOAT64))
+        return pd.Series(out, dtype=object)
+
+    return shade(bd["data"], bd["metadata"]["datatype"], meta["width"],
+                 meta["height"], meta["scale_x"], meta["scale_y"])

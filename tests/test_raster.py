@@ -190,3 +190,74 @@ def test_resample_uneven_raises(spark):
     tiles = synthesize_world_tiles(spark, 2, 1, tile_px=8)
     with _pytest.raises(Exception, match="does not divide"):
         tiles.withColumn("ds", RS_Resample("raster", 3)).collect()
+
+
+def test_slope_planar_ramp(spark):
+    """Horn slope of z = 2x + 3y on a unit grid is atan(sqrt(13))
+    everywhere — including edges, thanks to edge replication."""
+    import math
+
+    w, h = 8, 6
+    arr = np.add.outer(3.0 * np.arange(h), 2.0 * np.arange(w))
+    df = spark.createDataFrame(
+        [(0, R.make_raster_row(w, h, 0.0, float(h), 1.0, -1.0, [arr]))],
+        R.StructType([R.StructField("tile_id", R.LongType()),
+                      R.StructField("raster", R.RASTER_TYPE)]))
+    buf = df.select(R.RS_Slope("raster").alias("s")).collect()[0]["s"]
+    s = R.bytes_to_band(bytes(buf), w, h, R.BAND_FLOAT64)
+    want = math.degrees(math.atan(math.hypot(2.0, 3.0)))
+    # interior exact; borders are damped by edge replication (GDAL-style)
+    assert np.allclose(s[1:-1, 1:-1], want)
+    assert np.all(s <= want + 1e-9)
+
+
+def test_slope_flat_zero_and_zfactor(spark):
+    w, h = 4, 4
+    flat = np.full((h, w), 7.0)
+    ramp = np.add.outer(0.0 * np.arange(h), 1.0 * np.arange(w))
+    df = spark.createDataFrame(
+        [(0, R.make_raster_row(w, h, 0.0, 4.0, 1.0, -1.0, [flat])),
+         (1, R.make_raster_row(w, h, 0.0, 4.0, 1.0, -1.0, [ramp]))],
+        R.StructType([R.StructField("tile_id", R.LongType()),
+                      R.StructField("raster", R.RASTER_TYPE)]))
+    rows = {r["tile_id"]: R.bytes_to_band(bytes(r["s"]), w, h, R.BAND_FLOAT64)
+            for r in df.select("tile_id",
+                               R.RS_Slope("raster", z_factor=2.0).alias("s"))
+            .collect()}
+    assert np.allclose(rows[0], 0.0)
+    import math
+    assert np.allclose(rows[1][1:-1, 1:-1], math.degrees(math.atan(2.0)))
+
+
+def test_hillshade_flat_is_sin_altitude(spark):
+    """A flat surface shades to 255*sin(altitude) regardless of azimuth."""
+    import math
+
+    w, h = 5, 5
+    flat = np.zeros((h, w))
+    df = spark.createDataFrame(
+        [(0, R.make_raster_row(w, h, 0.0, 5.0, 1.0, -1.0, [flat]))],
+        R.StructType([R.StructField("tile_id", R.LongType()),
+                      R.StructField("raster", R.RASTER_TYPE)]))
+    buf = df.select(R.RS_Hillshade("raster", altitude=37.0).alias("s")) \
+        .collect()[0]["s"]
+    s = R.bytes_to_band(bytes(buf), w, h, R.BAND_FLOAT64)
+    assert np.allclose(s, 255.0 * math.sin(math.radians(37.0)))
+
+
+def test_hillshade_sun_facing_brighter(spark):
+    """A west-facing ramp lit from the west outshines one lit from the
+    east (azimuth sensitivity)."""
+    w, h = 6, 6
+    ramp = np.add.outer(0.0 * np.arange(h), 2.0 * np.arange(w))  # rises east
+    df = spark.createDataFrame(
+        [(0, R.make_raster_row(w, h, 0.0, 6.0, 1.0, -1.0, [ramp]))],
+        R.StructType([R.StructField("tile_id", R.LongType()),
+                      R.StructField("raster", R.RASTER_TYPE)]))
+    west = R.bytes_to_band(bytes(df.select(
+        R.RS_Hillshade("raster", azimuth=270.0).alias("s"))
+        .collect()[0]["s"]), w, h, R.BAND_FLOAT64)
+    east = R.bytes_to_band(bytes(df.select(
+        R.RS_Hillshade("raster", azimuth=90.0).alias("s"))
+        .collect()[0]["s"]), w, h, R.BAND_FLOAT64)
+    assert west.mean() > east.mean()
