@@ -209,7 +209,17 @@ def ripleys_k(
     candidate pairs (operators/spatial_join.py grid prefilter — never the
     n^2 product), each pair's distance bins into every radius it fits
     via one map-side explode, and one groupBy sums the counts.  ``area``
-    defaults to the bounding-box area of the pattern (one agg)."""
+    defaults to the bounding-box area of the pattern (one agg).
+
+    Self-pair exclusion is CONTENT-DERIVED (no monotonically_increasing_id,
+    which is recomputation-dependent — a task retry or AQE re-plan over a
+    non-deterministic upstream could silently corrupt pair exclusion; see
+    knn_join.py for the same rule): the pattern collapses to distinct
+    (x, y) locations with a multiplicity count, a cross-location pair
+    contributes mult_u * mult_v ordered pairs, and the coincident pair of
+    a location with itself contributes mult * (mult - 1) — exactly the
+    ordered-pairs-of-distinct-rows estimator, deterministic under any
+    recomputation, and the self-join shrinks on duplicate-heavy patterns."""
     from ..geometry import wkb as _wkb
     from .spatial_join import spatial_join
 
@@ -231,19 +241,22 @@ def ripleys_k(
             np.asarray(xs, dtype=np.float64),
             np.asarray(ys, dtype=np.float64))), dtype=object)
 
-    L = pts.withColumn("geom", mkpt("x", "y")).withColumn(
-        "_rid", F.monotonically_increasing_id())
+    locs = pts.groupBy("x", "y").agg(F.count(F.lit(1)).alias("_mult"))
+    L = locs.withColumn("geom", mkpt("x", "y"))
     R = L.select(F.col("x").alias("x2"), F.col("y").alias("y2"),
-                 F.col("geom").alias("geom2"), F.col("_rid").alias("_rid2"))
+                 F.col("_mult").alias("_mult2"), F.col("geom").alias("geom2"))
     pairs = spatial_join(
         L, R, "dwithin", left_geom="geom", right_geom="geom2",
         distance=r_max, grid_level=grid_level,
-    ).where(F.col("_rid") != F.col("_rid2"))
+    )
+    same = (F.col("x") == F.col("x2")) & (F.col("y") == F.col("y2"))
+    w = F.when(same, F.col("_mult") * (F.col("_mult") - 1)).otherwise(
+        F.col("_mult") * F.col("_mult2"))
     d = F.sqrt((F.col("x") - F.col("x2")) ** 2 + (F.col("y") - F.col("y2")) ** 2)
     rs = F.array(*[F.lit(float(r)) for r in sorted(radii)])
     binned = pairs.select(
-        F.explode(F.filter(rs, lambda r: d <= r)).alias("r"))
-    out = binned.groupBy("r").agg(F.count("*").alias("n_pairs"))
+        w.alias("_w"), F.explode(F.filter(rs, lambda r: d <= r)).alias("r"))
+    out = binned.groupBy("r").agg(F.sum("_w").alias("n_pairs"))
     return out.select(
         "r",
         F.col("n_pairs").cast("long").alias("n_pairs"),

@@ -111,6 +111,15 @@ def as_mvt_geom(g: Optional[Geometry], bounds: Tuple[float, float, float, float]
                     if not np.all(c[0] == c[-1]):
                         c = np.vstack([c, c[:1]])
                     if len(c) >= 4:
+                        # MVT 2.1 §4.3.4.4: winding is defined on the TILE
+                        # coordinates (post y-flip) by the surveyor's formula —
+                        # exterior rings positive area, interior negative.  The
+                        # y-flip mirrored every ring, so reorient here (PostGIS
+                        # mvt.c applies the same force after quantization).
+                        a = _shoelace2(c)
+                        want_positive = len(rings) == 0
+                        if (a < 0) == want_positive:
+                            c = c[::-1]
                         rings.append(c)
             if not rings:
                 return None
@@ -122,6 +131,12 @@ def as_mvt_geom(g: Optional[Geometry], bounds: Tuple[float, float, float, float]
         return Geometry(t, parts)
 
     return walk(g)
+
+
+def _shoelace2(c: np.ndarray) -> float:
+    """Twice the signed shoelace area of a closed ring (tile coords)."""
+    x, y = c[:, 0], c[:, 1]
+    return float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
 
 
 def _clip_lines_to_box(g: Geometry, x0, y0, x1, y1) -> Optional[Geometry]:

@@ -144,9 +144,12 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     yield pd.DataFrame(
                         {
                             "url": [r[0] for r in rows],
+                            # keep tz-aware UTC: Arrow carries the zone, so
+                            # the instant survives any session timeZone (a
+                            # naive series would be re-read as session-local)
                             "warc_ts": pd.to_datetime(
                                 [r[1] for r in rows], utc=True
-                            ).tz_localize(None),
+                            ),
                             "html": [r[2] for r in rows],
                         }
                     )
@@ -155,17 +158,29 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_warc(df: DataFrame, directory: str, compress: bool = True) -> int:
-    """Distributed WARC export of a pages-shaped frame: each input
-    partition writes one ``part-NNNNN.warc[.gz]`` file (deterministic
-    names from the partition id; re-runs overwrite in place). Returns the
-    number of files written."""
+    """WARC export of a pages-shaped frame: each input partition writes
+    one ``part-NNNNN.warc[.gz]`` file (deterministic names from the
+    partition id; re-runs overwrite in place). Returns the number of
+    files written.
+
+    Filesystem contract: tasks ``open()`` on the EXECUTOR's local
+    filesystem, so ``directory`` must be a path every executor can write
+    and the caller can read — local mode, or a shared mount (NFS / fuse)
+    on a cluster.  There is no executor-side Hadoop FileSystem bridge
+    from Python workers, so object-store targets should go through the
+    parquet/Iceberg writers instead; this export exists for WARC
+    wire-format interchange.
+
+    WARC-Date is formatted from the raw UTC instant (``unix_micros``),
+    never from the session-timezone rendering, so the ``Z`` suffix is
+    correct in any ``spark.sql.session.timeZone``."""
     import os
 
     os.makedirs(directory, exist_ok=True)
     ext = "warc.gz" if compress else "warc"
     src = df.select(
         "url",
-        F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_iso"),
+        F.unix_micros(F.col("warc_ts")).alias("ts_us"),
         "html",
     )
 
@@ -176,7 +191,9 @@ def write_warc(df: DataFrame, directory: str, compress: bool = True) -> int:
         path = os.path.join(directory, f"part-{pid:05d}.{ext}")
         recs: List[Tuple[str, str, bytes]] = []
         for b in batches:
-            for url, ts_iso, html in zip(b["url"], b["ts_iso"], b["html"]):
+            iso = pd.to_datetime(b["ts_us"], unit="us", utc=True).dt.strftime(
+                "%Y-%m-%dT%H:%M:%SZ")
+            for url, ts_iso, html in zip(b["url"], iso, b["html"]):
                 recs.append((str(url), str(ts_iso), bytes(html)))
         wrote = write_warc_file(recs, path, compress=compress) if recs else 0
         yield pd.DataFrame({"path": [path], "records": [wrote]})

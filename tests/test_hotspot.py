@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from sedona_db_spark.operators.hotspot import getis_ord_gstar
 
@@ -156,6 +157,29 @@ class TestRipleysK:
             n_pairs = int((d <= r).sum())
             assert out[r][0] == n_pairs
             assert out[r][1] == pytest.approx(n_pairs * A / 300 ** 2)
+
+    def test_duplicate_points_and_recompute_stability(self, spark):
+        # Duplicate coordinates: pair counting must treat coincident rows
+        # as distinct points (cu*(cu-1) self-location ordered pairs) — and
+        # the plan must be deterministic under recomputation even off a
+        # NON-DETERMINISTIC unpersisted upstream (the old
+        # monotonically_increasing_id exclusion was not).
+        from sedona_db_spark.operators.hotspot import ripleys_k
+
+        rng = np.random.RandomState(7)
+        base = rng.uniform(0, 50, (120, 2)).round(0)  # rounding forces dups
+        rows = [(float(x), float(y)) for x, y in base]
+        df = (spark.createDataFrame(rows, "x double, y double")
+              .where(F.rand(seed=11) >= -1.0))  # non-deterministic lineage
+        out = ripleys_k(df, radii=(3.0, 8.0), area=50.0 * 50.0)
+        got1 = {r.r: r.n_pairs for r in out.collect()}
+        got2 = {r.r: r.n_pairs for r in out.collect()}  # re-evaluate lineage
+        assert got1 == got2
+        pts = np.array(rows)
+        d = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+        np.fill_diagonal(d, np.inf)
+        for r in (3.0, 8.0):
+            assert got1[r] == int((d <= r).sum())
 
     def test_clustered_beats_csr(self, spark):
         from sedona_db_spark.operators.hotspot import ripleys_k

@@ -112,6 +112,28 @@ def walk_path(cmds):
     return runs
 
 
+def rings_from_cmds(cmds):
+    """Group decoded runs into closed rings (MVT polygon semantics)."""
+    runs = walk_path(cmds)
+    rings, cur = [], []
+    for op, pts in runs:
+        if op == "move":
+            cur = list(pts)
+        elif op == "line":
+            cur.extend(pts)
+        else:  # close
+            rings.append(cur + cur[:1])
+            cur = []
+    return rings
+
+
+def shoelace(pts):
+    s = 0
+    for (x0, y0), (x1, y1) in zip(pts[:-1], pts[1:]):
+        s += x0 * y1 - x1 * y0
+    return s / 2.0
+
+
 BOUNDS = (0.0, 0.0, 10.0, 10.0)
 
 
@@ -156,6 +178,30 @@ class TestLayerBytes:
         assert runs[0][0] == "move" and runs[-1][0] == "close"
         pts = runs[0][1] + runs[1][1]
         assert (0, 4096) in pts and (4096, 0) in pts
+
+    def test_polygon_winding_spec(self):
+        # MVT 2.1 §4.3.4.4: in tile coords the exterior ring must have
+        # POSITIVE surveyor's-formula area, interior rings NEGATIVE —
+        # compliant decoders (Mapbox GL, tippecanoe) classify rings by sign.
+        g = mvt.as_mvt_geom(
+            G("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+              " (4 4, 6 4, 6 6, 4 6, 4 4))"), BOUNDS)
+        buf = mvt.mvt_layer_bytes("w", [(1, g)])
+        rings = rings_from_cmds(decode_tile(buf)[0]["features"][0]["cmds"])
+        assert len(rings) == 2
+        assert shoelace(rings[0]) > 0
+        assert shoelace(rings[1]) < 0
+
+    def test_multipolygon_winding_spec(self):
+        g = mvt.as_mvt_geom(
+            G("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0),"
+              "  (1 1, 2 1, 2 2, 1 2, 1 1)),"
+              " ((6 6, 9 6, 9 9, 6 9, 6 6)))"), BOUNDS)
+        buf = mvt.mvt_layer_bytes("w", [(1, g)])
+        rings = rings_from_cmds(decode_tile(buf)[0]["features"][0]["cmds"])
+        signs = [1 if shoelace(r) > 0 else -1 for r in rings]
+        # positive ring starts a new polygon: shell, hole, shell
+        assert signs == [1, -1, 1]
 
     def test_roundtrip_multipoint_and_line(self):
         p = mvt.as_mvt_geom(G("MULTIPOINT ((1 1), (2 2))"), BOUNDS)

@@ -65,6 +65,23 @@ def test_distributed_roundtrip_byte_identity(spark, tmp_path):
         assert P.extract_text_bytes(html).decode("utf-8") == texts[url]
 
 
+def test_roundtrip_in_non_utc_session_timezone(spark, tmp_path):
+    # WARC-Date carries a hardcoded 'Z': the writer must format the UTC
+    # instant regardless of spark.sql.session.timeZone, or the timestamp
+    # shifts by the session offset on round-trip.
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        pages = P.synthesize_pages(spark, 20, seed=9, partitions=1).cache()
+        out = str(tmp_path / "tz")
+        W.write_warc(pages, out, compress=True)
+        a = {r.url: r.warc_ts for r in pages.collect()}
+        b = {r.url: r.warc_ts for r in W.read_warc(spark, out).collect()}
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_plain_warc_roundtrip(spark, tmp_path):
     pages = P.synthesize_pages(spark, 50, seed=3, partitions=1)
     out = str(tmp_path / "plain")
