@@ -757,6 +757,43 @@ def _q_sql_sjoin_within(spark, sf_dir):
     )
 
 
+def _q_sql_sjoin_exists(spark, sf_dir):
+    """SQL-surface correlated spatial EXISTS: planned as a LEFT-SEMI
+    two-phase spatial join by plans/sql_planner.py:_plan_exists (round-5;
+    DataFusion decorrelates EXISTS into the semi joins the reference's
+    optimizer.rs rules then match). Inner-only conjunct pre-filters the
+    build side."""
+    import sedona_db_spark as sd
+
+    con = sd.connect(spark)
+    _cust_pts(spark, sf_dir).select("c_custkey", "geom").createOrReplaceTempView(
+        "__cust_ex_sql")
+    _nation_boxes(spark, sf_dir).select("n_nationkey", "geom").createOrReplaceTempView(
+        "__nation_ex_sql")
+    return con.sql(
+        "SELECT c.c_custkey AS c_custkey FROM __cust_ex_sql c WHERE EXISTS ("
+        " SELECT 1 FROM __nation_ex_sql n "
+        " WHERE ST_Within(c.geom, n.geom) AND n.n_nationkey < 10) "
+        "ORDER BY c_custkey")
+
+
+def _q_sql_sjoin_anti(spark, sf_dir):
+    """SQL-surface NOT EXISTS over a spatial predicate: planned as a
+    LEFT-ANTI two-phase spatial join (round-5, VERDICT r4 next #7)."""
+    import sedona_db_spark as sd
+
+    con = sd.connect(spark)
+    _cust_pts(spark, sf_dir).select("c_custkey", "geom").createOrReplaceTempView(
+        "__cust_ex_sql")
+    _nation_boxes(spark, sf_dir).select("n_nationkey", "geom").createOrReplaceTempView(
+        "__nation_ex_sql")
+    return con.sql(
+        "SELECT c.c_custkey AS c_custkey FROM __cust_ex_sql c WHERE NOT EXISTS ("
+        " SELECT 1 FROM __nation_ex_sql n "
+        " WHERE ST_Within(c.geom, n.geom) AND n.n_nationkey < 10) "
+        "ORDER BY c_custkey")
+
+
 def _q_knn_rect_spheroid_k3(spark, sf_dir):
     """Spheroid kNN with a RECT build side (round-2 VERDICT item 9): 3
     nearest nation boxes per customer by exact spherical point->lat/lon-
@@ -3268,6 +3305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geography_area": _q_geography_area,
         "knn_geog_k3": _q_knn_geog_k3,
         "sql_sjoin_within": _q_sql_sjoin_within,
+        "sql_sjoin_exists": _q_sql_sjoin_exists,
+        "sql_sjoin_anti": _q_sql_sjoin_anti,
         "geog_centroid_nation": _q_geog_centroid_nation,
         "geog_maxdist": _q_geog_maxdist,
         "knn_rect_spheroid_k3": _q_knn_rect_spheroid_k3,
@@ -3925,6 +3964,18 @@ def oracle_sql() -> dict[str, str]:
             f"FROM customer c JOIN nation n ON {_CX} > {_NX0} AND {_CX} < {_NX0} + 72.0 "
             f"AND {_CY} > {_NY0} AND {_CY} < {_NY0} + 36.0 "
             f"GROUP BY 1 ORDER BY 1"
+        ),
+        "sql_sjoin_exists": (
+            f"SELECT c_custkey FROM customer c WHERE EXISTS ("
+            f" SELECT 1 FROM nation n WHERE {_CX} > {_NX0} AND {_CX} < {_NX0} + 72.0 "
+            f" AND {_CY} > {_NY0} AND {_CY} < {_NY0} + 36.0 AND n_nationkey < 10) "
+            f"ORDER BY c_custkey"
+        ),
+        "sql_sjoin_anti": (
+            f"SELECT c_custkey FROM customer c WHERE NOT EXISTS ("
+            f" SELECT 1 FROM nation n WHERE {_CX} > {_NX0} AND {_CX} < {_NX0} + 72.0 "
+            f" AND {_CY} > {_NY0} AND {_CY} < {_NY0} + 36.0 AND n_nationkey < 10) "
+            f"ORDER BY c_custkey"
         ),
         "geog_centroid_nation": (
             f"SELECT c_nationkey, "

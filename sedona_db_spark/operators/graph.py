@@ -11,7 +11,9 @@ pure DataFrame ops:
 * one shuffle per iteration (``groupBy(dst)`` over the contribution
   join); the edge set is re-used every round, so persist it once,
 * dangling mass (nodes with no out-links) is folded back uniformly via
-  a ONE-ROW aggregate crossJoin — no driver collect in the loop,
+  a ONE-ROW aggregate crossJoin — no driver collect in the loop; the
+  dangling-node set is static, so it is resolved ONCE into a per-node
+  flag before the loop (no per-iteration anti-join),
 * each iteration ends in an eager ``localCheckpoint`` so the plan stays
   constant-size across rounds (the same discipline as
   operators/components.py — a naive loop builds an exponentially
@@ -74,12 +76,26 @@ def pagerank(
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     e = e.persist()
 
-    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
+    # The dangling-node SET is static — resolve it ONCE into a per-node
+    # boolean before the loop (the anti-join used to re-run every
+    # iteration: one avoidable exchange × K). The flag rides along in the
+    # rank state, so per-iteration dangling mass is a filter + one-row agg.
+    tagged = (
+        nodes.join(
+            outdeg.select(F.col("s").alias("node"),
+                          F.lit(True).alias("_hasout")),
+            "node", "left")
+        .select("node", F.coalesce("_hasout", F.lit(False)).alias("_hasout"))
+        .persist()
+    )
+
+    ranks = tagged.select("node", "_hasout",
+                          (F.lit(1.0) / F.lit(float(n))).alias("rank"))
     base = (1.0 - damping) / float(n)
     for _ in range(iterations):
         # contribution of every edge: rank(src)/outdeg(src), summed by dst
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "s"), "s")
+            e.join(ranks.withColumnRenamed("node", "s").drop("_hasout"), "s")
             .join(outdeg, "s")
             .select(F.col("d").alias("node"),
                     (F.col("rank") / F.col("outdeg")).alias("c"))
@@ -88,24 +104,24 @@ def pagerank(
         )
         # dangling mass: rank held by nodes with no out-edges, folded
         # back uniformly. One-row aggregate, broadcast crossJoin — the
-        # loop plan contains no driver round-trip.
+        # loop plan contains no driver round-trip and no join to find it.
         dangling = (
-            ranks.join(outdeg.select(F.col("s").alias("node")), "node",
-                       "left_anti")
+            ranks.where(~F.col("_hasout"))
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            tagged.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "_hasout",
                 (F.lit(base)
                  + F.lit(damping)
                  * (F.coalesce(F.col("csum"), F.lit(0.0))
                     + F.col("dang") / F.lit(float(n)))).alias("rank"),
             )
         ).localCheckpoint()
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def domain_link_graph(docs: DataFrame, source_col: str = "source",

@@ -17,12 +17,21 @@ exactly the users the ``connect()`` front-end invites (round-2 VERDICT,
 Catalyst has no public Python hook for logical-plan rewrite rules, so this
 module intercepts at the SQL *text* layer inside ``SedonaContext.sql()``:
 
-1. pattern-match the FROM clause for either
-     ``FROM t1 [a] [INNER|LEFT|RIGHT] JOIN t2 [b] ON <cond>``          or
-     ``FROM t1 [a], t2 [b] WHERE <cond>``  (filter-over-crossjoin form)
+1. pattern-match the FROM clause for one of
+     ``FROM t1 [a] [INNER|LEFT|RIGHT|FULL] JOIN t2 [b] ON <cond>``,
+     ``FROM t1 [a], t2 [b] WHERE <cond>``  (filter-over-crossjoin form),
+     a multi-JOIN chain (folded left-to-right through repeated
+     spatial_join calls, ``_plan_join_chain``), a subquery in FROM/JOIN
+     position (lifted into a temp view and re-planned,
+     ``_lift_from_subqueries``), or a correlated spatial
+     ``[NOT] EXISTS(SELECT ... WHERE ST_Pred(a.g, b.g))`` filter
+     (planned as a left-semi / left-anti spatial join, ``_plan_exists``);
 2. split ``<cond>`` into top-level AND conjuncts and find exactly one
    spatial conjunct: ``ST_<Pred>(g1, g2)``, ``ST_DWithin(g1, g2, d)``,
-   ``ST_Distance(g1, g2) < d`` or ``ST_KNN(g1, g2, k[, use_spheroid])``;
+   ``ST_Distance(g1, g2) < d``, ``ST_KNN(g1, g2, k[, use_spheroid])`` or
+   ``ST_CPAWithin(g1, g2, d)`` — or, for a single condition that is a
+   top-level OR of spatial predicates, rewrite to a branch-exclusive
+   UNION of spatial joins (``_plan_or_join``);
 3. execute the join through :func:`spatial_join` / :func:`knn_join`
    (two-phase tile prefilter + exact refine, broadcast byte-capped) with
    each side's columns renamed ``<alias>__<col>``;
@@ -30,12 +39,13 @@ module intercepts at the SQL *text* layer inside ``SedonaContext.sql()``:
    (SELECT list, residual conjuncts, GROUP BY, ORDER BY, LIMIT) through
    ``spark.sql`` with identifier references substituted.
 
-Queries that don't match (no spatial conjunct, subqueries in FROM,
-multi-joins, NOT-ed predicates, full-outer with residual conjuncts, …)
-return ``None`` and the caller falls back to vanilla ``spark.sql``;
-if the fallback *would* hit the cartesian-product trap we raise with
-guidance instead of silently taking the worst plan (see
-``_raise_if_cartesian_spatial``).
+Queries that still don't match (no spatial conjunct, NOT-ed spatial
+predicates inside a join condition, spatial predicates nested under
+OR-of-AND trees, full-outer with residual conjuncts, …) return ``None``
+and the caller falls back to vanilla ``spark.sql``; if the fallback
+*would* hit the cartesian-product trap the context warns with guidance
+instead of silently taking the worst plan
+(see ``spatial_joins_in_plain_sql`` and ``SedonaContext.sql``).
 """
 
 from __future__ import annotations
@@ -451,6 +461,15 @@ def plan_spatial_sql(spark: SparkSession, sql: str) -> Optional[DataFrame]:
         # spatial_join calls (reference: optimizer.rs:233-420 composes
         # SpatialJoinExec with arbitrary surrounding plans)
         return _plan_join_chain(spark, sql, masked)
+    if re.search(r"\bEXISTS\s*\(", masked, re.IGNORECASE):
+        # [NOT] EXISTS(SELECT ... WHERE ST_Pred(outer, inner)) → left-semi /
+        # left-anti spatial join (DataFusion decorrelates EXISTS into
+        # semi/anti joins that the reference's optimizer rules then match;
+        # vanilla Catalyst would run the decorrelated join as a
+        # BroadcastNestedLoopJoin over the opaque UDF — the cartesian trap)
+        planned = _plan_exists(spark, sql, masked)
+        if planned is not None:
+            return planned
 
     mj = _JOIN_RE.search(masked)
     mc = None if mj else _COMMA_RE.search(masked)
@@ -624,6 +643,216 @@ def plan_spatial_sql(spark: SparkSession, sql: str) -> Optional[DataFrame]:
             tail = f" WHERE {res} " + tail
     new_sql = f"{head} FROM {view} {tail}"
     sides = [(a1, cols1), (a2, cols2)]
+    new_sql = _substitute_idents(new_sql, sides)
+    new_sql = _alias_bare_select_items(new_sql, view, sides)
+    return spark.sql(new_sql)
+
+
+_EXISTS_OUTER_RE = re.compile(
+    rf"\bFROM\s+(?P<t1>{_TBL})(?:\s+(?:AS\s+)?(?P<a1>{_IDENT}))?\s+WHERE\b",
+    re.IGNORECASE,
+)
+
+_SQL_WORDS = {
+    "AND", "OR", "NOT", "IN", "IS", "NULL", "TRUE", "FALSE", "BETWEEN",
+    "LIKE", "CASE", "WHEN", "THEN", "ELSE", "END", "CAST", "AS", "EXISTS",
+    "SELECT", "FROM", "WHERE", "DISTINCT", "INTEGER", "BIGINT", "DOUBLE",
+    "STRING", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP", "INTERVAL",
+}
+
+
+def _refs_outer_table(masked: str, a1: str, cols1, a2: str, cols2) -> bool:
+    """True if a boolean expression references the OUTER table: qualified
+    ``a1.col``, or a bare identifier that is an outer column and not an
+    inner one.  Conservative (function names are skipped; unknown bare
+    identifiers count as outer so we fall back rather than mis-plan)."""
+    if re.search(_alias_re(a1), masked, re.IGNORECASE):
+        return True
+    for m in re.finditer(rf"\b({_IDENT})\b", masked):
+        w = m.group(1)
+        before = masked[:m.start()].rstrip()
+        after = masked[m.end():].lstrip()
+        if before.endswith("."):
+            continue  # qualified elsewhere (a2.col) — already checked a1.
+        if after.startswith("(") or after.startswith("."):
+            continue  # function call / qualifier
+        if w.upper() in _SQL_WORDS:
+            continue
+        if w.lower() == a2.lower():
+            continue
+        if w in cols2 and w not in cols1:
+            continue
+        return True
+    return False
+
+
+def _plan_exists(spark: SparkSession, sql: str, masked: str) -> Optional[DataFrame]:
+    """``SELECT ... FROM a WHERE [NOT] EXISTS (SELECT ... FROM b WHERE
+    ST_Pred(a.g, b.g) [AND inner-only conjuncts]) [AND residual] [tail]``
+    → two-phase spatial join with ``how='left_semi'`` / ``'left_anti'``.
+
+    Inner conjuncts other than the spatial one must reference ONLY the
+    inner table (they pre-filter the build side — same semantics under
+    EXISTS and NOT EXISTS); any correlated non-spatial conjunct falls
+    back to vanilla Catalyst.  Returns None when the shape doesn't match.
+    """
+    mo = _EXISTS_OUTER_RE.search(masked)
+    if mo is None:
+        return None
+    t1, a1 = mo.group("t1"), mo.group("a1")
+    if not _valid_alias(a1):
+        return None
+    a1 = a1 or t1.split(".")[-1]
+
+    cond_start = mo.end()
+    cond_end = _scan_balanced_expr(masked, cond_start)
+    cond_raw = sql[cond_start:cond_end]
+    cond_masked = masked[cond_start:cond_end]
+    conjuncts = _split_top_and(cond_masked, cond_raw)
+
+    exists_part, residual = None, []
+    for c in conjuncts:
+        cm = _mask_strings(c)
+        me = re.match(r"^\s*(NOT\s+)?EXISTS\s*\(", cm, re.IGNORECASE)
+        if me and exists_part is None:
+            exists_part = (c, cm, bool(me.group(1)), me)
+        else:
+            residual.append(c)
+    if exists_part is None:
+        return None
+    c, cm, negated, me = exists_part
+
+    open_at = cm.index("(", me.end() - 1)
+    depth, close_at = 0, -1
+    for i in range(open_at, len(cm)):
+        if cm[i] == "(":
+            depth += 1
+        elif cm[i] == ")":
+            depth -= 1
+            if depth == 0:
+                close_at = i
+                break
+    if close_at < 0 or c[close_at + 1:].strip():
+        return None
+    sub_raw, sub_masked = c[open_at + 1:close_at], cm[open_at + 1:close_at]
+
+    ms = re.match(
+        rf"^\s*SELECT\s+.*?\bFROM\s+(?P<t2>{_TBL})"
+        rf"(?:\s+(?:AS\s+)?(?P<a2>{_IDENT}))?\s+WHERE\b",
+        sub_masked, re.IGNORECASE | re.DOTALL)
+    if ms is None:
+        return None
+    t2, a2 = ms.group("t2"), ms.group("a2")
+    if not _valid_alias(a2):
+        return None
+    a2 = a2 or t2.split(".")[-1]
+    if a1.lower() == a2.lower():
+        return None
+    inner_raw = sub_raw[ms.end():]
+    inner_masked = sub_masked[ms.end():]
+    if _scan_balanced_expr(inner_masked, 0) != len(inner_masked):
+        return None  # GROUP BY / LIMIT etc. inside the subquery
+
+    spatial, inner_res = None, []
+    for ic in _split_top_and(inner_masked, inner_raw):
+        sc = _parse_spatial_conjunct(ic)
+        if sc is not None and spatial is None:
+            spatial = sc
+        else:
+            inner_res.append(ic)
+    if spatial is None or spatial.kind not in ("relation", "dwithin"):
+        return None
+
+    L, R = _table_df(spark, t1), _table_df(spark, t2)
+    if L is None or R is None:
+        return None
+    cols1, cols2 = L.columns, R.columns
+
+    r1, r2 = _geom_ref(spatial.g1), _geom_ref(spatial.g2)
+    if r1 is None or r2 is None:
+        return None
+    s1 = _resolve_side(r1, a1, cols1, a2, cols2)
+    s2 = _resolve_side(r2, a1, cols1, a2, cols2)
+    if s1 is None or s2 is None or s1 == s2:
+        return None
+    g_left = r1[1] if s1 == "L" else r2[1]
+    g_right = r2[1] if s2 == "R" else r1[1]
+    predicate = spatial.predicate
+    if s1 == "R":
+        predicate = _INVERT[predicate]
+
+    distance = None
+    if spatial.kind == "dwithin":
+        dt = spatial.dist_text.strip()
+        if not re.match(r"^[0-9]*\.?[0-9]+([eE][+-]?[0-9]+)?$", dt):
+            return None  # semi/anti dwithin needs a literal distance
+        distance = float(dt)
+
+    # inner-only residuals pre-filter the build side. Correlated
+    # NON-spatial residuals can't: raise with guidance instead of falling
+    # back, because vanilla Catalyst CANNOT run them either — it
+    # decorrelates EXISTS into a semi join and then rejects the spatial
+    # UDF conjunct with UNSUPPORTED_FEATURE.PYTHON_UDF_IN_ON_CLAUSE, a
+    # far more obscure error than this one.
+    for x in inner_res:
+        if _refs_outer_table(_mask_strings(x), a1, cols1, a2, cols2):
+            raise NotImplementedError(
+                "spatial EXISTS subquery with a correlated non-spatial "
+                f"conjunct ({x.strip()!r}) is not plannable: the spatial "
+                "planner can only pre-filter the inner table with "
+                "inner-only conjuncts, and vanilla Catalyst rejects "
+                "Python UDFs in a semi-join ON clause. Rewrite as an "
+                "inner spatial join + aggregation, or move the "
+                "correlated conjunct out of the subquery.")
+    if inner_res:
+        res_sql = " AND ".join(f"({x})" for x in inner_res)
+        R = spark.sql(f"SELECT {a2}.* FROM {t2} AS {a2} WHERE {res_sql}")
+
+    from ..types import get_geom_meta
+
+    l_edges = (get_geom_meta(L, g_left) or {}).get("edges", "planar")
+    r_edges = (get_geom_meta(R, g_right) or {}).get("edges", "planar")
+    if l_edges != r_edges:
+        raise ValueError(
+            f"spatial EXISTS mixes edges semantics: outer {g_left!r} is "
+            f"{l_edges}, inner {g_right!r} is {r_edges} — transform one side")
+    how = "left_anti" if negated else "left_semi"
+
+    Lp = L.select([F.col(cc).alias(f"{a1}__{cc}") for cc in cols1])
+    Rp = R.select([F.col(cc).alias(f"{a2}__{cc}") for cc in cols2])
+    if l_edges == "spherical":
+        if spatial.kind == "dwithin":
+            from ..operators.spatial_join import geography_dwithin_join
+
+            J = geography_dwithin_join(
+                Lp, Rp, distance_m=distance,
+                left_geom=f"{a1}__{g_left}", right_geom=f"{a2}__{g_right}",
+                how=how)
+        else:
+            from ..operators.spatial_join import geography_pip_join
+
+            J = geography_pip_join(
+                Lp, Rp, predicate=predicate,
+                left_geom=f"{a1}__{g_left}", right_geom=f"{a2}__{g_right}",
+                how=how)
+    else:
+        from ..operators.spatial_join import spatial_join
+
+        J = spatial_join(
+            Lp, Rp, predicate=predicate,
+            left_geom=f"{a1}__{g_left}", right_geom=f"{a2}__{g_right}",
+            how=how, distance=distance)
+
+    _view_counter[0] += 1
+    view = f"__sedona_exists_{_view_counter[0]}"
+    J.createOrReplaceTempView(view)
+
+    head = sql[:mo.start()]
+    tail = sql[cond_end:]
+    where = f" WHERE {' AND '.join(f'({r})' for r in residual)} " \
+        if residual else " "
+    new_sql = f"{head} FROM {view}{where}{tail}"
+    sides = [(a1, cols1)]
     new_sql = _substitute_idents(new_sql, sides)
     new_sql = _alias_bare_select_items(new_sql, view, sides)
     return spark.sql(new_sql)

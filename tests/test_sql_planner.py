@@ -418,3 +418,71 @@ def test_full_outer_spatial_join_sql(con, tables, spark):
     assert {p for p, b in rows if b is None} == l_unmatched
     assert {b for p, b in rows if p is None} == r_unmatched
     assert len(rows) == len(matched) + len(l_unmatched) + len(r_unmatched)
+
+
+class TestExistsSubquery:
+    """Round-5: [NOT] EXISTS(SELECT ... WHERE ST_Pred) plans as left-semi /
+    left-anti two-phase spatial joins (VERDICT r4 next #7)."""
+
+    def test_exists_semi_join(self, con, tables):
+        pts, admin = tables
+        df = con.sql(
+            "SELECT p.pid AS pid FROM pts_t p WHERE EXISTS ("
+            " SELECT 1 FROM admin_t a WHERE ST_Within(p.geom, a.geometry))")
+        got = {r["pid"] for r in df.collect()}
+        want = {p for p, _ in _expected_pairs(pts, admin)}
+        assert got == want
+        plan = _plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_not_exists_anti_join(self, con, tables):
+        pts, admin = tables
+        df = con.sql(
+            "SELECT p.pid AS pid FROM pts_t p WHERE NOT EXISTS ("
+            " SELECT 1 FROM admin_t a WHERE ST_Within(p.geom, a.geometry))")
+        got = {r["pid"] for r in df.collect()}
+        want = set(range(400)) - {p for p, _ in _expected_pairs(pts, admin)}
+        assert got == want
+        plan = _plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_inner_filter_and_outer_residual(self, con, tables):
+        pts, admin = tables
+        df = con.sql(
+            "SELECT count(*) AS cnt FROM pts_t p WHERE NOT EXISTS ("
+            " SELECT 1 FROM admin_t a "
+            " WHERE ST_Within(p.geom, a.geometry) AND a.bid < 10) "
+            "AND p.pid % 2 = 0")
+        matched = {p for p, b in _expected_pairs(pts, admin) if b < 10}
+        want = len([p for p in range(400) if p % 2 == 0 and p not in matched])
+        assert df.collect()[0]["cnt"] == want
+
+    def test_exists_argument_order_inverts(self, con, tables):
+        pts, admin = tables
+        df = con.sql(
+            "SELECT p.pid AS pid FROM pts_t p WHERE EXISTS ("
+            " SELECT 1 FROM admin_t a WHERE ST_Contains(a.geometry, p.geom))")
+        got = {r["pid"] for r in df.collect()}
+        assert got == {p for p, _ in _expected_pairs(pts, admin)}
+
+    def test_exists_dwithin_literal(self, con, tables, spark):
+        pts, admin = tables
+        df = con.sql(
+            "SELECT count(*) AS cnt FROM pts_t p WHERE EXISTS ("
+            " SELECT 1 FROM pts_t q WHERE ST_DWithin(p.geom, q.geom, 5.0))")
+        # every point matches itself at distance 0 -> all rows survive
+        assert df.collect()[0]["cnt"] == 400
+
+    def test_correlated_nonspatial_raises_with_guidance(self, con, tables):
+        # a correlated NON-spatial conjunct cannot pre-filter the build
+        # side — and vanilla Catalyst cannot run the fallback either (it
+        # rejects Python UDFs in a decorrelated semi-join ON clause), so
+        # the planner raises loud guidance instead of an obscure
+        # AnalysisException
+        with pytest.raises(NotImplementedError, match="correlated"):
+            con.sql(
+                "SELECT count(*) AS cnt FROM pts_t p WHERE EXISTS ("
+                " SELECT 1 FROM admin_t a "
+                " WHERE ST_Within(p.geom, a.geometry) AND a.bid = p.pid % 25)")
