@@ -2224,7 +2224,10 @@ def _q_substring_dedup(spark, sf_dir):
     from sedona_db_spark.operators.dedup import substring_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return substring_dedup(docs, "text", "doc_id", min_len=8)
+    # md5 gram mode: the oracle twin DuckDB recomputes digest-for-digest
+    # (the rolling Arrow kernel is the production default; the two are
+    # span-identical, pinned by tests/test_substring_dedup.py)
+    return substring_dedup(docs, "text", "doc_id", min_len=8, gram_hash="md5")
 
 
 _SUBSTR_DEDUP_ORACLE = """

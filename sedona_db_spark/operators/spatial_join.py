@@ -1289,18 +1289,46 @@ def spatial_join_ordered(
     two-phase join, then RANGE-partition the (already filtered, much
     smaller) result on those coordinates and sortWithinPartitions — a
     narrow result-sized exchange, never a global driver-side sort of the
-    corpus."""
-    if how.lower() != "inner":
+    corpus.
+
+    ``how``: ``inner`` orders matched pairs by left (probe) arrival;
+    ``right`` matches the reference's Right-outer guarantee — every RIGHT
+    row appears (null-extended when unmatched) in the RIGHT side's
+    arrival order — implemented by an internal side swap + predicate
+    invert (exec.rs preserves the probe stream, and in a Right join the
+    probe IS the preserved side). ``left`` is the mirror convenience."""
+    how = how.lower()
+    if how not in ("inner", "left", "right"):
         raise NotImplementedError(
-            "probe-order preservation applies to inner joins "
-            "(the reference preserves order for Inner/Right only; use "
-            "ORDER BY for outer joins)"
+            "probe-order preservation applies to inner/left/right joins "
+            "(the reference preserves order for Inner/Right; use ORDER BY "
+            "for full-outer)"
         )
+    if how == "right":
+        # swap sides so the preserved (right) side is the tagged probe,
+        # run as a LEFT join with the predicate inverted, then restore
+        # the caller's column order
+        if isinstance(kw.get("distance"), Column):
+            raise NotImplementedError(
+                "right-ordered dwithin with a column-valued distance: "
+                "swap the sides yourself so the distance column rides "
+                "the probe side")
+        swapped = dict(kw)
+        lg = swapped.pop("left_geom", "geometry")
+        rg = swapped.pop("right_geom", "geometry")
+        # side-specific fast-path hints don't survive a swap
+        for hint in ("left_is_points", "left_xy", "right_is_rects",
+                     "broadcast_right"):
+            swapped.pop(hint, None)
+        out = spatial_join_ordered(
+            right, left, predicate=_INVERT[predicate.lower()], how="left",
+            left_geom=rg, right_geom=lg, **swapped)
+        return out.select(*left.columns, *right.columns)
     pid_col, pos_col = "_probe_ord_pid", "_probe_ord_pos"
     if pid_col in left.columns or pos_col in left.columns:
         raise ValueError(f"column name collision on {pid_col}/{pos_col}")
     tagged = _with_probe_ordinal(left, pid_col, pos_col)
-    J = spatial_join(tagged, right, predicate=predicate, how="inner", **kw)
+    J = spatial_join(tagged, right, predicate=predicate, how=how, **kw)
     nparts = max(tagged.rdd.getNumPartitions(), 1)
     return (
         J.repartitionByRange(nparts, pid_col, pos_col)

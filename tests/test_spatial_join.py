@@ -471,8 +471,36 @@ def test_probe_order_preserved(spark):
                                  left_geom="geom", right_geom="geometry").collect()]
     assert [p for p, _ in got2] == [7, 7, 3, 3]
 
+    # RIGHT-outer ordered (round-5, exec.rs Inner/Right guarantee): every
+    # RIGHT row appears — null-extended when unmatched — in the RIGHT
+    # side's arrival order, with original column order restored
+    zones3 = spark.createDataFrame(
+        [(5, W.encode(W.box(0, 0, 10, 10))),
+         (9, W.encode(W.box(100, 100, 110, 110))),   # matches nothing
+         (2, W.encode(W.box(-5, -5, 5, 5)))],
+        "bid INT, geometry BINARY").coalesce(1)
+    out3 = spatial_join_ordered(two, zones3, predicate="within", how="right",
+                                left_geom="geom", right_geom="geometry")
+    assert out3.columns == ["pid", "geom", "bid", "geometry"]
+    rows3 = [(r["pid"], r["bid"]) for r in out3.collect()]
+    assert [b for _, b in rows3] == [5, 5, 9, 2, 2]
+    assert rows3[2][0] is None
+    assert {p for p, b in rows3 if b == 5} == {7, 3}
+
+    # LEFT-outer ordered: unmatched probe rows keep their slot
+    three = spark.createDataFrame(
+        [(7, bytes(W.encode_points_xy(np.array([1.0]), np.array([1.0]))[0])),
+         (8, bytes(W.encode_points_xy(np.array([50.0]), np.array([50.0]))[0])),
+         (3, bytes(W.encode_points_xy(np.array([2.0]), np.array([2.0]))[0]))],
+        "pid LONG, geom BINARY").coalesce(1)
+    got4 = [(r["pid"], r["bid"]) for r in
+            spatial_join_ordered(three, zones, predicate="within", how="left",
+                                 left_geom="geom", right_geom="geometry").collect()]
+    assert [p for p, _ in got4] == [7, 7, 8, 3, 3]
+    assert got4[2][1] is None
+
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="inner"):
-        spatial_join_ordered(two, zones, predicate="within", how="left",
+    with _pytest.raises(NotImplementedError, match="inner/left/right"):
+        spatial_join_ordered(two, zones, predicate="within", how="full",
                              left_geom="geom", right_geom="geometry")

@@ -122,9 +122,56 @@ def test_min_len_guard(spark):
         )
 
 
-def test_plan_has_no_python_stages(spark):
+def test_md5_plan_has_no_python_stages(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id bigint, text string"
     )
-    plan = substring_dedup(df, min_len=3)._jdf.queryExecution().executedPlan().toString()
+    plan = (substring_dedup(df, min_len=3, gram_hash="md5")
+            ._jdf.queryExecution().executedPlan().toString())
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_rolling_plan_is_arrow_not_row_python(spark):
+    # the default (rolling) path carries exactly one Arrow-vectorized
+    # kernel — never a row-at-a-time BatchEvalPython stage
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id bigint, text string"
+    )
+    plan = (substring_dedup(df, min_len=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rolling_equals_md5_differential(spark):
+    # round-5 (VERDICT r4 next #3): the rolling fast path must mark the
+    # SAME spans as the md5 oracle twin — identical full outputs over a
+    # repeat-heavy corpus (small vocab forces shared grams within and
+    # across docs)
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"tok{i}" for i in range(30)]
+    docs = []
+    for d in range(40):
+        n = rng.randint(4, 80)
+        docs.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant exact cross-doc duplicate spans
+    span = " ".join(rng.choice(vocab) for _ in range(20))
+    docs.append((100, f"lead {span} tail"))
+    docs.append((101, f"{span} trailing words here"))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string").repartition(5)
+    for L in (3, 6):
+        a = {r["doc_id"]: (r["kept_text"], r["n_words_removed"])
+             for r in substring_dedup(df, min_len=L, gram_hash="rolling").collect()}
+        b = {r["doc_id"]: (r["kept_text"], r["n_words_removed"])
+             for r in substring_dedup(df, min_len=L, gram_hash="md5").collect()}
+        assert a == b == _brute(docs, L)
+
+
+def test_bad_gram_hash_rejected(spark):
+    with pytest.raises(ValueError, match="gram_hash"):
+        substring_dedup(
+            spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string"),
+            min_len=2, gram_hash="sha1",
+        )
