@@ -1,0 +1,175 @@
+"""Deterministic synthetic-testdata generator at ANY scale factor.
+
+The driver ships read-only parquet at sf0.001/0.01/0.1 (TESTDATA.md);
+round-4's VERDICT asks the gate to be proven at sf1 — 100× the driver's
+correctness scale.  This generator reproduces the same table SHAPES
+(schemas, key ranges, value domains, duplicate rates — inferred from the
+driver data, seed-pinned) so the oracle gate and bench can run at any
+sf.  It never touches /root/testdata.
+
+Usage:  python jobs/gen_sf.py OUT_DIR SF        (e.g. .scratch/sf1 1.0)
+
+Row counts scale linearly: lineitem = 6,000,000 × sf, etc.  Generation
+is chunked numpy -> pyarrow, ~O(100 MB) peak at sf1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = [
+    "a", "the", "data", "row", "value", "table", "column", "query", "scan",
+    "filter", "join", "group", "agg", "sort", "merge", "hash", "stream",
+    "batch", "window", "order", "part", "line", "customer", "spark", "big",
+    "small", "fast", "slow", "vector", "key", "pipeline",
+]
+LANGS = ["en", "de", "fr", "es", "zh"]
+LANG_P = [0.41, 0.14, 0.15, 0.15, 0.15]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+ETYPES = ["view", "click", "purchase", "signup", "error"]
+PNAMES1 = ["small", "red", "blue", "green", "large"]
+PNAMES2 = ["ring", "widget", "bolt", "gear", "cog"]
+PTYPES = ["ECONOMY", "SMALL", "STANDARD", "LARGE", "PROMO"]
+
+
+def _write(out_dir, name, table):
+    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+
+
+def _ts(days_ns):
+    return pa.array(days_ns, type=pa.timestamp("us"))
+
+
+def generate(out_dir: str, sf: float, seed: int = 42) -> dict:
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n_cust = int(150_000 * sf)
+    n_supp = int(10_000 * sf)
+    n_part = int(200_000 * sf)
+    n_ord = int(1_500_000 * sf)
+    n_li = int(6_000_000 * sf)
+    n_ev = int(1_000_000 * sf)
+    n_users = int(15_000 * sf)
+    n_doc = int(50_000 * sf)
+    n_emb = int(20_000 * sf)
+
+    _write(out_dir, "region", pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
+    }))
+    _write(out_dir, "nation", pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": [f"NATION_{i}" for i in range(25)],
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+    }))
+
+    keys = np.arange(n_cust, dtype=np.int64)
+    _write(out_dir, "customer", pa.table({
+        "c_custkey": keys,
+        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+        "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
+        "c_acctbal": np.round(rng.uniform(-1000, 10000, n_cust), 2),
+        "c_mktsegment": np.array(SEGMENTS)[rng.integers(0, 5, n_cust)],
+    }))
+    _write(out_dir, "supplier", pa.table({
+        "s_suppkey": np.arange(n_supp, dtype=np.int64),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+        "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
+        "s_acctbal": np.round(rng.uniform(0, 10000, n_supp), 2),
+    }))
+    _write(out_dir, "part", pa.table({
+        "p_partkey": np.arange(n_part, dtype=np.int64),
+        "p_name": [f"{PNAMES1[i % 5]} {PNAMES2[(i // 5) % 5]}"
+                   for i in range(n_part)],
+        "p_brand": [f"Brand#{int(b)}" for b in rng.integers(1, 26, n_part)],
+        "p_type": np.array(PTYPES)[rng.integers(0, 5, n_part)],
+        "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
+        "p_retailprice": np.round(900.0 + 0.1 * (np.arange(n_part) % 1000), 2),
+    }))
+
+    day_us = 86_400_000_000
+    t0 = np.datetime64("1995-01-01", "us").astype(np.int64)
+    odate = t0 + rng.integers(0, 2405, n_ord) * day_us
+    _write(out_dir, "orders", pa.table({
+        "o_orderkey": np.arange(n_ord, dtype=np.int64),
+        "o_custkey": rng.integers(0, n_cust, n_ord),
+        "o_orderstatus": np.array(["O", "P", "F"])[rng.integers(0, 3, n_ord)],
+        "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
+        "o_orderdate": _ts(odate),
+        "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, n_ord)],
+    }))
+    sdate = t0 + rng.integers(0, 2405, n_li) * day_us
+    _write(out_dir, "lineitem", pa.table({
+        "l_orderkey": rng.integers(0, n_ord, n_li),
+        "l_partkey": rng.integers(0, n_part, n_li),
+        "l_suppkey": rng.integers(0, n_supp, n_li),
+        "l_linenumber": pa.array(rng.integers(1, 8, n_li), pa.int32()),
+        "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
+        "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
+        "l_discount": np.round(rng.integers(0, 11, n_li) * 0.01, 2),
+        "l_tax": np.round(rng.integers(0, 9, n_li) * 0.01, 2),
+        "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)],
+        "l_linestatus": np.array(["O", "F"])[rng.integers(0, 2, n_li)],
+        "l_shipdate": _ts(sdate),
+    }))
+
+    e0 = np.datetime64("2024-01-01", "us").astype(np.int64)
+    ets = e0 + np.sort(rng.integers(0, 30 * day_us, n_ev))
+    _write(out_dir, "events", pa.table({
+        "event_id": np.arange(n_ev, dtype=np.int64),
+        "ts": _ts(ets),
+        "user_id": rng.integers(0, n_users, n_ev),
+        "event_type": np.array(ETYPES)[rng.integers(0, 5, n_ev)],
+        "value": np.round(rng.exponential(30.0, n_ev), 2),
+        "props": [json.dumps({"k": int(k)})
+                  for k in rng.integers(0, 100, n_ev)],
+    }))
+
+    # documents: 31-word vocab, 8-100 words, ~0.16% exact duplicates
+    vocab = np.array(VOCAB)
+    lens = rng.integers(8, 101, n_doc)
+    texts = [" ".join(vocab[rng.integers(0, len(vocab), ln)]) for ln in lens]
+    n_dup = max(1, n_doc // 625)
+    dup_to = rng.integers(0, n_doc, n_dup)
+    dup_from = rng.integers(0, n_doc, n_dup)
+    for a, b in zip(dup_to, dup_from):
+        if a != b:
+            texts[int(a)] = texts[int(b)]
+    _write(out_dir, "documents", pa.table({
+        "doc_id": np.arange(n_doc, dtype=np.int64),
+        "text": texts,
+        "lang": np.array(LANGS)[rng.choice(5, n_doc, p=LANG_P)],
+        "source": [f"src{int(s)}" for s in rng.integers(0, 20, n_doc)],
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+    }))
+
+    # embeddings: 10 unit-norm cluster centers + noise, renormalized
+    centers = rng.normal(size=(10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, 10, n_emb)
+    vecs = centers[labels] + rng.normal(scale=0.35, size=(n_emb, 64))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs = vecs.astype(np.float32)
+    _write(out_dir, "embeddings", pa.table({
+        "vec_id": np.arange(n_emb, dtype=np.int64),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    }))
+
+    return {"customer": n_cust, "supplier": n_supp, "part": n_part,
+            "orders": n_ord, "lineitem": n_li, "events": n_ev,
+            "documents": n_doc, "embeddings": n_emb}
+
+
+if __name__ == "__main__":
+    out = sys.argv[1]
+    sf = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
+    counts = generate(out, sf)
+    print(json.dumps({"out": out, "sf": sf, "rows": counts}))

@@ -2261,7 +2261,7 @@ def _to_lonlat_fn(tag):
             if towgs84 is not None:
                 # local datum -> the WGS84 lon/lat hub (7-param Helmert)
                 a, f_ = _proj.ELLIPSOIDS[ellps.upper()]
-                lon, lat = _proj.datum_to_wgs84(lon, lat, a, f_, towgs84)
+                lon, lat = _proj.datum_shift_to_wgs84(lon, lat, a, f_, towgs84)
             out[:, 0], out[:, 1] = lon, lat
             return out
 
@@ -2277,7 +2277,7 @@ def _to_lonlat_fn(tag):
             )
             if towgs84 is not None:
                 a, f_ = _proj.ELLIPSOIDS[ellps.upper()]
-                lon, lat = _proj.datum_to_wgs84(lon, lat, a, f_, towgs84)
+                lon, lat = _proj.datum_shift_to_wgs84(lon, lat, a, f_, towgs84)
             out[:, 0], out[:, 1] = lon, lat
             return out
 
@@ -2360,7 +2360,7 @@ def _from_lonlat_fn(tag):
             if towgs84 is not None:
                 # WGS84 lon/lat hub -> the local datum before projecting
                 a, f_ = _proj.ELLIPSOIDS[ellps.upper()]
-                lon, lat = _proj.datum_from_wgs84(lon, lat, a, f_, towgs84)
+                lon, lat = _proj.datum_shift_from_wgs84(lon, lat, a, f_, towgs84)
             out[:, 0], out[:, 1] = _fwd(
                 lon, lat, lat0=lat0, lon0=lon0, k0=k0, fe=fe, fn=fn,
                 ellps=ellps,
@@ -2376,7 +2376,7 @@ def _from_lonlat_fn(tag):
             lon, lat = arr[:, 0], arr[:, 1]
             if towgs84 is not None:
                 a, f_ = _proj.ELLIPSOIDS[ellps.upper()]
-                lon, lat = _proj.datum_from_wgs84(lon, lat, a, f_, towgs84)
+                lon, lat = _proj.datum_shift_from_wgs84(lon, lat, a, f_, towgs84)
             out[:, 0], out[:, 1] = _proj.omerc_forward(
                 lon, lat, lat_c, lon_c, alpha_c, gamma_c,
                 k0=k0, fe=fe, fn=fn, ellps=ellps,

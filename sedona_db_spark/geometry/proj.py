@@ -469,7 +469,7 @@ def conic_forward(lon, lat, params):
     kind, lat1, lat2, lat0, lon0, fe, fn, k0, ellps, towgs84 = _conic_params(params)
     if towgs84 is not None:
         a, f_ = ELLIPSOIDS[ellps.upper()]
-        lon, lat = datum_from_wgs84(
+        lon, lat = datum_shift_from_wgs84(
             np.asarray(lon, dtype=np.float64),
             np.asarray(lat, dtype=np.float64), a, f_, towgs84)
     f = lcc_forward if kind == "lcc" else aea_forward
@@ -483,7 +483,7 @@ def conic_inverse(E_, N_, params):
     lon, lat = f(E_, N_, lat1, lat2, lat0, lon0, fe, fn, k0, ellps)
     if towgs84 is not None:
         a, f_ = ELLIPSOIDS[ellps.upper()]
-        lon, lat = datum_to_wgs84(lon, lat, a, f_, towgs84)
+        lon, lat = datum_shift_to_wgs84(lon, lat, a, f_, towgs84)
     return lon, lat
 
 
@@ -873,6 +873,26 @@ def datum_from_wgs84(lon, lat, a, f, towgs84):
     return geocentric_to_geodetic(X, Y, Z, a, f)
 
 
+def datum_shift_to_wgs84(lon, lat, a, f, datum):
+    """Local datum -> WGS84 hub, dispatching on the datum slot's shape:
+    a 7-float tuple is a Helmert set (+towgs84); ('nadgrids', spec) is an
+    NTv2 grid-shift pipeline (+nadgrids — reference reaches these through
+    PROJ, st_transform.rs:43-160)."""
+    if isinstance(datum, tuple) and len(datum) == 2 and datum[0] == "nadgrids":
+        from . import ntv2
+
+        return ntv2.grids_to_wgs84(lon, lat, datum[1])
+    return datum_to_wgs84(lon, lat, a, f, datum)
+
+
+def datum_shift_from_wgs84(lon, lat, a, f, datum):
+    if isinstance(datum, tuple) and len(datum) == 2 and datum[0] == "nadgrids":
+        from . import ntv2
+
+        return ntv2.grids_from_wgs84(lon, lat, datum[1])
+    return datum_from_wgs84(lon, lat, a, f, datum)
+
+
 # Transverse-Mercator EPSG registry:
 # (lat0, lon0, k0, fe, fn, ellps, towgs84-or-None). towgs84 values are the
 # published PROJ/EPSG parameter sets (position-vector); None = the datum
@@ -930,10 +950,24 @@ def parse_proj4(s: str):
             raise ValueError(f"+towgs84 needs 3 or 7 values, got {kv['towgs84']!r}")
         if any(parts):
             towgs84 = tuple(parts)
+    if "nadgrids" in kv:
+        # PROJ precedence: a grid-shift pipeline overrides +towgs84.
+        # The datum slot carries ('nadgrids', spec); datum_shift_to/_from
+        # dispatch to the NTv2 reader (geometry/ntv2.py)
+        towgs84 = ("nadgrids", kv["nadgrids"])
     if datum == "OSGB36":
         # PROJ datum shorthand: Airy 1830 + the published Helmert set
         ellps = "AIRY"
         towgs84 = towgs84 or TMERC_CRS["EPSG:27700"][6]
+    elif datum == "NAD27":
+        # Clarke 1866; the real shift needs the NTv2 grids (conus/ntv2_0)
+        # which don't ship here — require an explicit +nadgrids
+        ellps = "CLRK66"
+        if towgs84 is None:
+            raise NotImplementedError(
+                "+datum=NAD27 needs grid-shift files: pass "
+                "+ellps=clrk66 +nadgrids=<path.gsb>[,null] explicitly"
+            )
     elif datum != "WGS84":
         raise NotImplementedError(
             f"+datum={datum!r} is not implemented (use +ellps + +towgs84)"

@@ -65,6 +65,9 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        import time as _time
+
+        t0 = _time.time()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -73,9 +76,12 @@ def main():
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL {name}: spark error {str(e)[:300]}")
             continue
+        t_spark = _time.time() - t0
         if name not in oracles:
-            print(f"weak {name}: rows={len(srows)} (no oracle)")
+            print(f"weak {name}: rows={len(srows)} (no oracle)"
+                  f" [{t_spark:.1f}s spark]")
             continue
+        t0 = _time.time()
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
@@ -84,6 +90,7 @@ def main():
             failures.append((name, f"ORACLE ERROR: {e}"))
             print(f"FAIL {name}: oracle error {str(e)[:300]}")
             continue
+        t_oracle = _time.time() - t0
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
@@ -98,7 +105,8 @@ def main():
             failures.append((name, "; ".join(problems)))
             print(f"FAIL {name}: {'; '.join(p[:400] for p in problems)}")
         else:
-            print(f"ok   {name}: {len(srows)} rows")
+            print(f"ok   {name}: {len(srows)} rows"
+                  f" [{t_spark:.1f}s spark, {t_oracle:.1f}s oracle]")
 
     # smoke: entry()
     try:

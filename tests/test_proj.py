@@ -420,8 +420,12 @@ class TestProj4Strings:
     def test_non_wgs84_datum_raises(self):
         from sedona_db_spark.geometry.proj import parse_proj4
 
-        with pytest.raises(NotImplementedError, match="not implemented"):
+        # NAD27 without grids points at the +nadgrids route (round-5:
+        # geometry/ntv2.py implements the grid-shift pipeline)
+        with pytest.raises(NotImplementedError, match="nadgrids"):
             parse_proj4("+proj=utm +zone=30 +datum=NAD27")
+        with pytest.raises(NotImplementedError, match="not implemented"):
+            parse_proj4("+proj=utm +zone=30 +datum=POTSDAM")
         # families whose kernels stay hard-wired to WGS84 constants
         # (lcc/aea/omerc are ellipsoid-parameterized since round 4)
         with pytest.raises(NotImplementedError, match="WGS84"):
