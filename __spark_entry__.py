@@ -547,6 +547,61 @@ _GOPHER_REPLACES = [
 ]
 
 
+def _q_stream_dedup_replay(spark, sf_dir):
+    """Batch-equivalence of the replay-absorbing streaming dedup
+    (streaming/geostream.py::streaming_exact_dedup,
+    dropDuplicatesWithinWatermark): the documents table is replayed as a
+    file stream in multiple micro-batches; exactly ONE survivor per
+    content digest must remain, regardless of replay batching.  The
+    output (digest, n_kept, n_docs) is plain SQL over the same corpus —
+    the round-4 VERDICT's ask #10 (streaming ops had pytest ground truth
+    but no oracle row)."""
+    import tempfile
+
+    from sedona_db_spark.streaming import geostream as GS
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # replay-duplicate a slice under fresh ids: the stream carries real
+    # duplicates across micro-batches, not just whatever the corpus has
+    replayed = base.where(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000))
+    docs = base.unionAll(replayed).withColumn(
+        "warc_ts",
+        F.timestamp_seconds(F.col("doc_id") % 1_000_000 + F.lit(1_700_000_000)),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_replay_")
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(tmp).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    deduped = GS.streaming_exact_dedup(
+        stream, text_col="text", ts_col="warc_ts", watermark_delay="365 days"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("stream_dedup_replay_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = (
+        spark.table("stream_dedup_replay_sink")
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    corpus = (
+        spark.read.parquet(tmp)
+        .groupBy(F.md5("text").alias("digest"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return kept.join(corpus, "digest").select("digest", "n_kept", "n_docs")
+
+
 def _q_corpus_curate(spark, sf_dir):
     """The WHOLE webtext curation pipeline as one oracle'd query: C4 line
     cleaning -> Gopher repetition filter -> exact dedup (min-id per md5)
@@ -3325,6 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_c4_clean": _q_doc_c4_clean,
         "gopher_rules": _q_gopher_rules,
         "corpus_curate": _q_corpus_curate,
+        "stream_dedup_replay": _q_stream_dedup_replay,
         "pq_codes": _q_pq_codes,
         "pack_sequences": _q_pack_sequences,
         "sql_sjoin_chain": _q_sql_sjoin_chain,
@@ -3910,6 +3966,13 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann": _ivf_oracle(),
         "semdedup": _semdedup_oracle(),
         "corpus_curate": _corpus_curate_oracle(),
+        "stream_dedup_replay": (
+            "SELECT md5(text) AS digest, CAST(1 AS BIGINT) AS n_kept, "
+            "count(*) AS n_docs FROM ("
+            " SELECT text FROM documents"
+            " UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0"
+            ") GROUP BY md5(text)"
+        ),
         "pq_codes": "WITH corp AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), cb AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 16), ss AS (SELECT unnest(range(0, 4)) AS s), dist AS (SELECT c.id, ss.s, cb.cid,  list_sum(list_transform(range(1, 17), j ->   (c.v[CAST(ss.s*16 + j AS INTEGER)] - cb.cv[CAST(ss.s*16 + j AS INTEGER)])   * (c.v[CAST(ss.s*16 + j AS INTEGER)] - cb.cv[CAST(ss.s*16 + j AS INTEGER)]))) AS d2  FROM corp c CROSS JOIN ss CROSS JOIN cb), codes AS (SELECT id, s, cid AS code FROM ( SELECT id, s, cid, row_number() OVER (PARTITION BY id, s ORDER BY d2, cid) AS rn FROM dist)  WHERE rn = 1) SELECT id AS vec_id, array_to_string(list(code ORDER BY s), ',') AS codes_str FROM codes GROUP BY id ORDER BY id",
         "pack_sequences": "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens FROM documents), c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 1024 AS BIGINT) AS bin_id, CAST((cum - n_tokens) % 1024 AS BIGINT) AS offset_in_bin FROM c ORDER BY doc_id",
         "gopher_rules": (
