@@ -2183,6 +2183,9 @@ def _crs_tag(code: str):
     om = _proj.OMERC_CRS.get(up)
     if om is not None:
         return ("OMERC", om)
+    kv = _proj.KROVAK_CRS.get(up)
+    if kv is not None:
+        return ("KROVAK", kv)
     utm = _proj.parse_utm_epsg(up)
     if utm is not None:
         return ("UTM",) + utm
@@ -2282,6 +2285,17 @@ def _to_lonlat_fn(tag):
             return out
 
         return fo
+    if tag[0] == "KROVAK":
+
+        def fk(arr, _p=tag[1]):
+            variant, towgs84, ellps, params = _p
+            out = arr.copy()
+            out[:, 0], out[:, 1] = _proj.krovak_inverse(
+                arr[:, 0], arr[:, 1], variant=variant, towgs84=towgs84,
+                ellps=ellps, params=params)
+            return out
+
+        return fk
 
     def f(arr, _z=tag[1], _n=tag[2]):
         out = arr.copy()
@@ -2384,6 +2398,17 @@ def _from_lonlat_fn(tag):
             return out
 
         return fo
+    if tag[0] == "KROVAK":
+
+        def fk(arr, _p=tag[1]):
+            variant, towgs84, ellps, params = _p
+            out = arr.copy()
+            out[:, 0], out[:, 1] = _proj.krovak_forward(
+                arr[:, 0], arr[:, 1], variant=variant, towgs84=towgs84,
+                ellps=ellps, params=params)
+            return out
+
+        return fk
 
     def f(arr, _z=tag[1], _n=tag[2]):
         out = arr.copy()
@@ -2415,9 +2440,12 @@ def _st_transform(s: pd.Series, from_crs: pd.Series, to_crs: pd.Series) -> pd.Se
                 f"EPSG:3395 (World Mercator), transverse-Mercator grids "
                 f"EPSG:27700 (OSGB/BNG, Airy+Helmert) / EPSG:2193 (NZTM) / "
                 f"EPSG:31467 (DHDN GK3), EPSG:28992 (Amersfoort / RD New, "
-                f"oblique stereographic), and proj4 strings "
+                f"oblique stereographic), EPSG:5514/2065 (S-JTSK Krovak), "
+                f"and proj4 strings "
                 f"(+proj=longlat/webmerc/merc/tmerc/sterea/utm/laea/lcc/aea/"
-                f"polar stere; tmerc+sterea take any +ellps/+towgs84) in "
+                f"krovak/polar stere; the ellipsoid-parameterized families "
+                f"take any +ellps, +towgs84 Helmert sets, and +nadgrids "
+                f"NTv2 grid files) in "
                 f"this build (no PROJ in env); got {f!r} -> {t!r}"
             )
         g = wkb.parse(v)

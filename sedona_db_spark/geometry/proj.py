@@ -893,6 +893,113 @@ def datum_shift_from_wgs84(lon, lat, a, f, datum):
     return datum_from_wgs84(lon, lat, a, f, datum)
 
 
+# ---------------------------------------------------------------------------
+# Krovak (EPSG method 9819) — the S-JTSK oblique conformal conic of the
+# Czech and Slovak grids.  Constants and algorithm follow the published
+# EPSG Guidance Note 7-2 formulas; the worked example there
+# (lat 50°12'32.4416"N, lon 16°50'59.1790"E -> southing 1050538.643,
+# westing 568990.997) is reproduced to sub-mm by tests/test_proj.py.
+# The reference reaches Krovak through PROJ (st_transform.rs:43-160).
+# ---------------------------------------------------------------------------
+
+_KROVAK_DEFAULTS = (49.5, 24.0 + 50.0 / 60.0,          # lat_C, lon_0 (Greenwich)
+                    30.0 + 17.0 / 60.0 + 17.3031 / 3600.0,  # alpha_C
+                    78.5, 0.9999)                       # pseudo-parallel, k
+
+# S-JTSK -> WGS84 (the 3-param set PROJ ships for EPSG:5514)
+_SJTSK_TOWGS84 = (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)
+
+
+def _krovak_constants(ellps="BESSEL", params=_KROVAK_DEFAULTS):
+    a, f = ELLIPSOIDS[ellps.upper()]
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    lat_c, lon0, alpha_c, lat_p, k = params
+    phiC = math.radians(lat_c)
+    A_ = a * math.sqrt(1 - e2) / (1 - e2 * math.sin(phiC) ** 2)
+    B_ = math.sqrt(1 + e2 * math.cos(phiC) ** 4 / (1 - e2))
+    g0 = math.asin(math.sin(phiC) / B_)
+    t0 = (math.tan(math.pi / 4 + g0 / 2)
+          * ((1 + e * math.sin(phiC)) / (1 - e * math.sin(phiC)))
+          ** (e * B_ / 2)
+          / math.tan(math.pi / 4 + phiC / 2) ** B_)
+    phiP = math.radians(lat_p)
+    n_ = math.sin(phiP)
+    r0 = k * A_ / math.tan(phiP)
+    return (e, B_, t0, n_, r0, math.radians(lon0), math.radians(alpha_c),
+            phiP)
+
+
+def krovak_forward(lon, lat, variant="east_north", towgs84=_SJTSK_TOWGS84,
+                   ellps="BESSEL", params=_KROVAK_DEFAULTS):
+    """WGS84 (lon°, lat°) -> Krovak.  ``variant``: 'south_west' gives the
+    S-JTSK (X southing, Y westing, both positive — EPSG:2065) axes;
+    'east_north' the GIS-friendly EPSG:5514 (E = -Y, N = -X)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    if towgs84 is not None:
+        a, f = ELLIPSOIDS[ellps.upper()]
+        lon, lat = datum_shift_from_wgs84(lon, lat, a, f, towgs84)
+    e, B_, t0, n_, r0, lam0, alphaC, phiP = _krovak_constants(ellps, params)
+    phi = np.radians(lat)
+    lam = np.radians(lon)
+    es = e * np.sin(phi)
+    U = 2 * (np.arctan(t0 * np.tan(phi / 2 + math.pi / 4) ** B_
+                       / ((1 + es) / (1 - es)) ** (e * B_ / 2)) - math.pi / 4)
+    V = B_ * (lam0 - lam)
+    T = np.arcsin(math.cos(alphaC) * np.sin(U)
+                  + math.sin(alphaC) * np.cos(U) * np.cos(V))
+    D = np.arcsin(np.cos(U) * np.sin(V) / np.cos(T))
+    theta = n_ * D
+    r = r0 * math.tan(math.pi / 4 + phiP / 2) ** n_ \
+        / np.tan(T / 2 + math.pi / 4) ** n_
+    X = r * np.cos(theta)   # southing
+    Y = r * np.sin(theta)   # westing
+    if variant == "south_west":
+        return X, Y
+    return -Y, -X           # east, north (EPSG:5514)
+
+
+def krovak_inverse(E_, N_, variant="east_north", towgs84=_SJTSK_TOWGS84,
+                   ellps="BESSEL", params=_KROVAK_DEFAULTS):
+    e, B_, t0, n_, r0, lam0, alphaC, phiP = _krovak_constants(ellps, params)
+    if variant == "south_west":
+        X = np.asarray(E_, dtype=np.float64)
+        Y = np.asarray(N_, dtype=np.float64)
+    else:
+        X = -np.asarray(N_, dtype=np.float64)
+        Y = -np.asarray(E_, dtype=np.float64)
+    r = np.hypot(X, Y)
+    theta = np.arctan2(Y, X)
+    D = theta / n_
+    T = 2 * (np.arctan((r0 / r) ** (1.0 / n_)
+                       * math.tan(math.pi / 4 + phiP / 2)) - math.pi / 4)
+    U = np.arcsin(math.cos(alphaC) * np.sin(T)
+                  - math.sin(alphaC) * np.cos(T) * np.cos(D))
+    V = np.arcsin(np.cos(T) * np.sin(D) / np.cos(U))
+    lam = lam0 - V / B_
+    # latitude by fixed-point iteration of the conformal relation
+    phi = U.copy()
+    rhs = (np.tan(U / 2 + math.pi / 4) / t0) ** (1.0 / B_)
+    for _ in range(12):
+        es = e * np.sin(phi)
+        phi = 2 * (np.arctan(rhs * ((1 + es) / (1 - es)) ** (e / 2))
+                   - math.pi / 4)
+    lon, lat = np.degrees(lam), np.degrees(phi)
+    if towgs84 is not None:
+        a, f = ELLIPSOIDS[ellps.upper()]
+        lon, lat = datum_shift_to_wgs84(lon, lat, a, f, towgs84)
+    return lon, lat
+
+
+KROVAK_CRS = {
+    # S-JTSK / Krovak East North (the common GIS axes)
+    "EPSG:5514": ("east_north", _SJTSK_TOWGS84, "BESSEL", _KROVAK_DEFAULTS),
+    # S-JTSK / Krovak (southing/westing positive — the surveying axes)
+    "EPSG:2065": ("south_west", _SJTSK_TOWGS84, "BESSEL", _KROVAK_DEFAULTS),
+}
+
+
 # Transverse-Mercator EPSG registry:
 # (lat0, lon0, k0, fe, fn, ellps, towgs84-or-None). towgs84 values are the
 # published PROJ/EPSG parameter sets (position-vector); None = the datum
@@ -972,7 +1079,9 @@ def parse_proj4(s: str):
         raise NotImplementedError(
             f"+datum={datum!r} is not implemented (use +ellps + +towgs84)"
         )
-    if proj in ("tmerc", "sterea", "lcc", "aea", "omerc", "somerc"):
+    if proj == "krovak" and "ellps" not in kv:
+        ellps = "BESSEL"  # PROJ's krovak default
+    if proj in ("tmerc", "sterea", "lcc", "aea", "omerc", "somerc", "krovak"):
         # these kernels are ellipsoid-parameterized
         if ellps not in ELLIPSOIDS:
             raise NotImplementedError(
@@ -1052,6 +1161,14 @@ def parse_proj4(s: str):
         lon_c = float(kv.get("lonc", kv.get("lon_0", 0.0)))
         return ("OMERC", (f("lat_0"), lon_c, alpha, gamma, k0,
                           f("x_0"), f("y_0"), ellps, towgs84))
+    if proj == "krovak":
+        # PROJ axes: x = -westing, y = -southing — the 'east_north'
+        # variant here.  +czech flips to the positive S-JTSK axes.
+        variant = "south_west" if "czech" in flags else "east_north"
+        k0 = f("k_0", kv.get("k", 0.9999))
+        p = (f("lat_0", 49.5), f("lon_0", 24.0 + 50.0 / 60.0),
+             f("alpha", 30.0 + 17.0 / 60.0 + 17.3031 / 3600.0), 78.5, k0)
+        return ("KROVAK", (variant, towgs84, ellps, p))
     if proj == "stere":
         lat0 = f("lat_0")
         if abs(abs(lat0) - 90.0) > 1e-9:

@@ -37,6 +37,14 @@ def frame_key(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    # ORACLE_SKIP: run these queries SPARK-SIDE ONLY (rows reported, no
+    # DuckDB compare). For large-sf validation runs where a twin is
+    # inherently quadratic in DuckDB (the kNN oracles are row_number over
+    # a full CROSS JOIN — 1.5e9 intermediate rows at sf1) while the Spark
+    # side is the thing under test. The full value compare still gates
+    # these queries at sf0.01/sf0.1.
+    oracle_skip = set(
+        s for s in os.environ.get("ORACLE_SKIP", "").split(",") if s)
 
     import duckdb
 
@@ -80,6 +88,10 @@ def main():
         if name not in oracles:
             print(f"weak {name}: rows={len(srows)} (no oracle)"
                   f" [{t_spark:.1f}s spark]")
+            continue
+        if name in oracle_skip:
+            print(f"ok*  {name}: {len(srows)} rows (oracle skipped via "
+                  f"ORACLE_SKIP) [{t_spark:.1f}s spark]")
             continue
         t0 = _time.time()
         try:

@@ -993,3 +993,64 @@ class TestEqcSinu:
         ).collect()[0]
         assert row.s.startswith("POINT (-20015109.35")
         assert row.rt == pytest.approx(12.0)
+
+
+class TestKrovak:
+    """Krovak (EPSG 9819, S-JTSK) — EPSG Guidance Note 7-2 worked example
+    + round-trip + axis-variant consistency (round-5; the reference
+    reaches Krovak through PROJ, st_transform.rs:43-160)."""
+
+    def test_epsg_worked_example(self):
+        from sedona_db_spark.geometry import proj as P
+
+        lat = 50 + 12 / 60 + 32.4416 / 3600
+        lon = 16 + 50 / 60 + 59.1790 / 3600
+        # the GN7-2 example is on the S-JTSK datum already: no shift
+        X, Y = P.krovak_forward([lon], [lat], variant="south_west",
+                                towgs84=None)
+        assert X[0] == pytest.approx(1050538.643, abs=1e-2)
+        assert Y[0] == pytest.approx(568990.997, abs=1e-2)
+        blon, blat = P.krovak_inverse(X, Y, variant="south_west",
+                                      towgs84=None)
+        assert blon[0] == pytest.approx(lon, abs=1e-11)
+        assert blat[0] == pytest.approx(lat, abs=1e-11)
+
+    def test_roundtrip_with_datum_over_czechia(self):
+        from sedona_db_spark.geometry import proj as P
+
+        rng = np.random.default_rng(5)
+        lon = rng.uniform(12.2, 18.8, 200)
+        lat = rng.uniform(48.6, 51.0, 200)
+        E, N = P.krovak_forward(lon, lat)          # EPSG:5514 axes
+        assert np.all(E < 0) and np.all(N < 0)     # east-north are negative
+        blon, blat = P.krovak_inverse(E, N)
+        assert np.allclose(blon, lon, atol=1e-9)
+        assert np.allclose(blat, lat, atol=1e-9)
+        # the two variants are axis mirrors of each other
+        X, Y = P.krovak_forward(lon, lat, variant="south_west")
+        assert np.allclose(X, -N) and np.allclose(Y, -E)
+
+    def test_st_transform_krovak_and_proj4(self, spark):
+        from sedona_db_spark.functions import st
+
+        df = spark.createDataFrame([(14.42, 50.09)], "x double, y double")
+        g = df.select(st.ST_Point("x", "y").alias("geom"))
+        row = g.select(
+            st.ST_X(st.ST_Transform("geom", F.lit("EPSG:4326"),
+                                    F.lit("EPSG:5514"))).alias("e"),
+            st.ST_X(st.ST_Transform(
+                st.ST_Transform("geom", F.lit("EPSG:4326"),
+                                F.lit("EPSG:5514")),
+                F.lit("EPSG:5514"), F.lit("EPSG:4326"))).alias("back_x"),
+        ).collect()[0]
+        # Prague lands in the S-JTSK east range (negative, ~-745 km)
+        assert -760_000 < row["e"] < -730_000
+        assert row["back_x"] == pytest.approx(14.42, abs=1e-7)  # ~1 cm
+        # +proj=krovak with explicit parameters matches EPSG:5514
+        p4 = ("+proj=krovak +lat_0=49.5 +lon_0=24.8333333333333 "
+              "+alpha=30.2881397527778 +k=0.9999 +ellps=bessel "
+              "+towgs84=589,76,480")
+        row2 = g.select(
+            st.ST_X(st.ST_Transform("geom", F.lit("EPSG:4326"),
+                                    F.lit(p4))).alias("e")).collect()[0]
+        assert row2["e"] == pytest.approx(row["e"], abs=1e-3)
