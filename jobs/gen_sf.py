@@ -40,7 +40,11 @@ PTYPES = ["ECONOMY", "SMALL", "STANDARD", "LARGE", "PROMO"]
 
 
 def _write(out_dir, name, table):
-    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+    # small row groups: DuckDB (the oracle twin) parallelizes per row
+    # group, and Spark splits scans on them — a single-row-group file
+    # serializes both engines' scans at sf1
+    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"),
+                   row_group_size=16384)
 
 
 def _ts(days_ns):
