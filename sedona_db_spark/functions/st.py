@@ -2251,8 +2251,9 @@ def _to_lonlat_fn(tag):
             return out
 
         return fs_
-    if tag[0] in ("TMERC", "OBLST"):
-        inv = _proj.tmerc_inverse if tag[0] == "TMERC" else _proj.oblst_inverse
+    if tag[0] in ("TMERC", "OBLST", "STEREOBL"):
+        inv = {"TMERC": _proj.tmerc_inverse, "OBLST": _proj.oblst_inverse,
+               "STEREOBL": _proj.stere_obl_inverse}[tag[0]]
 
         def ft(arr, _p=tag[1], _inv=inv):
             lat0, lon0, k0, fe, fn, ellps, towgs84 = _p
@@ -2364,8 +2365,9 @@ def _from_lonlat_fn(tag):
             return out
 
         return fs_
-    if tag[0] in ("TMERC", "OBLST"):
-        fwd = _proj.tmerc_forward if tag[0] == "TMERC" else _proj.oblst_forward
+    if tag[0] in ("TMERC", "OBLST", "STEREOBL"):
+        fwd = {"TMERC": _proj.tmerc_forward, "OBLST": _proj.oblst_forward,
+               "STEREOBL": _proj.stere_obl_forward}[tag[0]]
 
         def ft(arr, _p=tag[1], _fwd=fwd):
             lat0, lon0, k0, fe, fn, ellps, towgs84 = _p

@@ -549,6 +549,85 @@ def ps_inverse(E_, N_, lon0, k0, north: bool, fe=0.0, fn=0.0):
     return lon, np.degrees(phi if north else -phi)
 
 
+# --- Oblique Stereographic, single-projection form (PROJ `stere` at a
+# non-polar center) — Snyder 1987 §21 eqs. 21-27..21-35 over the conformal
+# latitude chi.  This is the math PROJ's `stere` runs for oblique/equatorial
+# aspects; it is NOT the EPSG 9809 "double" construction (`sterea`,
+# oblst_forward above) — the two agree to third order near the origin but
+# diverge at range, so each proj4 spelling must hit its own kernel.
+# Reference reaches both through PROJ (c/sedona-proj/src/st_transform.rs).
+
+
+def _stere_obl_constants(lat0: float, lon0: float, a: float, f: float):
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    p0 = math.radians(lat0)
+    s0 = math.sin(p0)
+    # conformal latitude of the origin (Snyder 3-1) and m1 (Snyder 14-15)
+    chi0 = 2.0 * math.atan(
+        math.tan(math.pi / 4 + p0 / 2)
+        * ((1 - e * s0) / (1 + e * s0)) ** (e / 2.0)
+    ) - math.pi / 2
+    m0 = math.cos(p0) / math.sqrt(1 - e2 * s0 * s0)
+    return e, chi0, m0, math.radians(lon0)
+
+
+def stere_obl_forward(lon, lat, lat0, lon0, k0=1.0, fe=0.0, fn=0.0,
+                      ellps="WGS84"):
+    """(lon°, lat°) -> oblique ellipsoidal stereographic (E, N)
+    (Snyder 21-27..21-30). Pinned by Snyder's Clarke-1866 worked example
+    (phi1=40N lam0=100W k0=0.9999: 30N 90W -> 971630.8, -1063049.3)."""
+    a, f = ELLIPSOIDS[ellps.upper()] if isinstance(ellps, str) else ellps
+    e, chi0, m0, lam0 = _stere_obl_constants(lat0, lon0, a, f)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    phi = np.radians(lat)
+    s = np.sin(phi)
+    chi = 2.0 * np.arctan(
+        np.tan(np.pi / 4 + phi / 2) * ((1 - e * s) / (1 + e * s)) ** (e / 2.0)
+    ) - np.pi / 2
+    dlam = np.radians(lon) - lam0
+    A_ = (2.0 * a * k0 * m0
+          / (math.cos(chi0) * (1 + math.sin(chi0) * np.sin(chi)
+                               + math.cos(chi0) * np.cos(chi) * np.cos(dlam))))
+    x = A_ * np.cos(chi) * np.sin(dlam)
+    y = A_ * (math.cos(chi0) * np.sin(chi)
+              - math.sin(chi0) * np.cos(chi) * np.cos(dlam))
+    return fe + x, fn + y
+
+
+def stere_obl_inverse(E_, N_, lat0, lon0, k0=1.0, fe=0.0, fn=0.0,
+                      ellps="WGS84"):
+    """Oblique ellipsoidal stereographic -> (lon°, lat°) (Snyder
+    21-38/21-37/2-14 + the conformal-latitude fixed point 3-4)."""
+    a, f = ELLIPSOIDS[ellps.upper()] if isinstance(ellps, str) else ellps
+    e, chi0, m0, lam0 = _stere_obl_constants(lat0, lon0, a, f)
+    x = np.asarray(E_, dtype=np.float64) - fe
+    y = np.asarray(N_, dtype=np.float64) - fn
+    rho = np.sqrt(x * x + y * y)
+    ce = 2.0 * np.arctan2(rho * math.cos(chi0), 2.0 * a * k0 * m0)
+    safe = np.where(rho > 0, rho, 1.0)
+    chi = np.where(
+        rho > 0,
+        np.arcsin(np.clip(np.cos(ce) * math.sin(chi0)
+                          + y * np.sin(ce) * math.cos(chi0) / safe, -1, 1)),
+        chi0,
+    )
+    lam = lam0 + np.arctan2(
+        x * np.sin(ce),
+        rho * math.cos(chi0) * np.cos(ce) - y * math.sin(chi0) * np.sin(ce),
+    )
+    phi = chi.copy()
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = 2.0 * np.arctan(
+            np.tan(np.pi / 4 + chi / 2) * ((1 + e * s) / (1 - e * s)) ** (e / 2.0)
+        ) - np.pi / 2
+    lon = np.degrees(lam)
+    lon = (lon + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi)
+
+
 # --- Mercator (ellipsoidal, Snyder 1987 §7) — EPSG:3395 World Mercator ------
 
 
@@ -1081,7 +1160,8 @@ def parse_proj4(s: str):
         )
     if proj == "krovak" and "ellps" not in kv:
         ellps = "BESSEL"  # PROJ's krovak default
-    if proj in ("tmerc", "sterea", "lcc", "aea", "omerc", "somerc", "krovak"):
+    if proj in ("tmerc", "sterea", "lcc", "aea", "omerc", "somerc", "krovak",
+                "stere"):
         # these kernels are ellipsoid-parameterized
         if ellps not in ELLIPSOIDS:
             raise NotImplementedError(
@@ -1171,21 +1251,33 @@ def parse_proj4(s: str):
         return ("KROVAK", (variant, towgs84, ellps, p))
     if proj == "stere":
         lat0 = f("lat_0")
-        if abs(abs(lat0) - 90.0) > 1e-9:
-            raise NotImplementedError(
-                "only the polar aspect of +proj=stere is supported "
-                "(oblique stereographic needs PROJ)"
-            )
-        north = lat0 > 0
+        if abs(abs(lat0) - 90.0) <= 1e-9:
+            # polar aspect: the dedicated kernel (hard-wired WGS84
+            # constants — refuse other ellipsoids rather than substitute)
+            if ellps not in ("WGS84", "GRS80") or towgs84 is not None:
+                raise NotImplementedError(
+                    f"polar +proj=stere is WGS84/GRS80-only here; got "
+                    f"ellps={ellps!r} towgs84={towgs84!r}"
+                )
+            north = lat0 > 0
+            if "lat_ts" in kv:
+                k0 = _ps_k0_from_lat_ts(float(kv["lat_ts"]))
+            else:
+                k0 = f("k_0", kv.get("k", 1.0))
+            return ("PS", (f("lon_0"), k0, north, f("x_0"), f("y_0")))
+        # oblique/equatorial aspect (Snyder §21 single projection — NOT
+        # sterea's EPSG-9809 double construction)
         if "lat_ts" in kv:
-            k0 = _ps_k0_from_lat_ts(float(kv["lat_ts"]))
-        else:
-            k0 = f("k_0", kv.get("k", 1.0))
-        return ("PS", (f("lon_0"), k0, north, f("x_0"), f("y_0")))
+            raise NotImplementedError(
+                "+lat_ts is a polar-stere parameter; oblique stere takes +k_0"
+            )
+        k0 = f("k_0", kv.get("k", 1.0))
+        return ("STEREOBL", (lat0, f("lon_0"), k0, f("x_0"), f("y_0"),
+                             ellps, towgs84))
     raise NotImplementedError(
         f"+proj={proj!r} is not implemented (supported: longlat, webmerc, "
-        f"merc, tmerc, utm, laea, eqc, sinu, lcc, aea, polar stere, sterea, omerc, "
-        f"somerc)"
+        f"merc, tmerc, utm, laea, eqc, sinu, lcc, aea, stere (all aspects), "
+        f"sterea, omerc, somerc, krovak)"
     )
 
 

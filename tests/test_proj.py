@@ -2,6 +2,8 @@
 replacing the reference's PROJ-backed arbitrary ST_Transform for the UTM
 family, c/sedona-proj/src/st_transform.rs)."""
 
+import math
+
 import numpy as np
 import pytest
 
@@ -430,8 +432,9 @@ class TestProj4Strings:
         # (lcc/aea/omerc are ellipsoid-parameterized since round 4)
         with pytest.raises(NotImplementedError, match="WGS84"):
             parse_proj4("+proj=laea +lat_0=52 +lon_0=10 +ellps=airy")
-        with pytest.raises(NotImplementedError, match="polar"):
-            parse_proj4("+proj=stere +lat_0=52 +lon_0=4")
+        # oblique stere is implemented since round 5 (Snyder §21 single
+        # projection) — it must parse, not raise
+        assert parse_proj4("+proj=stere +lat_0=52 +lon_0=4")[0] == "STEREOBL"
         assert parse_proj4("EPSG:4326") is None
 
 
@@ -1054,3 +1057,100 @@ class TestKrovak:
             st.ST_X(st.ST_Transform("geom", F.lit("EPSG:4326"),
                                     F.lit(p4))).alias("e")).collect()[0]
         assert row2["e"] == pytest.approx(row["e"], abs=1e-3)
+
+
+class TestObliqueStere:
+    """Oblique ellipsoidal stereographic (PROJ `stere` non-polar aspect;
+    Snyder 1987 §21 conformal-latitude form, round-5 — the reference
+    reaches it through PROJ, c/sedona-proj/src/st_transform.rs)."""
+
+    def test_snyder_worked_example(self):
+        # Snyder 1987 p. 313: Clarke 1866, phi1=40N lam0=100W k0=0.9999,
+        # point 30N 90W -> x = 971630.8, y = -1063049.3 (published to 0.1 m)
+        from sedona_db_spark.geometry.proj import (
+            stere_obl_forward, stere_obl_inverse)
+        x, y = stere_obl_forward(
+            np.array([-90.0]), np.array([30.0]), lat0=40.0, lon0=-100.0,
+            k0=0.9999, ellps="CLRK66")
+        assert x[0] == pytest.approx(971630.8, abs=0.5)
+        assert y[0] == pytest.approx(-1063049.3, abs=0.5)
+        lon, lat = stere_obl_inverse(
+            x, y, lat0=40.0, lon0=-100.0, k0=0.9999, ellps="CLRK66")
+        assert lon[0] == pytest.approx(-90.0, abs=1e-9)
+        assert lat[0] == pytest.approx(30.0, abs=1e-9)
+
+    def test_roundtrip_grid(self):
+        from sedona_db_spark.geometry.proj import (
+            stere_obl_forward, stere_obl_inverse)
+        rng = np.random.default_rng(7)
+        lon = rng.uniform(-30, 30, 200)
+        lat = rng.uniform(20, 70, 200)
+        x, y = stere_obl_forward(lon, lat, lat0=52.0, lon0=5.0, k0=0.9999)
+        lo, la = stere_obl_inverse(x, y, lat0=52.0, lon0=5.0, k0=0.9999)
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+
+    def test_origin_scale_is_k0_and_conformal(self):
+        # at the projection origin the scale must be k0 in every
+        # direction (conformality): probe 1-meter geodesic steps N and E
+        from sedona_db_spark.geometry.proj import stere_obl_forward
+        lat0, lon0, k0 = 45.0, 7.0, 0.9995
+        a, f = 6378137.0, 1 / 298.257223563
+        e2 = f * (2 - f)
+        p = math.radians(lat0)
+        M = a * (1 - e2) / (1 - e2 * math.sin(p) ** 2) ** 1.5
+        Nrad = a / math.sqrt(1 - e2 * math.sin(p) ** 2)
+        dlat = math.degrees(1.0 / M)   # ~1 m north
+        dlon = math.degrees(1.0 / (Nrad * math.cos(p)))  # ~1 m east
+        lons = np.array([lon0, lon0, lon0 + dlon])
+        lats = np.array([lat0, lat0 + dlat, lat0])
+        x, y = stere_obl_forward(lons, lats, lat0=lat0, lon0=lon0, k0=k0)
+        dn = math.hypot(x[1] - x[0], y[1] - y[0])
+        de = math.hypot(x[2] - x[0], y[2] - y[0])
+        assert dn == pytest.approx(k0, rel=1e-6)
+        assert de == pytest.approx(k0, rel=1e-6)
+
+    def test_agrees_with_sterea_near_origin(self):
+        # single and double stereographic are distinct constructions that
+        # agree in value and first derivative at the origin, so their
+        # difference grows QUADRATICALLY with range (measured: 0.2 mm at
+        # 1 km, 2 cm at 9 km, 96 m at 620 km). Near must agree to mm; far
+        # must NOT agree (kernel-swap tripwire).
+        from sedona_db_spark.geometry.proj import (
+            oblst_forward, stere_obl_forward)
+        lat0, lon0, k0 = 52.15616056, 5.38763889, 0.9999079
+        near = (np.array([lon0 + 0.01]), np.array([lat0 + 0.005]))
+        far = (np.array([lon0 + 6.0]), np.array([lat0 - 4.0]))
+        for (lo, la), tol, must_agree in ((near, 1e-3, True), (far, 1.0, False)):
+            xs, ys = stere_obl_forward(lo, la, lat0=lat0, lon0=lon0, k0=k0,
+                                       ellps="BESSEL")
+            xd, yd = oblst_forward(lo, la, lat0=lat0, lon0=lon0, k0=k0,
+                                   ellps="BESSEL")
+            d = math.hypot(xs[0] - xd[0], ys[0] - yd[0])
+            assert (d < tol) == must_agree, d
+
+    def test_st_transform_proj4_oblique_stere(self, spark):
+        from sedona_db_spark.functions import st
+
+        st.register_all(spark)
+        row = spark.sql(
+            "SELECT ST_X(p2) AS rx, ST_Y(p2) AS ry FROM (SELECT "
+            "ST_Transform(ST_Transform(ST_Point(6.5D, 51.2D), 'EPSG:4326', "
+            " '+proj=stere +lat_0=52 +lon_0=5 +k_0=0.9999 "
+            "  +x_0=100000 +y_0=200000'), "
+            " '+proj=stere +lat_0=52 +lon_0=5 +k_0=0.9999 "
+            "  +x_0=100000 +y_0=200000', 'EPSG:4326') AS p2)"
+        ).collect()[0]
+        assert row.rx == pytest.approx(6.5, abs=1e-9)
+        assert row.ry == pytest.approx(51.2, abs=1e-9)
+
+    def test_polar_stere_ellipsoid_guard(self):
+        from sedona_db_spark.geometry.proj import parse_proj4
+        with pytest.raises(NotImplementedError, match="WGS84/GRS80-only"):
+            parse_proj4("+proj=stere +lat_0=90 +ellps=bessel")
+        with pytest.raises(NotImplementedError, match="lat_ts"):
+            parse_proj4("+proj=stere +lat_0=50 +lat_ts=50")
+        tag = parse_proj4("+proj=stere +lat_0=52 +lon_0=5 +ellps=bessel "
+                          "+towgs84=565.417,50.3319,465.552,-0.398957,"
+                          "0.343988,-1.8774,4.0725")
+        assert tag[0] == "STEREOBL" and tag[1][5] == "BESSEL"
