@@ -40,9 +40,12 @@ def main():
     # ORACLE_SKIP: run these queries SPARK-SIDE ONLY (rows reported, no
     # DuckDB compare). For large-sf validation runs where a twin is
     # inherently quadratic in DuckDB (the kNN oracles are row_number over
-    # a full CROSS JOIN — 1.5e9 intermediate rows at sf1) while the Spark
-    # side is the thing under test. The full value compare still gates
-    # these queries at sf0.01/sf0.1.
+    # a full CROSS JOIN — 1.5e9 intermediate rows at sf1; the dbscan /
+    # cluster_within twins close connected components with a recursive
+    # reachability CTE that materializes O(|component|^2) rows, fine on
+    # sf0.01's small clusters but explosive once the sf1 grid connects)
+    # while the Spark side is the thing under test. The full value
+    # compare still gates these queries at sf0.01/sf0.1.
     oracle_skip = set(
         s for s in os.environ.get("ORACLE_SKIP", "").split(",") if s)
 
