@@ -55,8 +55,13 @@ def main():
     from pyspark.sql import SparkSession
 
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(os.environ.get("ORACLE_MASTER", "local[8]"))
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("ORACLE_SHUFFLE", "8"))
+        # sf1 result sets (pair joins, per-doc fingerprints) are collected
+        # on the driver for the value compare; the 1g default OOMs there
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
