@@ -2184,6 +2184,78 @@ def _q_st_transform_roundtrip(spark, sf_dir):
     )
 
 
+def _crs_affine_gsb() -> str:
+    """Write (once per interpreter) the synthetic NTv2 grid the crs_kernels
+    oracle uses: shifts AFFINE in the node index with dyadic coefficients,
+    so every float32 node value is exact and bilinear interpolation
+    reproduces the affine field exactly — the shifted output is therefore
+    closed-form and recomputable in SQL.  Window lat [30,50]N, lon
+    [110,90]W, 0.5-degree cells."""
+    import tempfile
+
+    import numpy as np
+
+    from sedona_db_spark.geometry import ntv2
+
+    path = os.path.join(tempfile.gettempdir(), "sedona_r5_crs_affine.gsb")
+    if not os.path.exists(path):
+        idx = np.arange(41, dtype=np.float64)
+        jj, ii = np.meshgrid(idx, idx)
+        ntv2.write_gsb(path, [dict(
+            name="AFFINE", parent="NONE",
+            s_lat=108000.0, n_lat=180000.0, e_lon=324000.0, w_lon=396000.0,
+            lat_inc=1800.0, lon_inc=1800.0,
+            dlat=8.0 + ii / 16 + jj / 32,      # arcsec, exact in float32
+            dlon=-12.0 + ii / 32 + jj / 16)])  # positive-west arcsec
+    return path
+
+
+def _q_crs_kernels(spark, sf_dir):
+    """Round-5 CRS kernels under full value oracle (reference reaches all
+    of these through PROJ — c/sedona-proj/src/st_transform.rs:43-160):
+    (1) Krovak (EPSG 9819; ``+proj=krovak`` alone = Bessel, no datum
+    shift) forward recomputed closed-form in SQL on constructed in-window
+    points; (2) the full EPSG:5514 pipeline (Krovak + S-JTSK Helmert)
+    roundtrip pinned to 0 at 1e-6 deg; (3) oblique ellipsoidal
+    stereographic (Snyder single projection) roundtrip pinned to 0 inside
+    a ±30-degree window of the center; (4) the ``+nadgrids`` NTv2
+    grid-shift pipeline over a synthetic affine grid — bilinear over an
+    affine field is exact, so the shifted lon/lat are value-checked
+    against the closed form (out-of-grid points fall through the ``null``
+    zero-shift entry and must come back identical)."""
+    from sedona_db_spark.functions import st
+
+    pts = _cust_pts(spark, sf_dir)
+    cx = F.lit(-180.0) + ((F.col("c_custkey") * 7) % 3600) * F.lit(0.1) + F.lit(0.005)
+    cy = F.lit(-90.0) + ((F.col("c_custkey") * 13) % 1800) * F.lit(0.1) + F.lit(0.005)
+    # constructed Czech-window points so every row exercises Krovak
+    kx = F.lit(13.0) + ((F.col("c_custkey") * 7) % 600) * F.lit(0.01) + F.lit(0.005)
+    ky = F.lit(48.5) + ((F.col("c_custkey") * 13) % 300) * F.lit(0.01) + F.lit(0.005)
+    kpt = st.ST_Point(kx, ky)
+    kro = st.ST_Transform(kpt, F.lit("EPSG:4326"), F.lit("+proj=krovak"))
+    k5514 = st.ST_Transform(kpt, F.lit("EPSG:4326"), F.lit("EPSG:5514"))
+    kback = st.ST_Transform(k5514, F.lit("EPSG:5514"), F.lit("EPSG:4326"))
+    kro_rt = F.round(F.abs(st.ST_X(kback) - kx) + F.abs(st.ST_Y(kback) - ky), 6)
+    stere_crs = "+proj=stere +lat_0=52 +lon_0=5 +k_0=0.9999 +ellps=GRS80"
+    sfwd = st.ST_Transform(F.col("geom"), F.lit("EPSG:4326"), F.lit(stere_crs))
+    sback = st.ST_Transform(sfwd, F.lit(stere_crs), F.lit("EPSG:4326"))
+    in_st = (cx >= -25.0) & (cx <= 35.0) & (cy >= 22.0) & (cy <= 82.0)
+    stere_rt = F.when(
+        in_st, F.round(F.abs(st.ST_X(sback) - cx) + F.abs(st.ST_Y(sback) - cy), 6)
+    )
+    nad_crs = f"+proj=longlat +ellps=clrk66 +nadgrids={_crs_affine_gsb()},null"
+    nad = st.ST_Transform(F.col("geom"), F.lit(nad_crs), F.lit("EPSG:4326"))
+    return pts.select(
+        "c_custkey",
+        F.round(st.ST_X(kro), 3).alias("kro_e"),
+        F.round(st.ST_Y(kro), 3).alias("kro_n"),
+        kro_rt.alias("kro_rt_err"),
+        stere_rt.alias("stere_rt_err"),
+        F.round(st.ST_X(nad), 7).alias("nad_lon"),
+        F.round(st.ST_Y(nad), 7).alias("nad_lat"),
+    )
+
+
 def _q_doc_ppl(spark, sf_dir):
     """CCNet-style bigram-LM perplexity per document (operators/lm.py):
     self-trained add-one bigram LM with a 16-word vocabulary (small so the
@@ -3424,6 +3496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_buffer_area": _q_st_buffer_area,
         "union_aggr_nation": _q_union_aggr_nation,
         "st_transform_roundtrip": _q_st_transform_roundtrip,
+        "crs_kernels": _q_crs_kernels,
         "doc_ppl": _q_doc_ppl,
         "doc_dsir": _q_doc_dsir,
         "doc_quality_lr": _q_doc_quality_lr,
@@ -4776,6 +4849,41 @@ def oracle_sql() -> dict[str, str]:
             f"      AND {_CY} >= -60.0 AND {_CY} <= -5.0 "
             f"THEN CAST(0.0 AS DOUBLE) ELSE NULL END AS tmerc_rt_err "
             f"FROM customer c"
+        ),
+        # round-5 CRS kernels: Krovak (EPSG 9819) forward recomputed
+        # closed-form with the EPSG GN 7-2 constants inlined (exact
+        # shortest-repr doubles); roundtrip pipelines pinned to 0; the
+        # NTv2 grid shift over the synthetic AFFINE grid recomputed
+        # exactly (bilinear of an affine field is the affine field)
+        "crs_kernels": (
+            "WITH p AS (SELECT c_custkey, "
+            f"  {_CX} AS cx, {_CY} AS cy, "
+            "  radians(CAST(13.0 AS DOUBLE) + ((c_custkey*7) % 600)*CAST(0.01 AS DOUBLE) + CAST(0.005 AS DOUBLE)) AS lam, "
+            "  radians(CAST(48.5 AS DOUBLE) + ((c_custkey*13) % 300)*CAST(0.01 AS DOUBLE) + CAST(0.005 AS DOUBLE)) AS phi "
+            "FROM customer c), "
+            "k1 AS (SELECT *, 0.08169683122252751*sin(phi) AS es FROM p), "
+            "k2 AS (SELECT *, "
+            "  2*(atan(1.0034191639671806"
+            "     * pow(tan(phi/2 + pi()/4), 1.0005974983716484)"
+            "     / pow((1+es)/(1-es), 0.0408728224730759)) - pi()/4) AS u, "
+            "  1.0005974983716484*(0.43342343091192514 - lam) AS v FROM k1), "
+            "k3 AS (SELECT *, asin(0.8634999695344369*sin(u)"
+            "       + 0.5043488897717796*cos(u)*cos(v)) AS t FROM k2), "
+            "k4 AS (SELECT *, 0.9799247046208296*asin(cos(u)*sin(v)/cos(t)) AS th, "
+            "  12310230.127817051 / pow(tan(t/2 + pi()/4), 0.9799247046208296) AS r FROM k3), "
+            "n1 AS (SELECT *, "
+            "  (cy*3600 - 108000)/1800 AS fr, ((-cx)*3600 - 324000)/1800 AS fc, "
+            "  (cx >= -110.0 AND cx <= -90.0 AND cy >= 30.0 AND cy <= 50.0) AS ing "
+            "FROM k4) "
+            "SELECT c_custkey, "
+            "  round(-(r*sin(th)), 3) AS kro_e, "
+            "  round(-(r*cos(th)), 3) AS kro_n, "
+            "  CAST(0.0 AS DOUBLE) AS kro_rt_err, "
+            "  CASE WHEN cx >= -25.0 AND cx <= 35.0 AND cy >= 22.0 AND cy <= 82.0 "
+            "       THEN CAST(0.0 AS DOUBLE) ELSE NULL END AS stere_rt_err, "
+            "  round(CASE WHEN ing THEN cx - (-12 + fr/32 + fc/16)/3600 ELSE cx END, 7) AS nad_lon, "
+            "  round(CASE WHEN ing THEN cy + (8 + fr/16 + fc/32)/3600 ELSE cy END, 7) AS nad_lat "
+            "FROM n1"
         ),
         # add-one bigram LM trained and scored on the same corpus
         # (operators/lm.py semantics recomputed end-to-end: top-16 vocab by

@@ -2199,6 +2199,18 @@ def _to_lonlat_fn(tag):
         return lambda a: a
     if tag == "WM":
         return _webmercator_to_lonlat
+    if tag[0] == "LLD":
+        # geographic CRS on another datum: shift only, no projection
+
+        def fd(arr, _p=tag[1]):
+            ellps, towgs84 = _p
+            a_, f_ = _proj.ELLIPSOIDS[ellps.upper()]
+            out = arr.copy()
+            out[:, 0], out[:, 1] = _proj.datum_shift_to_wgs84(
+                arr[:, 0], arr[:, 1], a_, f_, towgs84)
+            return out
+
+        return fd
     if tag[0] == "LAEA":
 
         def fl(arr, _p=tag[1]):
@@ -2313,6 +2325,17 @@ def _from_lonlat_fn(tag):
         return lambda a: a
     if tag == "WM":
         return _lonlat_to_webmercator
+    if tag[0] == "LLD":
+
+        def fd(arr, _p=tag[1]):
+            ellps, towgs84 = _p
+            a_, f_ = _proj.ELLIPSOIDS[ellps.upper()]
+            out = arr.copy()
+            out[:, 0], out[:, 1] = _proj.datum_shift_from_wgs84(
+                arr[:, 0], arr[:, 1], a_, f_, towgs84)
+            return out
+
+        return fd
     if tag[0] == "LAEA":
 
         def fl(arr, _p=tag[1]):

@@ -1099,7 +1099,8 @@ TMERC_CRS = {
 
 def parse_proj4(s: str):
     """Parse a proj4 string into the engine's transform tag — the same tag
-    vocabulary functions/st.py dispatches on: 'LL' | 'WM' |
+    vocabulary functions/st.py dispatches on: 'LL' |
+    ('LLD', (ellps, towgs84-or-nadgrids)) | 'WM' |
     ('UTM', zone, north) | ('MERC', (lon0, k0, fe, fn)) |
     ('PS', (lon0, k0, north, fe, fn)) | ('LAEA', (lon0, lat0, fe, fn)) |
     ('CONIC', (kind, lat1, lat2, lat0, lon0, fe, fn, k0, ellps, towgs84)) |
@@ -1161,8 +1162,9 @@ def parse_proj4(s: str):
     if proj == "krovak" and "ellps" not in kv:
         ellps = "BESSEL"  # PROJ's krovak default
     if proj in ("tmerc", "sterea", "lcc", "aea", "omerc", "somerc", "krovak",
-                "stere"):
-        # these kernels are ellipsoid-parameterized
+                "stere", "longlat", "latlong", "lonlat"):
+        # these kernels are ellipsoid-parameterized (longlat: the
+        # ellipsoid feeds the geocentric hop of a +towgs84 Helmert)
         if ellps not in ELLIPSOIDS:
             raise NotImplementedError(
                 f"unknown ellipsoid {ellps!r} (supported: {sorted(ELLIPSOIDS)})"
@@ -1185,6 +1187,19 @@ def parse_proj4(s: str):
         return ("OBLST", (f("lat_0"), f("lon_0"), k0, f("x_0"), f("y_0"),
                           ellps, towgs84))
     if proj in ("longlat", "latlong", "lonlat"):
+        # A geographic CRS on another DATUM: NAD27 lon/lat -> WGS84 goes
+        # through the shift alone, no projection (PROJ: `+proj=longlat
+        # +ellps=clrk66 +nadgrids=...` / `+towgs84=...`). An +ellps
+        # without any shift is ambiguous — geographic coordinates carry
+        # no datum info of their own — so it raises rather than silently
+        # returning identity.
+        if towgs84 is not None:
+            return ("LLD", (ellps, towgs84))
+        if ellps not in ("WGS84", "GRS80"):
+            raise NotImplementedError(
+                f"+proj=longlat +ellps={ellps!r} without +towgs84/+nadgrids "
+                f"is ambiguous (no datum shift defined); add the shift"
+            )
         return "LL"
     if proj == "webmerc":
         return "WM"

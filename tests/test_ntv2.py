@@ -189,3 +189,65 @@ class TestProj4Pipeline:
                   row["back"].replace("POINT (", "").rstrip(")").split()]
         assert bx == pytest.approx(IN_LON, abs=1e-9)
         assert by == pytest.approx(IN_LAT, abs=1e-9)
+
+
+class TestLonglatDatum:
+    """Round 5: +proj=longlat with a datum (the 'LLD' tag) — a geographic
+    CRS on another datum transforms through the shift ALONE (PROJ treats
+    `+proj=longlat +ellps=clrk66 +nadgrids=...` as NAD27 geographic)."""
+
+    def test_parse_forms(self, tmp_path):
+        p = str(tmp_path / "n.gsb")
+        ntv2.write_gsb(p, [_grid()])
+        assert proj.parse_proj4("+proj=longlat") == "LL"
+        assert proj.parse_proj4("+proj=longlat +ellps=GRS80") == "LL"
+        tag = proj.parse_proj4(f"+proj=longlat +ellps=clrk66 +nadgrids={p}")
+        assert tag == ("LLD", ("CLRK66", ("nadgrids", p)))
+        tag = proj.parse_proj4("+proj=longlat +ellps=bessel +towgs84=589,76,480")
+        assert tag == ("LLD", ("BESSEL",
+                               (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)))
+        # an +ellps alone carries no datum info: identity would be wrong
+        with pytest.raises(NotImplementedError, match="ambiguous"):
+            proj.parse_proj4("+proj=longlat +ellps=bessel")
+
+    def test_st_transform_geographic_shift(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from sedona_db_spark.functions import st
+
+        p = str(tmp_path / "g.gsb")
+        ntv2.write_gsb(p, [_grid()])
+        crs = f"+proj=longlat +ellps=clrk66 +nadgrids={p},null"
+        df = spark.createDataFrame(
+            [(IN_LON, IN_LAT), (100.0, 45.0)], "x double, y double")
+        rows = (df.select(
+            F.col("x"), F.col("y"),
+            st.ST_Transform(st.ST_Point("x", "y"),
+                            F.lit(crs), F.lit("EPSG:4326")).alias("g"))
+            .select("x", "y", st.ST_X("g").alias("lon"),
+                    st.ST_Y("g").alias("lat"))
+            .orderBy("x").collect())
+        # in-grid: NAD27->WGS84 shift applied (dlat=+1", dlon=2" west)
+        assert rows[0]["lon"] == pytest.approx(IN_LON - 2.0 / 3600.0,
+                                               abs=1e-12)
+        assert rows[0]["lat"] == pytest.approx(IN_LAT + 1.0 / 3600.0,
+                                               abs=1e-12)
+        # out-of-grid falls through the `null` zero-shift entry
+        assert rows[1]["lon"] == 100.0 and rows[1]["lat"] == 45.0
+
+    def test_helmert_longlat_roundtrip(self, spark):
+        from pyspark.sql import functions as F
+
+        from sedona_db_spark.functions import st
+
+        crs = "+proj=longlat +ellps=bessel +towgs84=589,76,480"
+        df = spark.createDataFrame([(14.5, 50.0)], "x double, y double")
+        row = (df.select(st.ST_Transform(
+                   st.ST_Transform(st.ST_Point("x", "y"),
+                                   F.lit("EPSG:4326"), F.lit(crs)),
+                   F.lit(crs), F.lit("EPSG:4326")).alias("g"))
+               .select(st.ST_X("g").alias("lon"), st.ST_Y("g").alias("lat"))
+               .collect()[0])
+        # geocentric<->geodetic iteration leaves ~1e-8 deg (~1 mm)
+        assert row["lon"] == pytest.approx(14.5, abs=1e-7)
+        assert row["lat"] == pytest.approx(50.0, abs=1e-7)
