@@ -790,6 +790,32 @@ def _q_knn_geog_k3(spark, sf_dir):
     return j.select("c_custkey", "s_suppkey", F.col("knn_rank").cast("int").alias("knn_rank"))
 
 
+def _q_sql_sjoin_or_and(spark, sf_dir):
+    """SQL-surface OR-of-AND join condition (round 5): each OR arm is an
+    AND group — its spatial conjunct drives an indexed spatial-join
+    branch, its non-spatial conjuncts filter that branch only, and later
+    branches exclude pairs the earlier FULL arm expressions (spatial AND
+    residual) already matched, so multiplicities stay exact.  Analogue of
+    the reference's optimizer composing with arbitrary boolean trees
+    (rust/sedona-spatial-join/src/optimizer.rs:131-420)."""
+    import sedona_db_spark as sd
+
+    con = sd.connect(spark)
+    _cust_pts(spark, sf_dir).select("c_custkey", "geom").createOrReplaceTempView(
+        "__cust_pts_sql"
+    )
+    _supp_pts(spark, sf_dir).select("s_suppkey", "geom").createOrReplaceTempView(
+        "__supp_pts_sql"
+    )
+    return con.sql(
+        "SELECT c.c_custkey AS c_custkey, s.s_suppkey AS s_suppkey "
+        "FROM __cust_pts_sql c JOIN __supp_pts_sql s "
+        "ON (ST_DWithin(c.geom, s.geom, 4.95) AND s.s_suppkey % 2 = 0) "
+        "OR (ST_DWithin(c.geom, s.geom, 9.9) AND c.c_custkey % 3 = 0) "
+        "ORDER BY c_custkey, s_suppkey"
+    )
+
+
 def _q_sql_sjoin_within(spark, sf_dir):
     """SQL-surface spatial join: `JOIN ... ON ST_Within(...)` routed through
     the two-phase spatial_join plan by the SQL pre-planner
@@ -3437,6 +3463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_sjoin_within": _q_sql_sjoin_within,
         "sql_sjoin_exists": _q_sql_sjoin_exists,
         "sql_sjoin_anti": _q_sql_sjoin_anti,
+        "sql_sjoin_or_and": _q_sql_sjoin_or_and,
         "geog_centroid_nation": _q_geog_centroid_nation,
         "geog_maxdist": _q_geog_maxdist,
         "knn_rect_spheroid_k3": _q_knn_rect_spheroid_k3,
@@ -4115,6 +4142,18 @@ def oracle_sql() -> dict[str, str]:
             f" SELECT 1 FROM nation n WHERE {_CX} > {_NX0} AND {_CX} < {_NX0} + 72.0 "
             f" AND {_CY} > {_NY0} AND {_CY} < {_NY0} + 36.0 AND n_nationkey < 10) "
             f"ORDER BY c_custkey"
+        ),
+        # OR-of-AND join condition: plain boolean recompute over the
+        # euclidean point distance (the planner's union-with-exclusion
+        # must reproduce exactly these pairs, multiplicities included)
+        "sql_sjoin_or_and": (
+            f"SELECT c.c_custkey AS c_custkey, s.s_suppkey AS s_suppkey "
+            f"FROM customer c CROSS JOIN supplier s "
+            f"WHERE (sqrt(({_CX}-{_SX})*({_CX}-{_SX}) + ({_CY}-{_SY})*({_CY}-{_SY})) <= CAST(4.95 AS DOUBLE) "
+            f"       AND s_suppkey % 2 = 0) "
+            f"   OR (sqrt(({_CX}-{_SX})*({_CX}-{_SX}) + ({_CY}-{_SY})*({_CY}-{_SY})) <= CAST(9.9 AS DOUBLE) "
+            f"       AND c_custkey % 3 = 0) "
+            f"ORDER BY c_custkey, s_suppkey"
         ),
         "geog_centroid_nation": (
             f"SELECT c_nationkey, "

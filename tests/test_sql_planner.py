@@ -359,6 +359,43 @@ def test_or_join_mixed_predicates(con, tables):
     assert df.collect()[0]["cnt"] == 400
 
 
+def test_or_of_and_arms(con, tables, sup_table, spark):
+    """Round 5: OR arms may be AND groups — the spatial conjunct drives an
+    indexed branch, non-spatial conjuncts filter that branch only, and
+    branch exclusion uses the FULL prior arm expression."""
+    import math
+
+    pts, admin = tables
+    sup, sx, sy = sup_table
+    df = con.sql(
+        "SELECT p.pid AS pid, s.sid AS sid FROM pts_t p JOIN sup_t s "
+        "ON (ST_DWithin(p.geom, s.sgeom, 9.0) AND s.sid % 2 = 0) "
+        "OR (ST_DWithin(p.geom, s.sgeom, 4.0) AND p.pid % 3 = 0) "
+        "ORDER BY pid, sid")
+    plan = _plan_of(df)
+    assert "CartesianProduct" not in plan
+    got = [(r["pid"], r["sid"]) for r in df.collect()]
+    px = {r["pid"]: (r["lon"], r["lat"]) for r in pts.collect()}
+    want = sorted(
+        (i, j) for i in px for j in range(80)
+        if (math.hypot(px[i][0] - sx[j], px[i][1] - sy[j]) <= 9.0
+            and j % 2 == 0)
+        or (math.hypot(px[i][0] - sx[j], px[i][1] - sy[j]) <= 4.0
+            and i % 3 == 0))
+    assert got == want
+
+
+def test_or_arm_with_spatial_residual_falls_back(con, tables, spark):
+    from sedona_db_spark.plans.sql_planner import plan_spatial_sql
+
+    out = plan_spatial_sql(
+        spark,
+        "SELECT p.pid FROM pts_t p JOIN admin_t a "
+        "ON (ST_Within(p.geom, a.geometry) AND ST_Touches(p.geom, a.geometry)) "
+        "OR ST_Overlaps(p.geom, a.geometry)")
+    assert out is None
+
+
 def test_chain_with_outer_step_falls_back(con, tables, sup_table, spark):
     from sedona_db_spark.plans.sql_planner import plan_spatial_sql
 
