@@ -2458,7 +2458,10 @@ def _st_transform(s: pd.Series, from_crs: pd.Series, to_crs: pd.Series) -> pd.Se
         if fa is None or ta is None:
             raise NotImplementedError(
                 f"ST_Transform supports EPSG:4326/OGC:CRS84, EPSG:3857, "
-                f"UTM EPSG:326xx/327xx, EPSG:3035 (LAEA), the conic grids "
+                f"UTM EPSG:326xx/327xx (plus the ETRS89/NAD83/GDA94 zone "
+            f"families EPSG:258xx/269xx/283xx and the single-zone grids "
+            f"EPSG:3067 TM35FIN / EPSG:2180 Poland CS92), EPSG:3035 "
+            f"(LAEA), the conic grids EPSG:3112 (GDA94 Lambert) / "
                 f"EPSG:2154/3978/3034 (Lambert Conformal Conic) / "
                 f"EPSG:5070 (Albers), polar stereographic "
                 f"EPSG:3031/3413/3976/5041/5042/32661/32761, "

@@ -452,6 +452,9 @@ CONIC_CRS = {
     "EPSG:27572": ("lcc", 46.8, 46.8, 46.8, 2.0 + 20.0 / 60 + 14.025 / 3600,
                    600_000.0, 2_200_000.0,
                    0.99987742, "CLRK80IGN", (-168.0, -60.0, 320.0, 0.0, 0.0, 0.0, 0.0)),
+    # GDA94 / Geoscience Australia Lambert (continental products)
+    "EPSG:3112": ("lcc", -18.0, -36.0, 0.0, 134.0, 0.0, 0.0,
+                  1.0, "GRS80", None),
 }
 
 
@@ -1094,7 +1097,27 @@ TMERC_CRS = {
     "EPSG:31467": (0.0, 9.0, 1.0, 3_500_000.0, 0.0, "BESSEL",
                    (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)),
     # Amersfoort / RD New is stereographic, not tmerc — intentionally absent.
+    # ETRS89 / TM35FIN (Finland single-zone)
+    "EPSG:3067": (0.0, 27.0, 0.9996, 500_000.0, 0.0, "GRS80", None),
+    # ETRS89 / Poland CS92 (single-zone national grid)
+    "EPSG:2180": (0.0, 19.0, 0.9993, 500_000.0, -5_300_000.0, "GRS80", None),
 }
+
+# The three most common regional UTM datum variants — plain transverse-
+# Mercator zones on GRS80 (ETRS89 / NAD83 / GDA94 all agree with WGS84 to
+# well under a meter; PROJ's no-shift path): ETRS89 / UTM 28N-38N
+# (EPSG:25828-25838), NAD83 / UTM 1N-23N (EPSG:26901-26923), and
+# GDA94 / MGA 48-58 (EPSG:28348-28358, southern false northing).
+for _z in range(28, 39):
+    TMERC_CRS[f"EPSG:258{_z:02d}"] = (
+        0.0, _z * 6.0 - 183.0, 0.9996, 500_000.0, 0.0, "GRS80", None)
+for _z in range(1, 24):
+    TMERC_CRS[f"EPSG:269{_z:02d}"] = (
+        0.0, _z * 6.0 - 183.0, 0.9996, 500_000.0, 0.0, "GRS80", None)
+for _z in range(48, 59):
+    TMERC_CRS[f"EPSG:283{_z:02d}"] = (
+        0.0, _z * 6.0 - 183.0, 0.9996, 500_000.0, 10_000_000.0, "GRS80", None)
+del _z
 
 
 def parse_proj4(s: str):

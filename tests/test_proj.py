@@ -1154,3 +1154,77 @@ class TestObliqueStere:
                           "+towgs84=565.417,50.3319,465.552,-0.398957,"
                           "0.343988,-1.8774,4.0725")
         assert tag[0] == "STEREOBL" and tag[1][5] == "BESSEL"
+
+
+class TestRegionalUtmRegistry:
+    """Round 5: ETRS89/NAD83/GDA94 UTM zone families + TM35FIN, Poland
+    CS92, GDA94 Lambert — registry breadth for the most common regional
+    datum variants (all GRS80, no shift)."""
+
+    def test_zone_families_registered(self):
+        assert proj.TMERC_CRS["EPSG:25832"][1] == 9.0
+        assert proj.TMERC_CRS["EPSG:26918"][1] == -75.0
+        assert proj.TMERC_CRS["EPSG:28355"][1] == 147.0
+        assert proj.TMERC_CRS["EPSG:28355"][4] == 10_000_000.0
+
+    def test_etrs89_utm_matches_wgs84_utm_to_sub_mm(self):
+        # GRS80 and WGS84 differ only in 1/f at the 1e-7 level: the same
+        # zone in EPSG:25832 and EPSG:32632 must agree to < 1 mm
+        lon = np.array([8.5, 9.0, 11.9])
+        lat = np.array([47.1, 54.0, 48.7])
+        p = proj.TMERC_CRS["EPSG:25832"]
+        e1, n1 = proj.tmerc_forward(lon, lat, lat0=p[0], lon0=p[1], k0=p[2],
+                                    fe=p[3], fn=p[4], ellps=p[5])
+        e2, n2 = proj.utm_forward(lon, lat, 32, True)
+        assert np.max(np.abs(e1 - e2)) < 1e-3
+        assert np.max(np.abs(n1 - n2)) < 1e-3
+
+    def test_mga_zone_matches_southern_utm(self):
+        lon = np.array([147.3, 145.1])
+        lat = np.array([-37.8, -42.9])
+        p = proj.TMERC_CRS["EPSG:28355"]
+        e1, n1 = proj.tmerc_forward(lon, lat, lat0=p[0], lon0=p[1], k0=p[2],
+                                    fe=p[3], fn=p[4], ellps=p[5])
+        e2, n2 = proj.utm_forward(lon, lat, 55, False)
+        assert np.max(np.abs(e1 - e2)) < 1e-3
+        assert np.max(np.abs(n1 - n2)) < 1e-3
+
+    def test_single_zone_grids_roundtrip(self):
+        cases = [("EPSG:3067", 25.0, 62.0), ("EPSG:2180", 19.9, 52.2)]
+        for code, lon, lat in cases:
+            p = proj.TMERC_CRS[code]
+            E, N = proj.tmerc_forward(np.array([lon]), np.array([lat]),
+                                      lat0=p[0], lon0=p[1], k0=p[2],
+                                      fe=p[3], fn=p[4], ellps=p[5])
+            lo, la = proj.tmerc_inverse(E, N, lat0=p[0], lon0=p[1], k0=p[2],
+                                        fe=p[3], fn=p[4], ellps=p[5])
+            assert lo[0] == pytest.approx(lon, abs=1e-9)
+            assert la[0] == pytest.approx(lat, abs=1e-9)
+
+    def test_poland_cs92_negative_false_northing(self):
+        # the -5,300,000 m false northing puts all of Poland in positive
+        # six-digit northings well below 1e6
+        p = proj.TMERC_CRS["EPSG:2180"]
+        _, N = proj.tmerc_forward(np.array([19.0]), np.array([52.0]),
+                                  lat0=p[0], lon0=p[1], k0=p[2],
+                                  fe=p[3], fn=p[4], ellps=p[5])
+        assert 0 < N[0] < 1_000_000
+
+    def test_gda94_lambert_roundtrip_and_st_transform(self, spark):
+        from pyspark.sql import functions as F
+
+        from sedona_db_spark.functions import st
+
+        df = spark.createDataFrame([(134.0, -25.0), (147.5, -38.0)],
+                                   "x double, y double")
+        out = (df.select(
+            F.col("x"), F.col("y"),
+            st.ST_Transform(
+                st.ST_Transform(st.ST_Point("x", "y"),
+                                F.lit("EPSG:4326"), F.lit("EPSG:3112")),
+                F.lit("EPSG:3112"), F.lit("EPSG:4326")).alias("g"))
+            .select(F.abs(st.ST_X("g") - F.col("x")).alias("dx"),
+                    F.abs(st.ST_Y("g") - F.col("y")).alias("dy"))
+            .collect())
+        for r in out:
+            assert r["dx"] < 1e-9 and r["dy"] < 1e-9
