@@ -1030,17 +1030,28 @@ def geography_dwithin_join(
     The reference's spatial-join optimizer only rewrites PLANAR joins —
     geography falls back to an exact nested-loop join
     (rust/sedona-spatial-join/src/optimizer.rs:1015-1055 in /root/reference).
-    We improve on that fallback with a LATITUDE-BAND equi-join prefilter:
-    two points within ``distance_m`` on the sphere differ by at most
+    We improve on that fallback with a LAT-LON CELL equi-join prefilter.
+    Latitude: two points within ``distance_m`` differ by at most
     distance_m / 111.19 km in latitude (exactly — a degree of latitude is
-    never shorter than that), so banding by that height and joining each
-    left band against its 3 neighboring right bands keeps the join an
-    equi-join at any scale. The broadcast nested-loop variant remains for
-    small right sides (``strategy='broadcast'``). Longitudes wrap
-    naturally through the haversine refine (points at lon -190 and 170
-    are 0 apart on the sphere), so antimeridian-straddling data joins
-    correctly where a planar join would find nothing — bands are latitude-
-    only, which the antimeridian does not affect."""
+    never shorter than that). Longitude: from the haversine identity
+    sin²(Δλ/2) = (sin²(d/2R) − sin²(Δφ/2)) / (cosφ₁·cosφ₂), any pair
+    within d and with both |φ| ≤ φmax satisfies
+    Δλ ≤ 2·asin(sin(d/2R)/cos φmax), so each latitude band gets its own
+    longitude band width computed from the extreme |φ| reachable by pairs
+    touching it (bands near the poles collapse to a single bucket). The
+    join key is the (latband, lonband) cell; the build side explodes to
+    its ≤9 neighboring cells (deduped), so the candidate join stays an
+    equi-join at any scale and candidate volume tracks output volume
+    instead of |L|·|R_band|. Longitude bands are equal-width modulo 360°,
+    so antimeridian-straddling pairs land in circularly-adjacent cells
+    and survive the prefilter; the haversine refine then measures them
+    correctly where a planar join would find nothing.
+
+    ``strategy='auto'`` picks the broadcast nested loop only when BOTH
+    the build side fits the broadcast cap AND |L|·|R| stays under
+    ~32M pairs — a 64 MB build side can still mean billions of
+    Python-refined pairs (sf1: 150k × 10k = 1.5e9), which is a scale
+    cliff, not a plan."""
     left = fan_out(left)  # broadcast path is shuffle-free for the probe side
     lcols, rcols = left.columns, right.columns
     L = left.select([F.col(c).alias(f"_l_{c}") for c in lcols])
@@ -1053,8 +1064,16 @@ def geography_dwithin_join(
                 stats = R.agg(
                     F.count("*").alias("n"), F.avg(F.length(F.col(rg))).alias("w")
                 ).collect()[0]
-                est = int(stats["n"] or 0) * (float(stats["w"] or 0.0) + 64.0)
-                broadcast_right = est <= BROADCAST_BYTES_CAP
+                n_r = int(stats["n"] or 0)
+                est = n_r * (float(stats["w"] or 0.0) + 64.0)
+                # broadcast here is a NESTED LOOP: every probe row meets
+                # every build row in the Python refine, so cap the PAIR
+                # count, not just the build bytes — a 1 MB build side
+                # against a 150k probe is already 1.5e9 refined pairs
+                broadcast_right = (
+                    est <= BROADCAST_BYTES_CAP
+                    and L.count() * max(n_r, 1) <= _GEOG_NL_PAIRS_CAP
+                )
             except Exception:
                 broadcast_right = False
         strategy = "broadcast" if broadcast_right else "banded"
@@ -1074,22 +1093,100 @@ def geography_dwithin_join(
     if strategy == "broadcast":
         cand = L.crossJoin(F.broadcast(R))
     else:
-        band_deg = max(distance_m / _M_PER_DEG_LAT, 1e-9)
-
-        def lat_band(geom_col):
-            y = _point_y_expr(geom_col)
-            return F.floor(y / F.lit(band_deg)).cast("long")
-
-        Lb = L.withColumn("_band", lat_band(lg))
-        Rb = R.withColumn(
-            "_rband0", lat_band(rg)
-        ).withColumn("_band", F.explode(F.array(
-            F.col("_rband0") - 1, F.col("_rband0"), F.col("_rband0") + 1
-        ))).drop("_rband0")
-        cand = Lb.join(Rb, on="_band", how="inner").drop("_band")
+        cand = _geog_cell_candidates(L, R, lg, rg, distance_m)
 
     out = cand.where(refine(F.col(lg), F.col(rg)))
     return _geography_join_finish(out, L, R, lcols, rcols, how, seed=11)
+
+
+_GEOG_NL_PAIRS_CAP = 32_000_000
+
+
+def _geog_cell_candidates(L, R, lg: str, rg: str, distance_m: float):
+    """(latband, lonband) cell-grid candidate join for spherical dwithin.
+
+    Every expression below the two point-decode UDFs is built-in (stays in
+    whole-stage codegen); the join is a plain equi-join on the cell struct
+    so Spark's hash join / AQE handles distribution and skew. The build
+    side explodes to its ≤9 neighboring cells — ``array_distinct`` keeps
+    each (probe, build) candidate unique when the longitude ring has <3
+    bands, so no dedup pass is needed after the refine.
+
+    Longitude band width per latitude band lb is derived from the
+    haversine bound Δλ ≤ 2·asin(sin(d/2R)/cos φmax) with
+    φmax = (max(|lb|,|lb+1|) + 1)·band_deg — the extreme latitude any
+    member of a qualifying pair touching band lb can reach (the partner
+    may sit one band poleward). Bands where cos φmax ≤ sin(d/2R) have no
+    finite Δλ bound (pole caps) and collapse to one bucket. The ring is
+    divided into nlon = floor(360/Δλmax) EQUAL-width bands (never a
+    narrow seam band at the antimeridian), so |Δλ| ≤ ring width always
+    implies circular band-index distance ≤ 1 and the ±1 explode is
+    sufficient — including for pairs straddling ±180°."""
+    import math as _math
+
+    band_deg = max(distance_m / _M_PER_DEG_LAT, 1e-9)
+    sin_half = _math.sin(min(distance_m / (2.0 * algos.EARTH_RADIUS_M),
+                             _math.pi / 2.0))
+
+    def nlon_expr(lb):
+        phimax = F.least(
+            F.lit(89.999999),
+            (F.greatest(F.abs(lb), F.abs(lb + F.lit(1))) + F.lit(1))
+            * F.lit(band_deg),
+        )
+        cosphi = F.cos(F.radians(phimax))
+        width = F.degrees(
+            F.lit(2.0) * F.asin(F.least(F.lit(1.0), F.lit(sin_half) / cosphi))
+        )
+        return (
+            F.when(cosphi <= F.lit(sin_half), F.lit(1))
+            .otherwise(F.greatest(F.lit(1), F.floor(F.lit(360.0) / width)))
+            .cast("long")
+        )
+
+    def lon_band(lonn, nlon):
+        # equal-width bands: idx = floor(lonn * nlon / 360), clamped for
+        # float edge cases at exactly 360/nlon multiples
+        return F.least(
+            F.floor(lonn * nlon / F.lit(360.0)), nlon - F.lit(1)
+        ).cast("long")
+
+    Lb = (
+        L.withColumn("_gy", _point_y_expr(lg))
+        .withColumn("_gx", _point_x_expr(lg))
+        .withColumn("_lb", F.floor(F.col("_gy") / F.lit(band_deg)).cast("long"))
+    )
+    lonn_l = F.pmod(F.col("_gx") + F.lit(180.0), F.lit(360.0))
+    nlon_l = nlon_expr(F.col("_lb"))
+    Lb = Lb.withColumn(
+        "_cell",
+        F.struct(
+            F.col("_lb").alias("b"), lon_band(lonn_l, nlon_l).alias("l")
+        ),
+    ).drop("_gy", "_gx", "_lb")
+
+    Rb = (
+        R.withColumn("_gy", _point_y_expr(rg))
+        .withColumn("_gx", _point_x_expr(rg))
+        .withColumn("_rb0", F.floor(F.col("_gy") / F.lit(band_deg)).cast("long"))
+    )
+    lonn_r = F.pmod(F.col("_gx") + F.lit(180.0), F.lit(360.0))
+    cells = []
+    for dt in (-1, 0, 1):
+        tb = (F.col("_rb0") + F.lit(dt)).cast("long")
+        nl = nlon_expr(tb)
+        cl0 = lon_band(lonn_r, nl)
+        for dl in (-1, 0, 1):
+            cells.append(
+                F.struct(
+                    tb.alias("b"),
+                    F.pmod(cl0 + F.lit(dl), nl).cast("long").alias("l"),
+                )
+            )
+    Rb = Rb.withColumn(
+        "_cell", F.explode(F.array_distinct(F.array(*cells)))
+    ).drop("_gy", "_gx", "_rb0")
+    return Lb.join(Rb, on="_cell", how="inner").drop("_cell")
 
 
 def _geography_join_finish(out, L, R, lcols, rcols, how: str, seed: int):

@@ -320,3 +320,46 @@ def test_geography_join_type_parity(spark):
     assert dw("full") == sorted([(0, 0), (1, None), (2, None), (None, 1)], key=_k)
     assert sorted(r["pid"] for r in geography_dwithin_join(
         pts, B, 50_000.0, how="left_anti").collect()) == [1, 2]
+
+
+def test_cell_banded_polar_and_dup_free(spark):
+    """Round-5 lat-lon CELL prefilter: near-pole latitude bands collapse
+    to a single longitude bucket (no finite dlon bound there), and the
+    build-side 9-cell explode is array_distinct'ed so each qualifying
+    pair is emitted exactly once."""
+    # polar cluster: all within ~200 km of the pole -> any lon matches
+    ax = [0.0, 90.0, -90.0, 179.0]
+    ay = [89.5, 89.6, 89.7, 89.4]
+    bx = [45.0, -135.0]
+    by = [89.5, 89.8]
+    A = _pts(spark, ax, ay, "aid")
+    B = _pts(spark, bx, by, "bid")
+    d = 300_000.0
+    bc = {(r["aid"], r["bid"]) for r in
+          geography_dwithin_join(A, B, d, strategy="broadcast").collect()}
+    banded_rows = [(r["aid"], r["bid"]) for r in
+                   geography_dwithin_join(A, B, d, strategy="banded").collect()]
+    assert set(banded_rows) == bc and len(bc) > 0
+    assert len(banded_rows) == len(set(banded_rows))  # no dup emissions
+
+
+def test_cell_banded_parity_small_distance(spark):
+    """Small distance -> many lon bands; equal-width ring keeps
+    antimeridian-adjacent cells circularly neighboring."""
+    rng = np.random.default_rng(11)
+    n = 250
+    ax = rng.uniform(170, 190, n)  # straddle the antimeridian
+    ay = rng.uniform(-80, 80, n)
+    bx = rng.uniform(170, 190, n)
+    by = rng.uniform(-80, 80, n)
+    ax = np.where(ax > 180, ax - 360, ax)
+    bx = np.where(bx > 180, bx - 360, bx)
+    A = _pts(spark, ax, ay, "aid")
+    B = _pts(spark, bx, by, "bid")
+    d = 120_000.0
+    bc = {(r["aid"], r["bid"]) for r in
+          geography_dwithin_join(A, B, d, strategy="broadcast").collect()}
+    banded = [(r["aid"], r["bid"]) for r in
+              geography_dwithin_join(A, B, d, strategy="banded").collect()]
+    assert set(banded) == bc
+    assert len(banded) == len(set(banded))
