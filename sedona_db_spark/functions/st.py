@@ -961,15 +961,33 @@ _st_equals = _make_pred_udf(algos.equals)
 
 @pandas_udf(BooleanType())
 def _st_dwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            None
-            if (x is None or y is None or dd is None)
-            else bool(algos.dwithin(wkb.parse(x), wkb.parse(y), float(dd)))
-            for x, y, dd in zip(a, b, d)
-        ],
-        dtype=object,
-    )
+    """Point×point pairs take a vectorized decode + np.hypot compare —
+    np.hypot is exactly what algos.distance computes for two points, so
+    the fast path is bit-identical to the generic route. This is the hot
+    shape: join-planner branch-exclusion filters and WHERE clauses
+    evaluate ST_DWithin over millions of candidate pairs (round 5: the
+    per-row wkb.parse loop here was ~50x the whole two-phase join's cost
+    on the sf1 OR-of-AND query). Non-point / null rows fall back row by
+    row to the generic parser, preserving semantics exactly."""
+    la, lb, ld = list(a), list(b), list(d)
+    ax, ay, av = wkb.decode_points_xy(la)
+    bx, by, bv = wkb.decode_points_xy(lb)
+    n = len(la)
+    out = [None] * n
+    fast = av & bv
+    if fast.any():
+        dd = np.array(
+            [np.nan if v is None else float(v) for v in ld], dtype=np.float64
+        )
+        ok = np.hypot(ax - bx, ay - by) <= dd  # NaN coords/d -> False
+        for i in np.nonzero(fast)[0]:
+            out[i] = None if ld[i] is None else bool(ok[i])
+    for i in np.nonzero(~fast)[0]:
+        x, y, dd = la[i], lb[i], ld[i]
+        if x is None or y is None or dd is None:
+            continue
+        out[i] = bool(algos.dwithin(wkb.parse(x), wkb.parse(y), float(dd)))
+    return pd.Series(out, dtype=object)
 
 
 def _make_dist_udf(fn):
@@ -986,7 +1004,31 @@ def _make_dist_udf(fn):
     return f
 
 
-_st_distance = _make_dist_udf(algos.distance)
+@pandas_udf(DoubleType())
+def _st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    """ST_Distance with the same point×point vectorized fast path as
+    ST_DWithin (np.hypot == algos.distance's two-point kernel, including
+    the intersects()->0.0 case since hypot of equal points is 0.0); any
+    other shape falls back to algos.distance row by row. NaN (empty
+    geometry) maps to None exactly like _make_dist_udf does."""
+    la, lb = list(a), list(b)
+    ax, ay, av = wkb.decode_points_xy(la)
+    bx, by, bv = wkb.decode_points_xy(lb)
+    n = len(la)
+    out = [None] * n
+    fast = av & bv
+    if fast.any():
+        hyp = np.hypot(ax - bx, ay - by)
+        for i in np.nonzero(fast)[0]:
+            v = hyp[i]
+            out[i] = None if math.isnan(v) else float(v)
+    for i in np.nonzero(~fast)[0]:
+        x, y = la[i], lb[i]
+        if x is None or y is None:
+            continue
+        v = algos.distance(wkb.parse(x), wkb.parse(y))
+        out[i] = None if (v is not None and math.isnan(v)) else v
+    return pd.Series(out, dtype="float64")
 _st_maxdistance = _make_dist_udf(algos.max_distance)
 _st_hausdorffdistance = _make_dist_udf(algos.hausdorff)
 

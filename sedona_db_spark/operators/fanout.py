@@ -23,6 +23,17 @@ firmly in the regime where one extra shuffle buys back a
 cluster-width of idle cores. At real corpus scale scans carry thousands
 of partitions and the first condition already fails, so this is a
 zero-cost no-op on any healthy input.
+
+Bytes alone are a bad work proxy for key-derived / low-entropy tables:
+parquet dictionary+RLE packs 150k probe rows into ~3 MB, yet each probe
+row of a spatial join fans into dozens of candidate pairs refined in
+Python — single-task cost O(candidates), not O(scan bytes). So the gate
+is two-pronged: fan out when a planned partition carries >= 64 MB of
+input OR >= `min_rows_per_partition` parquet rows (footer metadata only
+— `pyarrow.parquet` reads no data pages; non-parquet or non-local
+inputs skip the row prong). Found round 5: the sf1 OR-of-AND dwithin
+join ran its whole 40M-candidate refine on ONE core because the probe
+scan was a 3 MB single-row-group file.
 """
 
 from __future__ import annotations
@@ -33,6 +44,7 @@ from urllib.parse import unquote, urlparse
 from pyspark.sql import DataFrame
 
 MIN_BYTES_PER_PARTITION = 64 * 1024 * 1024
+MIN_ROWS_PER_PARTITION = 16384
 
 
 def _local_input_bytes(df: DataFrame) -> int:
@@ -59,30 +71,70 @@ def _local_input_bytes(df: DataFrame) -> int:
     return total
 
 
+def _local_input_rows(df: DataFrame):
+    """Total parquet row count of the frame's input files from footer
+    metadata alone, or None when unknown (non-parquet sources, object
+    stores, in-memory frames). Over-counts when the frame filters its
+    scan — acceptable: the only consequence is fanning out a frame whose
+    post-filter row count would not have qualified, i.e. one small extra
+    shuffle, never a missed fan-out on a genuinely heavy scan."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return None
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return None
+        try:
+            total += pq.ParquetFile(unquote(u.path)).metadata.num_rows
+        except Exception:
+            return None
+    return total
+
+
 def fan_out(
     df: DataFrame,
     min_bytes_per_partition: int = MIN_BYTES_PER_PARTITION,
+    min_rows_per_partition: int = MIN_ROWS_PER_PARTITION,
 ) -> DataFrame:
     """Repartition `df` to ``defaultParallelism`` when its planned
     partition count is below it AND each planned partition carries at
-    least ``min_bytes_per_partition`` of input — i.e. only when the scan
+    least ``min_bytes_per_partition`` of input bytes OR
+    ``min_rows_per_partition`` parquet rows — i.e. only when the scan
     genuinely cannot keep the cluster busy and the serial work is large
-    enough to amortize one small shuffle.
+    enough to amortize one small shuffle. The row prong exists because
+    dictionary-compressed parquet hides per-row work from the byte gate
+    (module docstring).
 
     Deterministic-output safe: every caller computes content-derived keys
     downstream, so row placement never affects results.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    # bytes first: if the whole input is under the threshold the guard can
-    # never fire (n >= 1), and we skip the costlier .rdd partition probe
+    # cheap metadata probes first: if neither prong can fire for any
+    # partition count (n >= 1), skip the costlier .rdd partition probe
     nbytes = _local_input_bytes(df)
-    if nbytes < min_bytes_per_partition:
+    nrows = _local_input_rows(df)
+    if nbytes < min_bytes_per_partition and (
+        nrows is None or nrows < min_rows_per_partition
+    ):
         return df
     try:
         n = df.rdd.getNumPartitions()
     except Exception:
         return df
-    if n >= target or nbytes / max(n, 1) < min_bytes_per_partition:
+    if n >= target:
+        return df
+    bytes_ok = nbytes / max(n, 1) >= min_bytes_per_partition
+    rows_ok = nrows is not None and nrows / max(n, 1) >= min_rows_per_partition
+    if not (bytes_ok or rows_ok):
         return df
     return df.repartition(target)

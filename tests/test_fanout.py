@@ -52,3 +52,20 @@ def test_noop_on_memory_frame(spark):
     df = spark.createDataFrame([(i,) for i in range(10)], ["id"])
     out = fan_out(df, min_bytes_per_partition=1)  # no input files -> unknown
     assert out is df
+
+
+def test_row_prong_fires_on_dense_small_bytes(spark, small_parquet):
+    # dictionary-compressed parquet hides work from the byte gate: the
+    # row prong must fire on its own (bytes gate left at 64 MB default)
+    df = spark.read.parquet(small_parquet)
+    assert df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    out = fan_out(df, min_rows_per_partition=500)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted(r["id"] for r in out.collect()) == list(range(1000))
+
+
+def test_row_prong_noop_below_row_threshold(spark, small_parquet):
+    df = spark.read.parquet(small_parquet)
+    n = df.rdd.getNumPartitions()
+    # 1000 rows < default 16384/partition and < 64 MB: both prongs decline
+    assert fan_out(df).rdd.getNumPartitions() == n
