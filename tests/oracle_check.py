@@ -43,7 +43,11 @@ def main():
     # a full CROSS JOIN — 1.5e9 intermediate rows at sf1; the dbscan /
     # cluster_within twins close connected components with a recursive
     # reachability CTE that materializes O(|component|^2) rows, fine on
-    # sf0.01's small clusters but explosive once the sf1 grid connects)
+    # sf0.01's small clusters but explosive once the sf1 grid connects;
+    # the dedup_clusters / corpus_curate twins EMBED the full minhash
+    # pipeline — 24 min of DuckDB on its own at sf1 — inside a recursive
+    # CTE, which DuckDB re-derives per reachability step: >1 h observed
+    # before the round-5 run was cut over to skipping them at sf1)
     # while the Spark side is the thing under test. The full value
     # compare still gates these queries at sf0.01/sf0.1.
     oracle_skip = set(
