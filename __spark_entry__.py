@@ -4691,19 +4691,27 @@ def oracle_sql() -> dict[str, str]:
             "21 AS ms_pt, 177 AS ms_poly FROM customer"
         ),
         # kNN graph: exact cosine top-k per vector minus the self edge
+        # per-query LATERAL top-3 instead of a window over the full cross
+        # join: the global PARTITION BY sort materializes |corpus|^2 rows
+        # (400M at sf1 — DuckDB spilled >80 GB of temp and died); the
+        # lateral form streams one 20k-row sort per query, identical
+        # result by construction (same score expression, same tie-break)
         "knn_graph_edges": (
-            "SELECT query_id, neighbor_id, rank FROM ("
-            "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
-            "  CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "SELECT query_id, neighbor_id, "
+            "  CAST(row_number() OVER (PARTITION BY query_id "
+            "       ORDER BY s DESC, neighbor_id) AS INTEGER) AS rank "
+            "FROM ("
+            "  SELECT q.vec_id AS query_id, t.neighbor_id, t.s "
+            "  FROM embeddings q, LATERAL ("
+            "    SELECT c.vec_id AS neighbor_id, "
             "    list_dot_product(CAST(q.embedding AS DOUBLE[]), "
             "                     CAST(c.embedding AS DOUBLE[])) / "
             "    (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), "
             "                           CAST(q.embedding AS DOUBLE[]))) * "
             "     sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), "
-            "                           CAST(c.embedding AS DOUBLE[])))) DESC, "
-            "    c.vec_id) AS INTEGER) AS rank "
-            "  FROM embeddings q CROSS JOIN embeddings c "
-            "  WHERE q.vec_id <> c.vec_id) WHERE rank <= 3"
+            "                           CAST(c.embedding AS DOUBLE[])))) AS s "
+            "    FROM embeddings c WHERE c.vec_id <> q.vec_id "
+            "    ORDER BY s DESC, c.vec_id LIMIT 3) t)"
         ),
         # Ripley's K: ordered-pair counts within each radius, scaled by
         # bbox-area / n^2 (L = sqrt(K/pi))

@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 from .fanout import fan_out
 
@@ -110,6 +110,154 @@ def _train_centroids(corpus: DataFrame, vec_col: str, nlists: int, sample: int,
     return C
 
 
+def _vec_matrix(vals, dim):
+    """(matrix, valid_mask, dim) from a list of array-typed cells. Rows
+    that are None, hold null elements, or disagree with ``dim`` (the
+    query side's dimension — zip_with pads mismatches with nulls, i.e. a
+    NULL score under the SQL fold) are masked invalid; the fast path is
+    one 2-D ndarray construction, the per-row path only runs on ragged
+    input."""
+    n = len(vals)
+    if n:
+        try:
+            M = np.array([np.asarray(v, dtype=np.float64) for v in vals])
+            if M.ndim == 2 and (dim is None or M.shape[1] == dim):
+                return M, np.ones(n, dtype=bool), M.shape[1]
+        except (ValueError, TypeError):
+            pass
+    ok = np.zeros(n, dtype=bool)
+    parsed = [None] * n
+    dims = []
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        try:
+            a = np.asarray(list(v), dtype=np.float64)
+        except (ValueError, TypeError):
+            continue
+        parsed[i] = a
+        dims.append(len(a))
+    if dim is None:
+        dim = max(set(dims), key=dims.count) if dims else 0
+    M = np.zeros((n, dim))
+    for i, a in enumerate(parsed):
+        if a is not None and len(a) == dim:
+            M[i] = a
+            ok[i] = True
+    return M, ok, dim
+
+
+def _seq_sq_norm(M: np.ndarray) -> np.ndarray:
+    """sqrt of the dimension-SEQUENTIAL sum of squares — bit-identical to
+    the `_norm` F.aggregate left fold (summation order matters for the
+    oracle value-hash on near-tie ranks)."""
+    acc = np.zeros(M.shape[0])
+    for j in range(M.shape[1]):
+        acc = acc + M[:, j] * M[:, j]
+    return np.sqrt(acc)
+
+
+def _bucket_topk_kernel(k: int):
+    """Cogrouped (queries x corpus) scorer for one IVF bucket: blocked
+    dimension-sequential cosine scores, running per-query top-k merged
+    chunk by chunk, null-score fillers only where a query holds fewer
+    than k finite candidates. Emits <= (k per query per bucket) rows —
+    the pre-shuffle reduction that keeps the global window tiny."""
+
+    QB, CB = 1024, 8192
+
+    def kernel(qdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series([], dtype=object),
+             "neighbor_id": pd.Series([], dtype=object),
+             "score": pd.Series([], dtype="Float64")}
+        )
+        if len(qdf) == 0 or len(cdf) == 0:
+            return empty
+        Q, qok, dim = _vec_matrix(qdf["_qv"].tolist(), None)
+        C, cok, _ = _vec_matrix(cdf["_cv"].tolist(), dim)
+        qids = qdf["query_id"].tolist()
+        nids = cdf["neighbor_id"].tolist()
+        all_nids_sorted = sorted(nids)
+        inv_nids_sorted = sorted(
+            nid for nid, o in zip(nids, cok) if not o)
+        vci = np.nonzero(cok)[0]
+        Cv = C[vci]
+        vnids = [nids[i] for i in vci]
+        ncv = _seq_sq_norm(Cv)
+        nq = _seq_sq_norm(Q)
+        oq, on, os_ = [], [], []
+
+        def emit(qid, nid, s):
+            oq.append(qid)
+            on.append(nid)
+            os_.append(s)
+
+        for i in np.nonzero(~qok)[0]:
+            # invalid query: every pair scores NULL under the SQL fold;
+            # nulls-last + neighbor-asc keeps the k smallest ids
+            for nid in all_nids_sorted[:k]:
+                emit(qids[i], nid, None)
+
+        qvi = np.nonzero(qok)[0]
+        for b0 in range(0, len(qvi), QB):
+            bidx = qvi[b0:b0 + QB]
+            Qb, nqb = Q[bidx], nq[bidx]
+            m = len(bidx)
+            run_s = [np.empty(0)] * m          # per-query running top-k
+            run_i = [[] for _ in range(m)]
+            nonfin = [None] * m                # k-smallest null-score ids
+            for c0 in range(0, len(Cv), CB):
+                Cb = Cv[c0:c0 + CB]
+                cids = vnids[c0:c0 + CB]
+                S = np.zeros((m, len(Cb)))
+                for j in range(dim):
+                    # dimension-sequential: same IEEE result as the
+                    # F.aggregate fold this kernel replaces
+                    S = S + Qb[:, j:j + 1] * Cb[None, :, j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = S / (nqb[:, None] * ncv[None, c0:c0 + CB])
+                fin = np.isfinite(S)
+                if not fin.all():
+                    for r, ci in zip(*np.nonzero(~fin)):
+                        cur = nonfin[r] or []
+                        cur.append(cids[ci])
+                        nonfin[r] = sorted(cur)[:k]
+                    S = np.where(fin, S, -np.inf)
+                for r in range(m):
+                    s = np.concatenate([run_s[r], S[r]])
+                    ids = run_i[r] + cids
+                    if len(s) > k:
+                        try:
+                            order = np.lexsort((ids, -s))[:k]
+                        except TypeError:  # non-numeric ids
+                            order = sorted(
+                                range(len(s)), key=lambda t: (-s[t], ids[t])
+                            )[:k]
+                        run_s[r] = s[order]
+                        run_i[r] = [ids[t] for t in order]
+                    else:
+                        run_s[r], run_i[r] = s, ids
+            for r in range(m):
+                qid = qids[bidx[r]]
+                n_fin = 0
+                for s, nid in zip(run_s[r], run_i[r]):
+                    if s > -np.inf:
+                        emit(qid, nid, float(s))
+                        n_fin += 1
+                if n_fin < k:
+                    fillers = sorted((nonfin[r] or []) + inv_nids_sorted)
+                    for nid in fillers[: k - n_fin]:
+                        emit(qid, nid, None)
+        return pd.DataFrame(
+            {"query_id": pd.Series(oq, dtype=object),
+             "neighbor_id": pd.Series(on, dtype=object),
+             "score": pd.Series(os_, dtype="Float64")}
+        )
+
+    return kernel
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -190,9 +338,31 @@ def ivf_topk(
         .withColumn("_list", F.explode("_probe"))
         .drop("_probe")
     )
-    cand = F.broadcast(q).join(c, "_list").drop("_list")
-    score = _dot("_qv", "_cv") / (_norm("_qv") * _norm("_cv"))
-    scored = cand.withColumn("score", score).dropDuplicates(["query_id", "neighbor_id"])
+    # --- per-bucket blocked scoring with PRE-SHUFFLE partial top-k --------
+    # Round 5 sf1 lesson: the old shape (broadcast probe join -> JVM
+    # zip_with/aggregate dot -> dropDuplicates -> window) materialized the
+    # FULL candidate pair stream through two shuffles — 400M rows when
+    # nprobe == nlists on a 20k corpus, 18+ min where DuckDB brute-forces
+    # in 9. The scale-correct plan computes scores bucket-by-bucket in a
+    # cogrouped Arrow kernel (blocked numpy, running top-k per query), so
+    # the only rows that ever hit a shuffle are <= |queries| * nprobe * k
+    # pre-reduced candidates. Parallelism = nlists (size nlists to the
+    # cluster; buckets are quantizer-balanced). Exact same results: the
+    # kernel accumulates dot and norms dimension-sequentially, which is
+    # bit-identical to the F.aggregate left fold it replaces, and
+    # non-finite scores (zero norms, NaN elements, dim mismatches — NULL
+    # under the SQL fold's zip_with padding) are emitted as null fillers
+    # only when a query has fewer than k finite candidates, exactly the
+    # rows the old nulls-last window would have kept.
+    out = q.groupBy("_list").cogroup(c.groupBy("_list")).applyInPandas(
+        _bucket_topk_kernel(k),
+        StructType([
+            StructField("query_id", q.schema["query_id"].dataType),
+            StructField("neighbor_id", c.schema["neighbor_id"].dataType),
+            StructField("score", DoubleType()),
+        ]),
+    )
+    scored = out.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
