@@ -875,6 +875,44 @@ def _q_sql_sjoin_anti(spark, sf_dir):
         "ORDER BY c_custkey")
 
 
+def _q_sql_sjoin_exists_corr(spark, sf_dir):
+    """Correlated spatial EXISTS with a correlated NON-spatial conjunct
+    (round 5b, VERDICT r4 missing #3 leftover): the planner runs the
+    two-phase spatial join INNER, applies the correlated conjunct as a
+    post-join filter, and reduces to duplicate-exact semi semantics —
+    DataFusion's decorrelation handles this shape (optimizer.rs), vanilla
+    Catalyst rejects the Python-UDF semi-join ON clause."""
+    import sedona_db_spark as sd
+
+    con = sd.connect(spark)
+    _cust_pts(spark, sf_dir).select("c_custkey", "geom").createOrReplaceTempView(
+        "__cust_ex_sql")
+    _nation_boxes(spark, sf_dir).select("n_nationkey", "geom").createOrReplaceTempView(
+        "__nation_ex_sql")
+    return con.sql(
+        "SELECT c.c_custkey AS c_custkey FROM __cust_ex_sql c WHERE EXISTS ("
+        " SELECT 1 FROM __nation_ex_sql n "
+        " WHERE ST_Within(c.geom, n.geom) AND n.n_nationkey % 3 = c.c_custkey % 3) "
+        "ORDER BY c_custkey")
+
+
+def _q_sql_sjoin_anti_corr(spark, sf_dir):
+    """NOT EXISTS variant of the correlated-conjunct plan: match set
+    null-safe-anti-joined back against the probe side (round 5b)."""
+    import sedona_db_spark as sd
+
+    con = sd.connect(spark)
+    _cust_pts(spark, sf_dir).select("c_custkey", "geom").createOrReplaceTempView(
+        "__cust_ex_sql")
+    _nation_boxes(spark, sf_dir).select("n_nationkey", "geom").createOrReplaceTempView(
+        "__nation_ex_sql")
+    return con.sql(
+        "SELECT c.c_custkey AS c_custkey FROM __cust_ex_sql c WHERE NOT EXISTS ("
+        " SELECT 1 FROM __nation_ex_sql n "
+        " WHERE ST_Within(c.geom, n.geom) AND n.n_nationkey % 3 = c.c_custkey % 3) "
+        "ORDER BY c_custkey")
+
+
 def _q_knn_rect_spheroid_k3(spark, sf_dir):
     """Spheroid kNN with a RECT build side (round-2 VERDICT item 9): 3
     nearest nation boxes per customer by exact spherical point->lat/lon-
@@ -3463,6 +3501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_sjoin_within": _q_sql_sjoin_within,
         "sql_sjoin_exists": _q_sql_sjoin_exists,
         "sql_sjoin_anti": _q_sql_sjoin_anti,
+        "sql_sjoin_exists_corr": _q_sql_sjoin_exists_corr,
+        "sql_sjoin_anti_corr": _q_sql_sjoin_anti_corr,
         "sql_sjoin_or_and": _q_sql_sjoin_or_and,
         "geog_centroid_nation": _q_geog_centroid_nation,
         "geog_maxdist": _q_geog_maxdist,
@@ -4141,6 +4181,20 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT c_custkey FROM customer c WHERE NOT EXISTS ("
             f" SELECT 1 FROM nation n WHERE {_CX} > {_NX0} AND {_CX} < {_NX0} + 72.0 "
             f" AND {_CY} > {_NY0} AND {_CY} < {_NY0} + 36.0 AND n_nationkey < 10) "
+            f"ORDER BY c_custkey"
+        ),
+        "sql_sjoin_exists_corr": (
+            f"SELECT c_custkey FROM customer c WHERE EXISTS ("
+            f" SELECT 1 FROM nation n WHERE {_CX} > {_NX0} AND {_CX} < {_NX0} + 72.0 "
+            f" AND {_CY} > {_NY0} AND {_CY} < {_NY0} + 36.0 "
+            f" AND n_nationkey % 3 = c_custkey % 3) "
+            f"ORDER BY c_custkey"
+        ),
+        "sql_sjoin_anti_corr": (
+            f"SELECT c_custkey FROM customer c WHERE NOT EXISTS ("
+            f" SELECT 1 FROM nation n WHERE {_CX} > {_NX0} AND {_CX} < {_NX0} + 72.0 "
+            f" AND {_CY} > {_NY0} AND {_CY} < {_NY0} + 36.0 "
+            f" AND n_nationkey % 3 = c_custkey % 3) "
             f"ORDER BY c_custkey"
         ),
         # OR-of-AND join condition: plain boolean recompute over the

@@ -693,10 +693,12 @@ def _plan_exists(spark: SparkSession, sql: str, masked: str) -> Optional[DataFra
     ST_Pred(a.g, b.g) [AND inner-only conjuncts]) [AND residual] [tail]``
     → two-phase spatial join with ``how='left_semi'`` / ``'left_anti'``.
 
-    Inner conjuncts other than the spatial one must reference ONLY the
-    inner table (they pre-filter the build side — same semantics under
-    EXISTS and NOT EXISTS); any correlated non-spatial conjunct falls
-    back to vanilla Catalyst.  Returns None when the shape doesn't match.
+    Inner-only conjuncts pre-filter the build side (same semantics under
+    EXISTS and NOT EXISTS).  Correlated NON-spatial conjuncts
+    (``AND n.x = c.y``) run the join INNER, filter post-join, and reduce
+    to semi/anti with duplicate-exact multiplicities (round 5b).  A
+    second correlated SPATIAL conjunct raises with guidance.  Returns
+    None when the shape doesn't match.
     """
     mo = _EXISTS_OUTER_RE.search(masked)
     if mo is None:
@@ -790,24 +792,31 @@ def _plan_exists(spark: SparkSession, sql: str, masked: str) -> Optional[DataFra
             return None  # semi/anti dwithin needs a literal distance
         distance = float(dt)
 
-    # inner-only residuals pre-filter the build side. Correlated
-    # NON-spatial residuals can't: raise with guidance instead of falling
-    # back, because vanilla Catalyst CANNOT run them either — it
+    # inner-only residuals pre-filter the build side.  Correlated
+    # NON-spatial residuals (``AND n.x = c.y`` …) can't pre-filter — they
+    # are planned by running the spatial join as INNER with the probe
+    # columns carried through, applying the correlated conjuncts as a
+    # post-join filter, and reducing to semi/anti semantics afterwards
+    # (round 5b; vanilla Catalyst CANNOT run these shapes either — it
     # decorrelates EXISTS into a semi join and then rejects the spatial
-    # UDF conjunct with UNSUPPORTED_FEATURE.PYTHON_UDF_IN_ON_CLAUSE, a
-    # far more obscure error than this one.
+    # UDF conjunct with UNSUPPORTED_FEATURE.PYTHON_UDF_IN_ON_CLAUSE).
+    # Spatial-function residuals stay unplannable: they would need a
+    # second index pass.
+    corr_res, inner_only = [], []
     for x in inner_res:
         if _refs_outer_table(_mask_strings(x), a1, cols1, a2, cols2):
-            raise NotImplementedError(
-                "spatial EXISTS subquery with a correlated non-spatial "
-                f"conjunct ({x.strip()!r}) is not plannable: the spatial "
-                "planner can only pre-filter the inner table with "
-                "inner-only conjuncts, and vanilla Catalyst rejects "
-                "Python UDFs in a semi-join ON clause. Rewrite as an "
-                "inner spatial join + aggregation, or move the "
-                "correlated conjunct out of the subquery.")
-    if inner_res:
-        res_sql = " AND ".join(f"({x})" for x in inner_res)
+            if re.search(r"\bST_[A-Za-z_0-9]+\s*\(", _mask_strings(x),
+                         re.IGNORECASE):
+                raise NotImplementedError(
+                    "spatial EXISTS subquery with a second correlated "
+                    f"SPATIAL conjunct ({x.strip()!r}) is not plannable: "
+                    "only one spatial predicate can drive the index. "
+                    "Rewrite as an inner spatial join + aggregation.")
+            corr_res.append(x)
+        else:
+            inner_only.append(x)
+    if inner_only:
+        res_sql = " AND ".join(f"({x})" for x in inner_only)
         R = spark.sql(f"SELECT {a2}.* FROM {t2} AS {a2} WHERE {res_sql}")
 
     from ..types import get_geom_meta
@@ -822,6 +831,21 @@ def _plan_exists(spark: SparkSession, sql: str, masked: str) -> Optional[DataFra
 
     Lp = L.select([F.col(cc).alias(f"{a1}__{cc}") for cc in cols1])
     Rp = R.select([F.col(cc).alias(f"{a2}__{cc}") for cc in cols2])
+    if corr_res:
+        # correlated post-filter route: run the join INNER and reduce to
+        # semi/anti below.  The probe side gets a content-derived
+        # multiplicity tag (row_number within identical-content groups —
+        # NOT monotonically_increasing_id, which is recomputation-
+        # dependent) so duplicate probe rows keep exact EXISTS
+        # multiplicities through the distinct.  Cost: one content shuffle
+        # of the probe side — the price of duplicate-exact semantics.
+        from pyspark.sql import Window
+
+        lcols = [f"{a1}__{cc}" for cc in cols1]
+        Lp = Lp.withColumn(
+            "__ex_mult",
+            F.row_number().over(Window.partitionBy(*lcols).orderBy(F.lit(1))))
+        how = "inner"
     if l_edges == "spherical":
         if spatial.kind == "dwithin":
             from ..operators.spatial_join import geography_dwithin_join
@@ -844,6 +868,35 @@ def _plan_exists(spark: SparkSession, sql: str, masked: str) -> Optional[DataFra
             Lp, Rp, predicate=predicate,
             left_geom=f"{a1}__{g_left}", right_geom=f"{a2}__{g_right}",
             how=how, distance=distance)
+
+    if corr_res:
+        # apply the correlated conjuncts over the joined columns, then
+        # reduce: semi = DISTINCT probe rows (+multiplicity tag) with >=1
+        # surviving match — no join-back needed, the probe columns rode
+        # through the inner join; anti = probe rows null-safe-anti-joined
+        # against that match set.
+        _view_counter[0] += 1
+        jview = f"__sedona_exists_j_{_view_counter[0]}"
+        J.createOrReplaceTempView(jview)
+        corr_sql = " AND ".join(f"({x})" for x in corr_res)
+        corr_sql = _substitute_idents(corr_sql, [(a1, cols1), (a2, cols2)])
+        lcols = [f"{a1}__{cc}" for cc in cols1]
+        matched = spark.sql(
+            f"SELECT {', '.join(lcols)}, __ex_mult FROM {jview} "
+            f"WHERE {corr_sql}").dropDuplicates()
+        if negated:
+            # rename the match-set columns before the anti join: matched
+            # shares lineage with Lp, and positionally-renamed columns
+            # sidestep ambiguous-self-join resolution entirely
+            keys = lcols + ["__ex_mult"]
+            matched = matched.toDF(*[f"__m{i}" for i in range(len(keys))])
+            cond = None
+            for i, cc in enumerate(keys):
+                eq = Lp[cc].eqNullSafe(matched[f"__m{i}"])
+                cond = eq if cond is None else (cond & eq)
+            J = Lp.join(matched, cond, "left_anti").drop("__ex_mult")
+        else:
+            J = matched.drop("__ex_mult")
 
     _view_counter[0] += 1
     view = f"__sedona_exists_{_view_counter[0]}"

@@ -512,14 +512,54 @@ class TestExistsSubquery:
         # every point matches itself at distance 0 -> all rows survive
         assert df.collect()[0]["cnt"] == 400
 
-    def test_correlated_nonspatial_raises_with_guidance(self, con, tables):
-        # a correlated NON-spatial conjunct cannot pre-filter the build
-        # side — and vanilla Catalyst cannot run the fallback either (it
-        # rejects Python UDFs in a decorrelated semi-join ON clause), so
-        # the planner raises loud guidance instead of an obscure
-        # AnalysisException
-        with pytest.raises(NotImplementedError, match="correlated"):
+    def test_correlated_nonspatial_semi(self, con, tables):
+        # round 5b: correlated NON-spatial conjuncts plan as inner join +
+        # post-filter + duplicate-exact semi reduction (was: raise)
+        pts, admin = tables
+        df = con.sql(
+            "SELECT p.pid AS pid FROM pts_t p WHERE EXISTS ("
+            " SELECT 1 FROM admin_t a "
+            " WHERE ST_Within(p.geom, a.geometry) AND a.bid = p.pid % 25)")
+        got = sorted(r["pid"] for r in df.collect())
+        want = sorted(p for p, b in _expected_pairs(pts, admin)
+                      if b == p % 25)
+        assert got == want
+        plan = _plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_correlated_nonspatial_anti(self, con, tables):
+        pts, admin = tables
+        df = con.sql(
+            "SELECT p.pid AS pid FROM pts_t p WHERE NOT EXISTS ("
+            " SELECT 1 FROM admin_t a "
+            " WHERE ST_Within(p.geom, a.geometry) AND a.bid = p.pid % 25)")
+        got = sorted(r["pid"] for r in df.collect())
+        matched = {p for p, b in _expected_pairs(pts, admin) if b == p % 25}
+        assert got == sorted(set(range(400)) - matched)
+
+    def test_correlated_semi_duplicate_multiplicity(self, con, tables,
+                                                    spark):
+        # duplicate probe rows must each survive EXISTS exactly once
+        pts, admin = tables
+        dup = pts.limit(3).union(pts)
+        dup.createOrReplaceTempView("pts_exdup_t")
+        df = con.sql(
+            "SELECT p.pid AS pid FROM pts_exdup_t p WHERE EXISTS ("
+            " SELECT 1 FROM admin_t a "
+            " WHERE ST_Within(p.geom, a.geometry) AND a.bid = p.pid % 25)")
+        got = sorted(r["pid"] for r in df.collect())
+        base = {p for p, b in _expected_pairs(pts, admin) if b == p % 25}
+        dup_ids = [r["pid"] for r in pts.limit(3).collect()]
+        want = sorted(list(base) + [p for p in dup_ids if p in base])
+        assert got == want
+
+    def test_correlated_second_spatial_conjunct_raises(self, con, tables):
+        # two spatial predicates in the subquery: only one can drive the
+        # index — loud guidance, not a silent mis-plan
+        with pytest.raises(NotImplementedError, match="SPATIAL"):
             con.sql(
                 "SELECT count(*) AS cnt FROM pts_t p WHERE EXISTS ("
                 " SELECT 1 FROM admin_t a "
-                " WHERE ST_Within(p.geom, a.geometry) AND a.bid = p.pid % 25)")
+                " WHERE ST_Within(p.geom, a.geometry) "
+                " AND ST_Intersects(a.geometry, p.geom))")
