@@ -259,3 +259,40 @@ def test_knn_probe_order_preserved(spark):
     rows = out.select("pid", "knn_rank").collect()
     assert [r["pid"] for r in rows] == [p for p in probe_order for _ in range(3)]
     assert [r["knn_rank"] for r in rows] == [1, 2, 3] * 120
+
+
+def test_spheroid_chord_prune_differential(spark):
+    """Chord-prune broadcast spheroid kNN (round 5): the GEMM candidate
+    cut must reproduce the full-haversine-matrix ranking bit-exactly,
+    including exact E/W mirror ties (broken by build tie order)."""
+    rng = np.random.default_rng(31)
+    px = rng.uniform(-179, 179, 150)
+    py = rng.uniform(-85, 85, 150)
+    # exact-tie probes: 0 lon, mirrored build pairs at +-dlon added below
+    px[:5] = 0.0
+    py[:5] = np.array([0.0, 20.0, -40.0, 60.0, 80.0])
+    bx = rng.uniform(-179, 179, 300)
+    by = rng.uniform(-85, 85, 300)
+    # mirrored pairs around lon 0 at the tie-probes' latitudes: exact
+    # haversine ties (same |dlon|, same lats)
+    bx[:10] = np.array([3.0, -3.0, 2.0, -2.0, 5.0, -5.0, 1.5, -1.5, 4.0, -4.0])
+    by[:10] = np.repeat(py[:5], 2)
+    P = spark.createDataFrame(
+        [(int(i), bytes(b)) for i, b in enumerate(wkb.encode_points_xy(px, py))],
+        SCHEMA).withColumnRenamed("id", "pid")
+    B = spark.createDataFrame(
+        [(int(i), bytes(b)) for i, b in enumerate(wkb.encode_points_xy(bx, by))],
+        SCHEMA).withColumnRenamed("id", "bid")
+    for k in (1, 3):
+        j = knn_join(P, B, k=k, build_id="bid", use_spheroid=True)
+        got = {}
+        for r in j.select("pid", "bid", "knn_rank", "knn_distance").collect():
+            got.setdefault(r["pid"], []).append(
+                (r["knn_rank"], r["bid"], r["knn_distance"]))
+        assert len(got) == len(px)
+        for i in range(len(px)):
+            d = algos.haversine_m(px[i], py[i], bx, by)
+            order = np.lexsort((np.arange(len(bx)), d))
+            want = [(rk + 1, int(j_), float(d[j_]))
+                    for rk, j_ in enumerate(order[:k])]
+            assert sorted(got[i]) == want, f"probe {i} k={k}"
