@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -38,24 +39,83 @@ from ..geometry import trajectory as tj, wkb
 from .spatial_join import spatial_join
 
 
+# 2-vertex LINESTRING M (ISO little-endian, type 2002, n=2): 57 bytes,
+# 6 trailing doubles (x0 y0 m0 x1 y1 m1).  The dominant AIS-style shape —
+# vectorized CPA (one quadratic per pair) instead of per-row parse+scan.
+_LSM2_HDR = b"\x01" + (2002).to_bytes(4, "little") + (2).to_bytes(4, "little")
+
+
+def _cpa_within_fast(abuf, bbuf, idx, thresh):
+    """Vectorized single-segment CPA: mirrors _cpa_scan's arithmetic
+    term-for-term (z=0) so thresholds resolve bit-identically."""
+    ca = (np.frombuffer(b"".join(abuf[i] for i in idx), dtype=np.uint8)
+          .reshape(len(idx), 57)[:, 9:].copy().view(np.float64))
+    cb = (np.frombuffer(b"".join(bbuf[i] for i in idx), dtype=np.uint8)
+          .reshape(len(idx), 57)[:, 9:].copy().view(np.float64))
+    ta0, ta1, tb0, tb1 = ca[:, 2], ca[:, 5], cb[:, 2], cb[:, 5]
+    if not (np.all(ta1 > ta0) and np.all(tb1 > tb0)):
+        raise ValueError("invalid trajectory: measures must strictly increase")
+    t0 = np.maximum(ta0, tb0)
+    t1 = np.minimum(ta1, tb1)
+    overlap = t1 >= t0
+    vax = (ca[:, 3] - ca[:, 0]) / (ta1 - ta0)
+    vay = (ca[:, 4] - ca[:, 1]) / (ta1 - ta0)
+    vbx = (cb[:, 3] - cb[:, 0]) / (tb1 - tb0)
+    vby = (cb[:, 4] - cb[:, 1]) / (tb1 - tb0)
+    dp0x = (ca[:, 0] + (t0 - ta0) * vax) - (cb[:, 0] + (t0 - tb0) * vbx)
+    dp0y = (ca[:, 1] + (t0 - ta0) * vay) - (cb[:, 1] + (t0 - tb0) * vby)
+    dvx = vax - vbx
+    dvy = vay - vby
+    dv2 = dvx * dvx + dvy * dvy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tstar = t0 - (dp0x * dvx + dp0y * dvy) / dv2
+    tstar = np.where(dv2 > 0, np.clip(tstar, t0, t1), t0)
+    ddx = dp0x + (tstar - t0) * dvx
+    ddy = dp0y + (tstar - t0) * dvy
+    dist = np.sqrt(ddx * ddx + ddy * ddy)
+    return overlap & (dist <= thresh)
+
+
 @pandas_udf(BooleanType())
 def _cpa_within_udf(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
-    return pd.Series(
-        [None if (x is None or y is None or t is None) else
-         tj.cpa_within(wkb.parse(bytes(x)), wkb.parse(bytes(y)), float(t))
-         for x, y, t in zip(a, b, d)], dtype=object)
+    abuf = [None if x is None else bytes(x) for x in a]
+    bbuf = [None if y is None else bytes(y) for y in b]
+    dt = d.to_numpy(np.float64, na_value=np.nan)
+    fast = np.fromiter(
+        (x is not None and y is not None and t == t
+         and len(x) == 57 and len(y) == 57
+         and x[:9] == _LSM2_HDR and y[:9] == _LSM2_HDR
+         for x, y, t in zip(abuf, bbuf, dt)),
+        dtype=bool, count=len(abuf))
+    out = np.empty(len(abuf), dtype=object)
+    idx = np.nonzero(fast)[0]
+    if len(idx):
+        out[idx] = _cpa_within_fast(abuf, bbuf, idx, dt[idx])
+    for i in np.nonzero(~fast)[0]:
+        x, y, t = abuf[i], bbuf[i], dt[i]
+        out[i] = (None if (x is None or y is None or t != t) else
+                  tj.cpa_within(wkb.parse(x), wkb.parse(y), float(t)))
+    return pd.Series(out, dtype=object)
 
 
 @pandas_udf(DoubleType())
 def _m_bound_udf(s: pd.Series, is_max: pd.Series) -> pd.Series:
-    out = []
-    for v, mx in zip(s, is_max):
-        if v is None:
-            out.append(None)
+    bufs = [None if v is None else bytes(v) for v in s]
+    mx = is_max.to_numpy()
+    out = np.full(len(bufs), np.nan)
+    fast = np.fromiter(
+        (v is not None and len(v) == 57 and v[:9] == _LSM2_HDR
+         for v in bufs), dtype=bool, count=len(bufs))
+    idx = np.nonzero(fast)[0]
+    if len(idx):
+        c = (np.frombuffer(b"".join(bufs[i] for i in idx), dtype=np.uint8)
+             .reshape(len(idx), 57)[:, 9:].copy().view(np.float64))
+        out[idx] = np.where(mx[idx], c[:, 5], c[:, 2])
+    for i in np.nonzero(~fast)[0]:
+        if bufs[i] is None:
             continue
-        g = wkb.parse(bytes(v))
-        c = tj._traj_coords(g)
-        out.append(float(c[-1, 3]) if mx else float(c[0, 3]))
+        c = tj._traj_coords(wkb.parse(bufs[i]))
+        out[i] = float(c[-1, 3]) if mx[i] else float(c[0, 3])
     return pd.Series(out, dtype="float64")
 
 
