@@ -875,6 +875,44 @@ def _pt_seg_dist(px, py, segs: np.ndarray) -> np.ndarray:
     return np.hypot(px - cx, py - cy)
 
 
+def seg_seg_distance(a4: np.ndarray, b4: np.ndarray) -> np.ndarray:
+    """Pairwise distance between two batches of 2-vertex segments
+    ((n,4) ``[x0 y0 x1 y1]``; points ride along as degenerate segments).
+
+    Mirrors the scalar ``distance()`` decomposition for segment inputs:
+    min of the four endpoint->other-segment distances (same clamped
+    projection + hypot arithmetic as ``_pt_seg_dist``), with proper
+    interior crossings forced to 0 exactly as ``intersects`` would."""
+    ax0, ay0, ax1, ay1 = a4[:, 0], a4[:, 1], a4[:, 2], a4[:, 3]
+    bx0, by0, bx1, by1 = b4[:, 0], b4[:, 1], b4[:, 2], b4[:, 3]
+
+    def _ps(px, py, x0, y0, x1, y1):
+        dx, dy = x1 - x0, y1 - y0
+        ll = dx * dx + dy * dy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(ll > 0, ((px - x0) * dx + (py - y0) * dy) / ll, 0.0)
+        t = np.clip(t, 0.0, 1.0)
+        return np.hypot(px - (x0 + t * dx), py - (y0 + t * dy))
+
+    d = np.minimum.reduce([
+        _ps(ax0, ay0, bx0, by0, bx1, by1),
+        _ps(ax1, ay1, bx0, by0, bx1, by1),
+        _ps(bx0, by0, ax0, ay0, ax1, ay1),
+        _ps(bx1, by1, ax0, ay0, ax1, ay1),
+    ])
+    # proper interior crossing -> 0 (touching/collinear cases already
+    # yield 0 through the endpoint distances)
+    rx, ry = ax1 - ax0, ay1 - ay0
+    sx, sy = bx1 - bx0, by1 - by0
+    d1 = sx * (ay0 - by0) - sy * (ax0 - bx0)
+    d2 = sx * (ay1 - by0) - sy * (ax1 - bx0)
+    d3 = rx * (by0 - ay0) - ry * (bx0 - ax0)
+    d4 = rx * (by1 - ay0) - ry * (bx1 - ax0)
+    cross = ((((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0)))
+             & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))))
+    return np.where(cross, 0.0, d)
+
+
 def distance(a: Optional[Geometry], b: Optional[Geometry]) -> float:
     if a is None or b is None or a.is_empty or b.is_empty:
         return np.nan

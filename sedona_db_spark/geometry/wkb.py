@@ -508,6 +508,53 @@ def decode_points_xy(bufs: Sequence[Optional[bytes]]):
     return x, y, valid
 
 
+_SEG_XY_HDR = b"\x01" + (2).to_bytes(4, "little") + (2).to_bytes(4, "little")
+_SEG_XYM_HDR = b"\x01" + (2002).to_bytes(4, "little") + (2).to_bytes(4, "little")
+
+
+def decode_seg4(bufs: Sequence[Optional[bytes]]):
+    """Vectorized decode of 2-vertex segments (XY / XYM little-endian
+    LINESTRINGs) and XY points (degenerate segments) into an (n, 4)
+    ``[x0 y0 x1 y1]`` array plus a recognized mask.
+
+    Only the recognized fixed-layout rows decode; anything else (Z/ZM,
+    longer lines, big-endian, EWKB) stays False in the mask so callers
+    route those rows through the generic parser.  This feeds the
+    vectorized segment x segment dwithin refine — the trajectory-join
+    candidate stage at corpus scale."""
+    n = len(bufs)
+    out = np.full((n, 4), np.nan)
+    rec = np.zeros(n, dtype=bool)
+    xy_i, xym_i, pt_i = [], [], []
+    for i, b in enumerate(bufs):
+        if b is None:
+            continue
+        lb = len(b)
+        if lb == 41 and b[:9] == _SEG_XY_HDR:
+            xy_i.append(i)
+        elif lb == 57 and b[:9] == _SEG_XYM_HDR:
+            xym_i.append(i)
+        elif (lb == _POINT_XY_NBYTES and b[0] == 1 and b[1] == POINT
+              and b[2:5] == b"\x00\x00\x00"):
+            pt_i.append(i)
+    if xy_i:
+        raw = (np.frombuffer(b"".join(bufs[i] for i in xy_i), dtype=np.uint8)
+               .reshape(-1, 41)[:, 9:].copy().view("<f8"))
+        out[xy_i] = raw
+        rec[xy_i] = True
+    if xym_i:
+        raw = (np.frombuffer(b"".join(bufs[i] for i in xym_i), dtype=np.uint8)
+               .reshape(-1, 57)[:, 9:].copy().view("<f8"))
+        out[xym_i] = raw[:, [0, 1, 3, 4]]
+        rec[xym_i] = True
+    if pt_i:
+        raw = (np.frombuffer(b"".join(bufs[i] for i in pt_i), dtype=np.uint8)
+               .reshape(-1, _POINT_XY_NBYTES)[:, 5:].copy().view("<f8"))
+        out[pt_i] = raw[:, [0, 1, 0, 1]]
+        rec[pt_i] = True
+    return out, rec
+
+
 # ---------------------------------------------------------------------------
 # WKT (reader/writer for constructors, tests and SD_Format-style display)
 # ---------------------------------------------------------------------------

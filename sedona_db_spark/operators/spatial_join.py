@@ -279,15 +279,27 @@ def _refine_udf(predicate: str, distance_expr_is_col: bool):
 
         @F.pandas_udf(BooleanType())
         def refine(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
-            return pd.Series(
-                [
-                    False
-                    if (x is None or y is None or dd is None)
-                    else algos.dwithin(wkb.parse(x), wkb.parse(y), float(dd))
-                    for x, y, dd in zip(a, b, d)
-                ],
-                dtype=bool,
-            )
+            # vectorized fast path for 2-vertex segments / points on BOTH
+            # sides (the trajectory-join candidate shape — round 5: the
+            # per-row parse+distance loop was the sf1 scale cliff in
+            # cpa_join's prefilter); unrecognized layouts fall back to the
+            # exact scalar kernel row by row
+            abuf = [None if x is None else bytes(x) for x in a]
+            bbuf = [None if y is None else bytes(y) for y in b]
+            dd = d.to_numpy(np.float64, na_value=np.nan)
+            a4, arec = wkb.decode_seg4(abuf)
+            b4, brec = wkb.decode_seg4(bbuf)
+            fast = arec & brec & ~np.isnan(dd)
+            out = np.zeros(len(abuf), dtype=bool)
+            ii = np.nonzero(fast)[0]
+            if len(ii):
+                out[ii] = algos.seg_seg_distance(a4[ii], b4[ii]) <= dd[ii]
+            for i in np.nonzero(~fast)[0]:
+                x, y, t = abuf[i], bbuf[i], dd[i]
+                out[i] = (False if (x is None or y is None or t != t)
+                          else algos.dwithin(wkb.parse(x), wkb.parse(y),
+                                             float(t)))
+            return pd.Series(out)
 
         return refine
 

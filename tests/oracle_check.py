@@ -47,7 +47,10 @@ def main():
     # the dedup_clusters / corpus_curate twins EMBED the full minhash
     # pipeline — 24 min of DuckDB on its own at sf1 — inside a recursive
     # CTE, which DuckDB re-derives per reachability step: >1 h observed
-    # before the round-5 run was cut over to skipping them at sf1)
+    # before the round-5 run was cut over to skipping them at sf1; the
+    # knn_graph twin is an embeddings x embeddings LATERAL — 4e8 64-dim
+    # dot products at sf1; the ripleys_k twin counts pairs from a banded
+    # self-join whose pair count grows ~quadratically with density)
     # while the Spark side is the thing under test. The full value
     # compare still gates these queries at sf0.01/sf0.1.
     oracle_skip = set(

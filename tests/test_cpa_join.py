@@ -110,3 +110,56 @@ class TestSQLSurface:
         # and the plan came from the banded prefilter, not a cartesian
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+
+def test_seg_seg_distance_matches_scalar():
+    """Vectorized segment x segment kernel (round 5) vs the scalar
+    distance() decomposition: random pairs + adversarial shapes
+    (crossing, touching, collinear overlap, degenerate points)."""
+    import numpy as np
+
+    from sedona_db_spark.geometry import algos, wkb
+
+    rng = np.random.default_rng(7)
+    a4 = rng.uniform(-50, 50, (300, 4))
+    b4 = rng.uniform(-50, 50, (300, 4))
+    # adversarial rows
+    sp = [
+        ([0.0, 0.0, 10.0, 0.0], [5.0, -5.0, 5.0, 5.0]),    # proper cross
+        ([0.0, 0.0, 10.0, 0.0], [10.0, 0.0, 20.0, 5.0]),   # endpoint touch
+        ([0.0, 0.0, 10.0, 0.0], [5.0, 0.0, 15.0, 0.0]),    # collinear overlap
+        ([0.0, 0.0, 10.0, 0.0], [12.0, 0.0, 20.0, 0.0]),   # collinear gap
+        ([1.0, 2.0, 1.0, 2.0], [4.0, 6.0, 4.0, 6.0]),      # point x point
+        ([1.0, 2.0, 1.0, 2.0], [0.0, 0.0, 10.0, 0.0]),     # point x seg
+        ([0.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 0.0]),      # identical pts
+    ]
+    a4 = np.vstack([a4] + [np.array([p[0]]) for p in sp])
+    b4 = np.vstack([b4] + [np.array([p[1]]) for p in sp])
+    got = algos.seg_seg_distance(a4, b4)
+    for i in range(len(a4)):
+        ga = wkb.from_wkt(
+            f"LINESTRING ({a4[i,0]} {a4[i,1]}, {a4[i,2]} {a4[i,3]})")
+        gb = wkb.from_wkt(
+            f"LINESTRING ({b4[i,0]} {b4[i,1]}, {b4[i,2]} {b4[i,3]})")
+        want = algos.distance(ga, gb)
+        assert got[i] == pytest.approx(want, abs=1e-12), i
+
+
+def test_decode_seg4_layouts():
+    import numpy as np
+
+    from sedona_db_spark.geometry import wkb
+
+    bufs = [
+        wkb.encode(wkb.from_wkt("LINESTRING (1 2, 3 4)")),
+        wkb.encode(wkb.from_wkt("LINESTRING M (1 2 0, 3 4 10)")),
+        wkb.encode(wkb.from_wkt("POINT (7 8)")),
+        wkb.encode(wkb.from_wkt("LINESTRING (0 0, 1 1, 2 2)")),  # 3 pts
+        wkb.encode(wkb.from_wkt("LINESTRING Z (1 2 5, 3 4 6)")),  # Z layout
+        None,
+    ]
+    out, rec = wkb.decode_seg4(bufs)
+    assert rec.tolist() == [True, True, True, False, False, False]
+    assert out[0].tolist() == [1.0, 2.0, 3.0, 4.0]
+    assert out[1].tolist() == [1.0, 2.0, 3.0, 4.0]
+    assert out[2].tolist() == [7.0, 8.0, 7.0, 8.0]
