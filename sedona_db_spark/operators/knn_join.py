@@ -253,6 +253,15 @@ def _broadcast_knn(spark, P: DataFrame, B: DataFrame, k: int, pcols, bcols,
         chord_prune = (
             mode == "point" and use_spheroid and not include_ties
             and n_build_local > 4 * kk_prune)
+        # Planar analogue: -d^2/2 = (p . b) - |b|^2/2 - |p|^2/2, and the
+        # |p|^2 term is constant per probe row, so ranking by the GEMM
+        # [px py 1] @ [bx; by; -|b|^2/2] is ranking by euclidean distance.
+        # Exact d^2 (same subtract/multiply ops as the full path) then
+        # re-scores candidates only — selection cut is >= at the kk-th
+        # largest key, so whole tie groups survive.
+        eucl_prune = (
+            mode == "point" and not use_spheroid and not include_ties
+            and n_build_local > 4 * kk_prune)
         # PREALLOCATED per-worker scratch, written with np.ufunc(out=...):
         # in this environment fresh mmap'd temporaries page-fault at
         # ~100 MB/s on first touch (VM demand paging), and glibc re-mmaps
@@ -308,6 +317,35 @@ def _broadcast_knn(spark, P: DataFrame, B: DataFrame, k: int, pcols, bcols,
                     out = pdf.iloc[idx_rows].reset_index(drop=True)
                     out["_bid_m"] = bid_[idx_cols]
                     out["knn_distance"] = dv[keep]
+                    out["knn_rank"] = (pos_in_row[keep] + 1).astype(np.int32)
+                    return out
+                if not use_spheroid and eucl_prune:
+                    if uv[0] is None:
+                        uv[0] = np.ascontiguousarray(np.stack(
+                            [bx_, by_, -(bx_ * bx_ + by_ * by_) / 2.0],
+                            axis=0))  # (3, n_build)
+                    pxyz = np.stack([px, py, np.ones(n)], axis=1)
+                    G = np.dot(pxyz, uv[0], out=buf_d[:n])
+                    cut = n_build_local - kk_prune
+                    np.copyto(buf_p[:n], G)
+                    part = buf_p[:n]
+                    part.partition(cut, axis=1)
+                    Gkth = part[:, cut]
+                    mask = buf_m[:n]
+                    np.greater_equal(G, Gkth[:, None], out=mask)
+                    rows, cols = np.nonzero(mask)
+                    dvx = px[rows] - bx_[cols]
+                    dvy = py[rows] - by_[cols]
+                    dv = dvx * dvx + dvy * dvy  # squared rank key
+                    order = np.lexsort((cols, dv, rows))
+                    rows, cols, dv = rows[order], cols[order], dv[order]
+                    starts = np.searchsorted(rows, np.arange(len(px)))
+                    pos_in_row = np.arange(len(rows)) - starts[rows]
+                    keep = pos_in_row < k_eff
+                    idx_rows, idx_cols = rows[keep], cols[keep]
+                    out = pdf.iloc[idx_rows].reset_index(drop=True)
+                    out["_bid_m"] = bid_[idx_cols]
+                    out["knn_distance"] = np.sqrt(dv[keep])
                     out["knn_rank"] = (pos_in_row[keep] + 1).astype(np.int32)
                     return out
                 if use_spheroid:

@@ -296,3 +296,31 @@ def test_spheroid_chord_prune_differential(spark):
             want = [(rk + 1, int(j_), float(d[j_]))
                     for rk, j_ in enumerate(order[:k])]
             assert sorted(got[i]) == want, f"probe {i} k={k}"
+
+
+def test_planar_eucl_prune_mirror_ties(spark):
+    """Planar GEMM prune (round 5): exact mirror-pair ties must break by
+    build tie order, identical to the full-matrix path."""
+    rng = np.random.default_rng(47)
+    px = rng.uniform(0, 100, 80)
+    py = rng.uniform(0, 100, 80)
+    px[:3] = 50.0
+    py[:3] = np.array([10.0, 50.0, 90.0])
+    bx = rng.uniform(0, 100, 200)
+    by = rng.uniform(0, 100, 200)
+    bx[:6] = np.array([53.0, 47.0, 52.0, 48.0, 51.0, 49.0])
+    by[:6] = np.repeat(py[:3], 2)
+    P = spark.createDataFrame(
+        [(int(i), bytes(b)) for i, b in enumerate(wkb.encode_points_xy(px, py))],
+        SCHEMA).withColumnRenamed("id", "pid")
+    B = spark.createDataFrame(
+        [(int(i), bytes(b)) for i, b in enumerate(wkb.encode_points_xy(bx, by))],
+        SCHEMA).withColumnRenamed("id", "bid")
+    res = knn_join(P, B, k=3, build_id="bid")
+    got = {}
+    for r in res.select("pid", "bid", "knn_rank").collect():
+        got.setdefault(r["pid"], []).append((r["knn_rank"], r["bid"]))
+    want = brute_knn(px, py, bx, by, 3)
+    for i in range(len(px)):
+        assert sorted(got[i]) == [(rk + 1, j) for rk, (j, _) in
+                                  enumerate(want[i])], i
